@@ -1,0 +1,116 @@
+"""Benchmark entry point — prints ONE JSON line.
+
+Current benchmark: training-step throughput (MFU) of a ~350M-param decoder LM
+on the available chip(s), compared against the reference's published v5e
+training MFU baseline (BASELINE.md: 16B on v5e-256 -> 61.1% MFU; we use that
+as vs_baseline denominator until the TTS RTF bench lands).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MFU = 0.611  # reference 16B @ v5e-256 (README.md:93)
+
+
+def main():
+    from maxtext_indextts2_tpu.config import load_config
+    from maxtext_indextts2_tpu.parallel import create_device_mesh
+    from maxtext_indextts2_tpu.train.data.synthetic import SyntheticDataIterator
+    from maxtext_indextts2_tpu.train.train import (
+        batch_sharding,
+        jit_train_step,
+        setup_train_state,
+    )
+    from maxtext_indextts2_tpu.models import Transformer
+    from maxtext_indextts2_tpu.utils import flops as flops_lib
+    from maxtext_indextts2_tpu.utils.metrics import _chip_kind
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    n_dev = len(jax.devices())
+    cfg = load_config(
+        [
+            "decoder_block=tts",
+            "base_emb_dim=1024",
+            "base_num_query_heads=8",
+            "base_num_kv_heads=8",
+            "base_mlp_dim=4096",
+            "base_num_decoder_layers=12",
+            "head_dim=128",
+            "vocab_size=9344",
+            "max_target_length=2048",
+            "per_device_batch_size=8" if on_tpu else "per_device_batch_size=1",
+            "scan_layers=true",
+            "remat_policy=minimal",
+            "attention=dot_product",
+        ]
+        + ([] if on_tpu else ["base_num_decoder_layers=2", "max_target_length=256"])
+    )
+    mesh = create_device_mesh(cfg)
+    model = Transformer(cfg=cfg, mesh=mesh)
+    state, (shardings, _) = setup_train_state(cfg, model, mesh, jax.random.PRNGKey(0))
+    p_step = jit_train_step(model, cfg, mesh, shardings)
+    dshard = batch_sharding(mesh)
+    batch = jax.tree.map(
+        lambda x: jax.device_put(x, dshard), next(SyntheticDataIterator(cfg))
+    )
+    rng = jax.random.PRNGKey(1)
+
+    import numpy as np
+
+    def sync(x):
+        # On the axon relay backend block_until_ready returns before the
+        # remote computation finishes; a host fetch is the only true sync.
+        return float(np.asarray(x))
+
+    def timed(n, state):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = p_step(state, batch, rng)
+        loss = sync(m["loss"])
+        return time.perf_counter() - t0, state, loss
+
+    with mesh:
+        state, metrics = p_step(state, batch, rng)  # compile + warmup
+        loss = sync(metrics["loss"])
+        if on_tpu:
+            # slope timing: cancels the fixed ~50ms relay fetch overhead
+            n1, n2 = 2, 12
+            t1, state, _ = timed(n1, state)
+            t2, state, loss = timed(n2, state)
+            dt = (t2 - t1) / (n2 - n1)
+        else:
+            t1, state, loss = timed(2, state)
+            dt = t1 / 2
+        metrics = {"loss": loss}
+
+    tflops = flops_lib.training_tflops_per_step(cfg)
+    chip = _chip_kind()
+    mfu = flops_lib.mfu(tflops, dt, n_dev, chip)
+    print(
+        json.dumps(
+            {
+                "metric": "train_mfu",
+                "value": round(mfu, 4),
+                "unit": "fraction_of_peak",
+                "vs_baseline": round(mfu / BASELINE_MFU, 4),
+                "detail": {
+                    "chip": chip,
+                    "n_devices": n_dev,
+                    "step_time_s": round(dt, 4),
+                    "tflops_per_step": round(tflops, 2),
+                    "per_device_tflops_per_s": round(tflops / dt / n_dev, 2),
+                    "loss": round(metrics["loss"], 4),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

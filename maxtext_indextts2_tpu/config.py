@@ -174,6 +174,7 @@ class Config:
     cosine_learning_rate_final_fraction: float = 0.1
     warmup_steps_fraction: float = 0.1
     learning_rate_schedule_steps: int = -1
+    z_loss_weight: float = 0.0
     opt_type: str = "adamw"  # adamw | sgd
     adam_b1: float = 0.9
     adam_b2: float = 0.95

@@ -1,0 +1,351 @@
+"""Attention: projections, RoPE, mask generation, kernel dispatch, KV cache.
+
+TPU-native redesign of the reference attention stack
+(MaxText/layers/attentions.py:340 AttentionOp, :1622 Attention). One
+configurable module covers MHA/GQA/MQA, global/sliding-window/chunked causal
+attention, logit softcaps, and train/prefill/autoregressive modes.
+
+Kernel dispatch:
+- ``dot_product``: XLA einsum attention (fused by Mosaic/XLA); used for short
+  sequences and decode.
+- ``flash``: Pallas block-sparse flash kernel (ops/flash_attention.py) with
+  context-parallel Q sharding via shard_map; used for long-sequence training.
+
+The KV cache is a flax "cache" variable collection: a single [B, S_max]
+ring-free buffer written at [0, prefill_len) by prefill and one slot per
+decode step — simpler than the reference's split prefill/AR caches while
+keeping full-sequence layout for paged/ragged kernels to slice.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxtext_indextts2_tpu.models import rope as rope_lib
+from maxtext_indextts2_tpu.models.layers import DenseGeneral, RMSNorm, nd_dense_init
+from maxtext_indextts2_tpu.parallel.sharding import shard
+
+# Large negative for masked logits (matches flash kernel's mask value).
+DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+MODE_TRAIN = "train"
+MODE_PREFILL = "prefill"
+MODE_AUTOREGRESSIVE = "autoregressive"
+
+
+def make_attention_mask(
+    q_positions: jax.Array,  # [B, Sq]
+    kv_positions: jax.Array,  # [B, Skv]
+    q_segment_ids: jax.Array | None,  # [B, Sq]
+    kv_segment_ids: jax.Array | None,  # [B, Skv]
+    causal: bool = True,
+    sliding_window: int = 0,
+    chunk_size: int = 0,
+) -> jax.Array:
+    """Boolean [B, 1, Sq, Skv] mask (True = attend)."""
+    qp = q_positions[:, :, None]
+    kp = kv_positions[:, None, :]
+    mask = jnp.ones(qp.shape[:1] + (qp.shape[1], kp.shape[2]), dtype=jnp.bool_)
+    if causal:
+        mask &= kp <= qp
+    if sliding_window > 0:
+        mask &= kp > qp - sliding_window
+    if chunk_size > 0:
+        mask &= (qp // chunk_size) == (kp // chunk_size)
+    if q_segment_ids is not None and kv_segment_ids is not None:
+        mask &= q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]
+    return mask[:, None, :, :]
+
+
+def dot_product_attention(
+    q: jax.Array,  # [B, Sq, Nq, D]
+    k: jax.Array,  # [B, Skv, Nkv, D]
+    v: jax.Array,  # [B, Skv, Nkv, D]
+    mask: jax.Array | None,  # [B, 1, Sq, Skv] bool
+    logits_soft_cap: float = 0.0,
+    float32_qk: bool = True,
+) -> jax.Array:
+    """Grouped-query einsum attention with f32 softmax."""
+    b, sq, nq, d = q.shape
+    nkv = k.shape[2]
+    group = nq // nkv
+    q = q.reshape(b, sq, nkv, group, d)
+
+    qk_dtype = jnp.float32 if float32_qk else q.dtype
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk",
+        q.astype(qk_dtype),
+        k.astype(qk_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits / np.sqrt(d)
+    if logits_soft_cap > 0.0:
+        logits = logits_soft_cap * jnp.tanh(logits / logits_soft_cap)
+    if mask is not None:
+        logits = jnp.where(mask[:, :, None, :, :], logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v, preferred_element_type=jnp.float32)
+    return out.reshape(b, sq, nq, d).astype(v.dtype)
+
+
+class KVCache(nn.Module):
+    """Decode KV cache as flax "cache" variables: full-length buffers plus a
+    scalar write index. Prefill fills [0, prefill_len); each AR step writes
+    one slot. (Reference: MaxText/inference/kvcache.py:233.)"""
+
+    max_length: int
+    num_kv_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def update(self, k: jax.Array, v: jax.Array, mode: str):
+        b = k.shape[0]
+        shape = (b, self.max_length, self.num_kv_heads, self.head_dim)
+        ck = self.variable("cache", "cached_key", jnp.zeros, shape, self.dtype)
+        cv = self.variable("cache", "cached_value", jnp.zeros, shape, self.dtype)
+        idx = self.variable("cache", "cache_index", lambda: jnp.zeros((), jnp.int32))
+        seg = self.variable(
+            "cache", "cached_segment_ids", jnp.zeros, (b, self.max_length), jnp.int32
+        )
+
+        if mode == MODE_PREFILL:
+            prefill_len = k.shape[1]
+            ck.value = jax.lax.dynamic_update_slice(ck.value, k.astype(self.dtype), (0, 0, 0, 0))
+            cv.value = jax.lax.dynamic_update_slice(cv.value, v.astype(self.dtype), (0, 0, 0, 0))
+            seg.value = jax.lax.dynamic_update_slice(
+                seg.value, jnp.ones((b, prefill_len), jnp.int32), (0, 0)
+            )
+            idx.value = jnp.asarray(prefill_len, jnp.int32)
+        else:  # autoregressive: k,v are [B, 1, N, D]
+            pos = idx.value
+            ck.value = jax.lax.dynamic_update_slice(
+                ck.value, k.astype(self.dtype), (0, pos, 0, 0)
+            )
+            cv.value = jax.lax.dynamic_update_slice(
+                cv.value, v.astype(self.dtype), (0, pos, 0, 0)
+            )
+            seg.value = jax.lax.dynamic_update_slice(
+                seg.value, jnp.ones((b, 1), jnp.int32), (0, pos)
+            )
+            idx.value = pos + 1
+
+        ck.value = shard(ck.value, "cache_batch", "cache_sequence", "cache_heads", "cache_kv")
+        cv.value = shard(cv.value, "cache_batch", "cache_sequence", "cache_heads", "cache_kv")
+        return ck.value, cv.value, seg.value, idx.value
+
+
+class Attention(nn.Module):
+    """Multi-head attention with RoPE and cached decode."""
+
+    num_query_heads: int
+    num_kv_heads: int
+    head_dim: int
+    max_target_length: int = 2048
+    attention_kernel: str = "autoselected"  # autoselected|dot_product|flash
+    dtype: jnp.dtype = jnp.bfloat16
+    weight_dtype: jnp.dtype = jnp.float32
+    float32_qk_product: bool = False
+    attn_logits_soft_cap: float = 0.0
+    sliding_window_size: int = 0
+    chunk_attn_window_size: int = 0
+    rope_type: str = "default"
+    rope_max_timescale: float = 10_000.0
+    rope_factor: float = 8.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+    use_qk_norm: bool = False  # qwen3/gemma3-style per-head q/k RMSNorm
+    query_pre_attn_scalar: float | None = None  # gemma: scale q by this instead of 1/sqrt(d)
+    normalization_layer_epsilon: float = 1e-6
+    use_bias: bool = False
+    kernel_init: Any = nd_dense_init()
+    matmul_precision: str = "default"
+    flash_block_sizes: tuple[int, int] = (512, 512)
+    context_parallelism: int = 1
+    load_balanced_context_parallel: bool = True
+    mesh: Any = None
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_q: jax.Array,  # [B, S, E]
+        inputs_kv: jax.Array,
+        positions: jax.Array,  # [B, S]
+        segment_ids: jax.Array | None,
+        mode: str = MODE_TRAIN,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        q = DenseGeneral(
+            features=(self.num_query_heads, self.head_dim),
+            kernel_axes=("embed", "q_heads", "kv_head_dim"),
+            dtype=self.dtype,
+            weight_dtype=self.weight_dtype,
+            use_bias=self.use_bias,
+            matmul_precision=self.matmul_precision,
+            name="query",
+        )(inputs_q)
+        k = DenseGeneral(
+            features=(self.num_kv_heads, self.head_dim),
+            kernel_axes=("embed", "kv_heads", "kv_head_dim"),
+            dtype=self.dtype,
+            weight_dtype=self.weight_dtype,
+            use_bias=self.use_bias,
+            matmul_precision=self.matmul_precision,
+            name="key",
+        )(inputs_kv)
+        v = DenseGeneral(
+            features=(self.num_kv_heads, self.head_dim),
+            kernel_axes=("embed", "kv_heads", "kv_head_dim"),
+            dtype=self.dtype,
+            weight_dtype=self.weight_dtype,
+            use_bias=self.use_bias,
+            matmul_precision=self.matmul_precision,
+            name="value",
+        )(inputs_kv)
+
+        if self.use_qk_norm:
+            qk_norm = RMSNorm(
+                epsilon=self.normalization_layer_epsilon,
+                dtype=self.dtype,
+                weight_dtype=self.weight_dtype,
+                kernel_axes=("kv_head_dim",),
+                name="query_norm",
+            )
+            q = qk_norm(q)
+            k = RMSNorm(
+                epsilon=self.normalization_layer_epsilon,
+                dtype=self.dtype,
+                weight_dtype=self.weight_dtype,
+                kernel_axes=("kv_head_dim",),
+                name="key_norm",
+            )(k)
+
+        if self.rope_type != "none":
+            inv_freq = rope_frequencies_cached(
+                self.head_dim,
+                self.rope_type,
+                self.rope_max_timescale,
+                self.rope_factor,
+                self.rope_low_freq_factor,
+                self.rope_high_freq_factor,
+                self.rope_original_max_position,
+            )
+            q = rope_lib.apply_rope(q, positions, inv_freq)
+            k = rope_lib.apply_rope(k, positions, inv_freq)
+
+        if self.query_pre_attn_scalar is not None:
+            # fold custom query scaling into q, then un-scale the 1/sqrt(d)
+            # the kernel applies.
+            q = q * (np.sqrt(self.head_dim) * self.query_pre_attn_scalar)
+
+        q = shard(q, "activation_batch", "activation_length", "activation_heads", "activation_kv_head_dim")
+        k = shard(k, "activation_kv_batch", "activation_length", "activation_kv_heads", "activation_kv_head_dim")
+        v = shard(v, "activation_kv_batch", "activation_length", "activation_kv_heads", "activation_kv_head_dim")
+
+        if mode == MODE_TRAIN:
+            out = self._train_attention(q, k, v, positions, segment_ids)
+        else:
+            cache = KVCache(
+                max_length=self.max_target_length,
+                num_kv_heads=self.num_kv_heads,
+                head_dim=self.head_dim,
+                dtype=self.dtype,
+                name="kv_cache",
+            )
+            ck, cv, cseg, cidx = cache.update(k, v, mode)
+            if mode == MODE_PREFILL:
+                # attend only within the prefill segment
+                mask = make_attention_mask(
+                    positions,
+                    positions,
+                    segment_ids,
+                    segment_ids,
+                    causal=True,
+                    sliding_window=self.sliding_window_size,
+                    chunk_size=self.chunk_attn_window_size,
+                )
+                out = dot_product_attention(
+                    q, k, v, mask, self.attn_logits_soft_cap, self.float32_qk_product
+                )
+            else:
+                kv_positions = jnp.broadcast_to(
+                    jnp.arange(self.max_target_length, dtype=jnp.int32)[None, :],
+                    (q.shape[0], self.max_target_length),
+                )
+                valid = kv_positions < cidx
+                if self.sliding_window_size > 0:
+                    valid &= kv_positions > (cidx - 1) - self.sliding_window_size
+                if self.chunk_attn_window_size > 0:
+                    valid &= (kv_positions // self.chunk_attn_window_size) == (
+                        (cidx - 1) // self.chunk_attn_window_size
+                    )
+                valid &= cseg > 0
+                mask = valid[:, None, None, :]
+                out = dot_product_attention(
+                    q, ck, cv, mask, self.attn_logits_soft_cap, self.float32_qk_product
+                )
+
+        out = shard(out, "activation_batch", "activation_length", "activation_heads", "activation_kv_head_dim")
+        return DenseGeneral(
+            features=inputs_q.shape[-1],
+            axis=(-2, -1),
+            kernel_axes=("heads", "kv_head_dim", "embed"),
+            dtype=self.dtype,
+            weight_dtype=self.weight_dtype,
+            use_bias=self.use_bias,
+            matmul_precision=self.matmul_precision,
+            name="out",
+        )(out)
+
+    def _train_attention(self, q, k, v, positions, segment_ids):
+        kernel = self.attention_kernel
+        if kernel == "autoselected":
+            on_tpu = jax.devices()[0].platform == "tpu"
+            kernel = "flash" if (on_tpu and q.shape[1] >= 1024) else "dot_product"
+        if kernel == "flash":
+            from maxtext_indextts2_tpu.ops.flash_attention import flash_attention_sharded
+
+            return flash_attention_sharded(
+                q,
+                k,
+                v,
+                segment_ids,
+                mesh=self.mesh,
+                causal=True,
+                sliding_window=self.sliding_window_size,
+                chunk_size=self.chunk_attn_window_size,
+                logits_soft_cap=self.attn_logits_soft_cap,
+                block_q=self.flash_block_sizes[0],
+                block_kv=self.flash_block_sizes[1],
+                load_balanced=self.load_balanced_context_parallel,
+            )
+        mask = make_attention_mask(
+            positions,
+            positions,
+            segment_ids,
+            segment_ids,
+            causal=True,
+            sliding_window=self.sliding_window_size,
+            chunk_size=self.chunk_attn_window_size,
+        )
+        return dot_product_attention(
+            q, k, v, mask, self.attn_logits_soft_cap, self.float32_qk_product
+        )
+
+
+_FREQ_CACHE: dict = {}
+
+
+def rope_frequencies_cached(head_dim, rope_type, max_timescale, factor, low, high, orig):
+    key = (head_dim, rope_type, max_timescale, factor, low, high, orig)
+    if key not in _FREQ_CACHE:
+        _FREQ_CACHE[key] = rope_lib.rope_frequencies(
+            head_dim, rope_type, max_timescale, factor, low, high, orig
+        )
+    return _FREQ_CACHE[key]

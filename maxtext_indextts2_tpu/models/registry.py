@@ -1,0 +1,66 @@
+"""Model-family registry: block styles + preset configs.
+
+The reference implements each family as a separate layer module
+(MaxText/layers/{llama2,gemma,gemma2,gemma3,gpt3,mistral,mixtral,qwen3,
+deepseek,simple_layer}.py, registry at decoders.py:334 get_decoder_layers).
+Here a family is a :class:`BlockStyle` — pure data consumed by the single
+configurable DecoderLayer — plus a yaml preset under configs/models/.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BlockStyle:
+    # one entry per sub-layer in the scan unit; values: "global",
+    # "local_sliding", "chunk"
+    attention_pattern: tuple[str, ...] = ("global",)
+    use_pre_norm: bool = True
+    use_post_attn_norm: bool = False
+    use_post_ffw_norm: bool = False
+    rmsnorm_scale_plus_one: bool = False  # gemma convention: param stores scale-1
+    scale_embedding: bool = False  # gemma: multiply embedding by sqrt(d)
+    use_qk_norm: bool = False
+    query_pre_attn_scalar: float | None = None
+    use_attn_bias: bool = False
+    use_mlp_bias: bool = False
+
+
+BLOCK_STYLES: dict[str, BlockStyle] = {
+    "simple": BlockStyle(),
+    "llama2": BlockStyle(),
+    "llama3": BlockStyle(),
+    "mistral": BlockStyle(attention_pattern=("local_sliding",)),
+    "mixtral": BlockStyle(),
+    "qwen3": BlockStyle(use_qk_norm=True),
+    "gpt3": BlockStyle(use_attn_bias=True, use_mlp_bias=True),
+    "gemma": BlockStyle(rmsnorm_scale_plus_one=True, scale_embedding=True),
+    "gemma2": BlockStyle(
+        attention_pattern=("local_sliding", "global"),
+        use_post_attn_norm=True,
+        use_post_ffw_norm=True,
+        rmsnorm_scale_plus_one=True,
+        scale_embedding=True,
+        query_pre_attn_scalar=None,
+    ),
+    "gemma3": BlockStyle(
+        attention_pattern=("local_sliding",) * 5 + ("global",),
+        use_post_attn_norm=True,
+        use_post_ffw_norm=True,
+        rmsnorm_scale_plus_one=True,
+        scale_embedding=True,
+        use_qk_norm=True,
+    ),
+    "deepseek": BlockStyle(),
+    "tts": BlockStyle(use_qk_norm=True),  # flagship audio-LM decoder style
+}
+
+
+def get_block_style(name: str) -> BlockStyle:
+    if name not in BLOCK_STYLES:
+        raise ValueError(
+            f"unknown decoder_block {name!r}; known: {sorted(BLOCK_STYLES)}"
+        )
+    return BLOCK_STYLES[name]

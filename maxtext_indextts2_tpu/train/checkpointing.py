@@ -1,0 +1,86 @@
+"""Checkpointing via Orbax.
+
+Reference: MaxText/checkpointing.py (create_orbax_checkpoint_manager:100,
+load_state_if_possible:279, maybe_save_checkpoint:461). Supports async save,
+full-state restore for resume, and params-only restore for inference /
+fine-tune bootstrap.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from maxtext_indextts2_tpu.config import Config
+
+logger = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    """Thin wrapper: save(step, state) / maybe_restore(abstract_state)."""
+
+    def __init__(self, cfg: Config, directory: str | None = None):
+        self.cfg = cfg
+        self.directory = os.path.abspath(directory or cfg.checkpoint_dir)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=cfg.checkpoint_max_to_keep,
+            enable_async_checkpointing=cfg.async_checkpointing,
+        )
+        self.manager = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state, force: bool = False) -> bool:
+        saved = self.manager.save(
+            step, args=ocp.args.PyTreeSave(item=state), force=force
+        )
+        if saved:
+            logger.info("saved checkpoint at step %d -> %s", step, self.directory)
+        return saved
+
+    def latest_step(self) -> int | None:
+        return self.manager.latest_step()
+
+    def maybe_restore(self, abstract_or_state):
+        """Restore the latest full state, with shardings matching the target."""
+        step = self.manager.latest_step()
+        if step is None:
+            return None
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_or_state)
+        restored = self.manager.restore(
+            step, args=ocp.args.PyTreeRestore(item=target)
+        )
+        logger.info("restored checkpoint step %d from %s", step, self.directory)
+        return restored
+
+    def wait(self):
+        self.manager.wait_until_finished()
+
+    def close(self):
+        self.manager.wait_until_finished()
+        self.manager.close()
+
+
+def save_params_only(path: str, params) -> None:
+    """Write a params-only checkpoint (inference artifact).
+
+    Reference: MaxText/generate_param_only_checkpoint.py.
+    """
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_params_only(path: str, abstract_params=None):
+    ckptr = ocp.StandardCheckpointer()
+    if abstract_params is not None:
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_params)
+        out = ckptr.restore(os.path.abspath(path), target)
+    else:
+        out = ckptr.restore(os.path.abspath(path))
+    ckptr.close()
+    return out

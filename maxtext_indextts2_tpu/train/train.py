@@ -1,0 +1,294 @@
+"""Training runtime: sharded state setup, train/eval step, train loop.
+
+TPU-native redesign of the reference trainer (MaxText/train.py:255 loss_fn,
+:352 train_step, :511 setup_train_loop, :606 train_loop). One fused XLA
+program per step: jit(train_step) with explicit in/out shardings derived from
+the logical-axis rules, donated state, gradient accumulation via lax.scan,
+global-norm clipping.
+
+Run: ``python -m maxtext_indextts2_tpu.train.train <config.yml> key=value ...``
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training import train_state as flax_train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from maxtext_indextts2_tpu.config import Config, load_config
+from maxtext_indextts2_tpu.models import Transformer
+from maxtext_indextts2_tpu.ops.losses import masked_cross_entropy
+from maxtext_indextts2_tpu.parallel import (
+    create_device_mesh,
+    resolve,
+    tree_logical_to_sharding,
+)
+from maxtext_indextts2_tpu.train.data.synthetic import SyntheticDataIterator
+from maxtext_indextts2_tpu.train.optimizers import (
+    create_learning_rate_schedule,
+    get_optimizer,
+)
+from maxtext_indextts2_tpu.utils import flops as flops_lib
+from maxtext_indextts2_tpu.utils.metrics import MetricLogger
+
+
+class TrainState(flax_train_state.TrainState):
+    pass
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, resolve(("activation_batch", "activation_length"), mesh=mesh))
+
+
+def _dummy_inputs(cfg: Config):
+    b, s = cfg.micro_batch_size_to_train_on, cfg.max_target_length
+    tokens = jnp.zeros((b, s), jnp.int32)
+    positions = jnp.zeros((b, s), jnp.int32)
+    segs = jnp.zeros((b, s), jnp.int32)
+    return tokens, positions, segs
+
+
+def setup_train_state(
+    cfg: Config, model: Transformer, mesh: Mesh, rng: jax.Array
+) -> tuple[TrainState, Any]:
+    """Initialize (or later: restore) the sharded train state.
+
+    Shardings are derived by eval_shape over the boxed (logically-partitioned)
+    abstract state, resolved through the rule table, then used as jit
+    out_shardings so initialization happens fully sharded on-device.
+    """
+    schedule = create_learning_rate_schedule(cfg)
+    tx = get_optimizer(cfg, schedule)
+    tokens, positions, segs = _dummy_inputs(cfg)
+
+    def init_fn(rng):
+        variables = model.init(rng, tokens, positions, segs)
+        return TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx)
+
+    abstract = jax.eval_shape(init_fn, rng)
+    logical_specs = nn.get_partition_spec(abstract)
+    shardings = tree_logical_to_sharding(logical_specs, mesh)
+    with mesh:
+        state = jax.jit(init_fn, out_shardings=shardings)(rng)
+    state = nn.meta.unbox(state)
+    shardings = nn.meta.unbox(shardings)
+    return state, (shardings, schedule)
+
+
+def loss_fn(model: Transformer, cfg: Config, params, batch, rng, is_train: bool = True):
+    logits, mutables = model.apply(
+        {"params": params},
+        batch["inputs"],
+        batch["inputs_position"],
+        batch["inputs_segmentation"],
+        deterministic=not (is_train and cfg.enable_dropout),
+        rngs={"dropout": rng},
+        mutable=["intermediates"],
+    )
+    weights = (batch["targets_segmentation"] != 0).astype(jnp.float32)
+    loss, total_weights = masked_cross_entropy(
+        logits, batch["targets"], weights, cfg.z_loss_weight
+    )
+    aux = {"ce_loss": loss, "total_weights": total_weights}
+    inter = mutables.get("intermediates", {})
+    lb = _collect_sown(inter, "moe_lb_loss")
+    if lb is not None:
+        moe_loss = jnp.mean(lb) * cfg.load_balance_loss_weight
+        loss = loss + moe_loss
+        aux["moe_lb_loss"] = moe_loss
+    return loss, aux
+
+
+def _collect_sown(tree, name):
+    vals = []
+
+    def visit(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == name:
+                    vals.extend(v if isinstance(v, (tuple, list)) else [v])
+                else:
+                    visit(v)
+
+    visit(tree)
+    if not vals:
+        return None
+    return jnp.stack([jnp.mean(v) for v in vals])
+
+
+def train_step(model, cfg, state: TrainState, batch, rng):
+    """One optimizer step (with optional in-step gradient accumulation)."""
+    grad_fn = jax.value_and_grad(
+        functools.partial(loss_fn, model, cfg), has_aux=True
+    )
+
+    if cfg.gradient_accumulation_steps > 1:
+        micro = cfg.gradient_accumulation_steps
+
+        def to_micro(x):
+            return x.reshape(micro, x.shape[0] // micro, *x.shape[1:])
+
+        micro_batches = jax.tree.map(to_micro, batch)
+
+        def accum(carry, mb):
+            acc_grads, acc_loss, rng = carry
+            rng, sub = jax.random.split(rng)
+            (loss, _aux), grads = grad_fn(state.params, mb, sub)
+            return (jax.tree.map(jnp.add, acc_grads, grads), acc_loss + loss, rng), None
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, loss_sum, _), _ = jax.lax.scan(
+            accum, (zero, jnp.zeros(()), rng), micro_batches
+        )
+        grads = jax.tree.map(lambda g: g / micro, grads)
+        loss = loss_sum / micro
+        aux = {"ce_loss": loss}
+    else:
+        (loss, aux), grads = grad_fn(state.params, batch, rng)
+
+    if cfg.gradient_clipping_threshold > 0:
+        grads, grad_norm = _clip_by_global_norm(grads, cfg.gradient_clipping_threshold)
+    else:
+        grad_norm = _global_norm(grads)
+
+    new_state = state.apply_gradients(grads=grads)
+    metrics = {
+        "loss": loss,
+        "grad_norm": grad_norm,
+        "param_norm": _global_norm(new_state.params),
+        **{k: v for k, v in aux.items() if k != "total_weights"},
+    }
+    return new_state, metrics
+
+
+def eval_step(model, cfg, state: TrainState, batch, rng):
+    loss, aux = loss_fn(model, cfg, state.params, batch, rng, is_train=False)
+    return {"eval_loss": loss, "eval_total_weights": aux["total_weights"]}
+
+
+def _global_norm(tree) -> jax.Array:
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree.leaves(tree))
+    )
+
+
+def _clip_by_global_norm(grads, max_norm):
+    norm = _global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree.map(lambda g: g * scale, grads), norm
+
+
+def jit_train_step(model, cfg, mesh, state_shardings):
+    data_shard = batch_sharding(mesh)
+    return jax.jit(
+        functools.partial(train_step, model, cfg),
+        in_shardings=(state_shardings, data_shard, NamedSharding(mesh, PartitionSpec())),
+        out_shardings=(state_shardings, NamedSharding(mesh, PartitionSpec())),
+        donate_argnums=(0,),
+    )
+
+
+def create_data_iterator(cfg: Config):
+    if cfg.dataset_type == "synthetic":
+        return SyntheticDataIterator(cfg)
+    if cfg.dataset_type == "emilia_audio":
+        from maxtext_indextts2_tpu.train.data.audio_iterator import (
+            make_emilia_audio_train_iterator,
+        )
+
+        return make_emilia_audio_train_iterator(cfg)
+    if cfg.dataset_type == "hf":
+        from maxtext_indextts2_tpu.train.data.hf_pipeline import make_hf_iterator
+
+        return make_hf_iterator(cfg)
+    raise ValueError(f"unknown dataset_type: {cfg.dataset_type}")
+
+
+def setup_train_loop(cfg: Config, mesh: Mesh | None = None):
+    if mesh is None:
+        mesh = create_device_mesh(cfg)
+    model = Transformer(cfg=cfg, mesh=mesh)
+    rng = jax.random.PRNGKey(cfg.init_weights_seed)
+    state, (state_shardings, schedule) = setup_train_state(cfg, model, mesh, rng)
+    data_iter = create_data_iterator(cfg)
+    return model, mesh, state, state_shardings, schedule, data_iter
+
+
+def train_loop(cfg: Config, mesh: Mesh | None = None) -> dict:
+    """Returns final metrics. Reference: MaxText/train.py:606."""
+    model, mesh, state, state_shardings, schedule, data_iter = setup_train_loop(cfg, mesh)
+    p_train_step = jit_train_step(model, cfg, mesh, state_shardings)
+    data_shard = batch_sharding(mesh)
+
+    logger = MetricLogger(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    step_tflops = flops_lib.training_tflops_per_step(cfg)
+
+    checkpointer = None
+    if cfg.enable_checkpointing:
+        from maxtext_indextts2_tpu.train.checkpointing import CheckpointManager
+
+        checkpointer = CheckpointManager(cfg)
+        restored = checkpointer.maybe_restore(state)
+        if restored is not None:
+            state = restored
+
+    metrics = {}
+    start_step = int(state.step)
+    last_time = time.perf_counter()
+    with mesh:
+        for step in range(start_step, cfg.steps):
+            batch = next(data_iter)
+            batch = jax.tree.map(
+                lambda x: _put_batch(x, data_shard, cfg.global_batch_size_to_train_on), batch
+            )
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = p_train_step(state, batch, step_rng)
+
+            now = time.perf_counter()
+            step_time = now - last_time
+            last_time = now
+            logger.write_step(
+                step,
+                metrics,
+                step_time=step_time,
+                tflops_per_step=step_tflops,
+                tokens_per_step=cfg.global_batch_size_to_train_on * cfg.max_target_length,
+            )
+
+            if checkpointer is not None and (
+                (step + 1) % cfg.checkpoint_period == 0
+                or (cfg.save_final_checkpoint and step == cfg.steps - 1)
+            ):
+                checkpointer.save(step, state)
+
+    if checkpointer is not None:
+        checkpointer.close()
+    logger.close()
+    return jax.tree.map(lambda x: np.asarray(x), metrics)
+
+
+def _put_batch(x, sharding, train_batch):
+    x = jnp.asarray(x)
+    if x.shape[0] != train_batch:  # drop the load/train remainder
+        x = x[:train_batch]
+    return jax.device_put(x, sharding)
+
+
+def main(argv=None):
+    import sys
+
+    cfg = load_config(argv if argv is not None else sys.argv[1:])
+    metrics = train_loop(cfg)
+    print({k: float(v) for k, v in metrics.items()})
+
+
+if __name__ == "__main__":
+    main()
