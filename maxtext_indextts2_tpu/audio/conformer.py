@@ -1,0 +1,161 @@
+"""W2v-BERT-class conformer encoder (JAX/flax).
+
+On-device replacement for the reference's torch semantic encoder
+(reference: input_pipeline/maskgct/semantic_utils.py:11 build_semantic_model
+loads facebook/w2v-bert-2.0 and taps hidden layer 17 at :92). The
+architecture mirrors HF's Wav2Vec2BertModel so converted weights load 1:1:
+
+- feature projection: LayerNorm(160) -> Dense(1024)
+- N conformer layers: 0.5*FFN -> self-attn (Shaw relative_key bias, clip
+  [-64, 8]) -> conv module (pointwise->GLU-> *causal* depthwise k=31 ->
+  LN -> swish -> pointwise) -> 0.5*FFN -> final LN
+- tap at ``output_layer`` (17), normalized by precomputed per-dim mean/std
+  (reference: wav2vec2bert_stats.pt).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ConformerConfig:
+    input_dim: int = 160
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    conv_kernel_size: int = 31
+    left_max_distance: int = 64
+    right_max_distance: int = 8
+    layer_norm_eps: float = 1e-5
+    output_layer: int = 17  # tap layer for semantic features
+    dtype: jnp.dtype = jnp.float32
+
+
+class FeedForward(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, name="intermediate_dense")(x)
+        x = jax.nn.silu(x)
+        x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="output_dense")(x)
+        return x
+
+
+class RelPosSelfAttention(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        h, d = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+        q = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="linear_q")(x).reshape(b, s, h, d)
+        k = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="linear_k")(x).reshape(b, s, h, d)
+        v = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="linear_v")(x).reshape(b, s, h, d)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
+
+        # Shaw relative-position bias, distance clipped to [-left, right]
+        num_pos = cfg.left_max_distance + cfg.right_max_distance + 1
+        dist_emb = self.param(
+            "distance_embedding",
+            nn.initializers.normal(0.02),
+            (num_pos, d),
+            jnp.float32,
+        )
+        dist = jnp.arange(s)[None, :] - jnp.arange(s)[:, None]  # key - query
+        dist = jnp.clip(dist, -cfg.left_max_distance, cfg.right_max_distance)
+        pe = jnp.take(dist_emb, dist + cfg.left_max_distance, axis=0)  # [S,S,d]
+        rel = jnp.einsum("bqhd,qkd->bhqk", q, pe.astype(q.dtype)) / np.sqrt(d)
+        scores = scores + rel
+
+        if pad_mask is not None:
+            scores = jnp.where(pad_mask[:, None, None, :], scores, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, cfg.hidden_size)
+        return nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="linear_out")(out)
+
+
+class ConvModule(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask):
+        cfg = self.cfg
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
+        if pad_mask is not None:
+            x = jnp.where(pad_mask[..., None], x, 0.0)
+        # pointwise conv 1 (-> 2*hidden) + GLU
+        x = nn.Dense(2 * cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
+                     name="pointwise_conv1")(x)
+        a, g = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(g)
+        # causal depthwise conv, kernel 31, left-padded
+        x = jnp.pad(x, ((0, 0), (cfg.conv_kernel_size - 1, 0), (0, 0)))
+        x = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(cfg.conv_kernel_size,),
+            feature_group_count=cfg.hidden_size,
+            padding="VALID",
+            use_bias=False,
+            dtype=cfg.dtype,
+            name="depthwise_conv",
+        )(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="depthwise_layer_norm")(x)
+        x = jax.nn.silu(x)
+        x = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
+                     name="pointwise_conv2")(x)
+        return x
+
+
+class ConformerLayer(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name)
+        x = x + 0.5 * FeedForward(cfg, name="ffn1")(ln("ffn1_layer_norm")(x))
+        x = x + RelPosSelfAttention(cfg, name="self_attn")(ln("self_attn_layer_norm")(x), pad_mask)
+        x = x + ConvModule(cfg, name="conv_module")(x, pad_mask)
+        x = x + 0.5 * FeedForward(cfg, name="ffn2")(ln("ffn2_layer_norm")(x))
+        return ln("final_layer_norm")(x)
+
+
+class ConformerEncoder(nn.Module):
+    """Returns all hidden states; the semantic tap selects one layer."""
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, feats, pad_mask=None, output_layer: int | None = None):
+        cfg = self.cfg
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="fp_layer_norm")(feats)
+        x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fp_projection")(x)
+        n = output_layer if output_layer is not None else cfg.output_layer
+        for i in range(min(n, cfg.num_layers)):
+            x = ConformerLayer(cfg, name=f"layers_{i}")(x, pad_mask)
+        return x
+
+
+class SemanticEncoder(nn.Module):
+    """w2v-bert tap + precomputed mean/std normalization
+    (reference: semantic_utils.py:72 extract_semantic_code)."""
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, feats, pad_mask=None):
+        x = ConformerEncoder(self.cfg, name="encoder")(feats, pad_mask)
+        mean = self.param("stat_mean", nn.initializers.zeros, (self.cfg.hidden_size,), jnp.float32)
+        std = self.param("stat_std", nn.initializers.ones, (self.cfg.hidden_size,), jnp.float32)
+        return (x - mean) / jnp.maximum(std, 1e-6)

@@ -1,0 +1,392 @@
+"""MaskGCT semantic->acoustic (S2A) masked generative transformer, in JAX.
+
+Counterpart of reference maskgct/s2a/maskgct_s2a.py (MaskGCT_S2A:35,
+forward_diffusion:186, compute_loss:272, reverse_diffusion:318) and
+llama_nar.py (DiffLlama:130, LlamaAdaptiveRMSNorm:35, SinusoidalPosEmb:20).
+
+TPU-first design notes:
+- The iterative sampler is FULLY jit-compatible: per-layer step schedules are
+  static python ints, so the confidence-re-masking counts
+  (sin-schedule * seq_len) are static top-k sizes — no data-dependent shapes
+  (the reference's sampler breaks out of python loops on tensor values and
+  cannot be compiled).
+- Per-quantizer embeddings/heads are stacked [Q, ...] arrays indexed by layer
+  instead of Q separate modules — one HBM buffer, gather instead of python
+  dispatch, and the layer loop stays unrolled (Q=12 is small).
+- The denoiser is a non-causal llama block stack with adaptive RMSNorm
+  conditioned on the diffusion timestep; attention runs through the shared
+  flash kernel (causal=False) on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class S2AConfig:
+    num_quantizers: int = 12
+    hidden_size: int = 1024
+    num_layers: int = 16
+    num_heads: int = 16
+    codebook_size: int = 1024
+    cond_codebook_size: int = 8192
+    cfg_dropout: float = 0.15  # reference cfg_scale (train-time cond dropout)
+    mask_layer_schedule: str = "cosine"
+    predict_layer_1: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+
+def sinusoidal_time_emb(t: jax.Array, dim: int) -> jax.Array:
+    """[B] in [0,1] -> [B, dim] (reference: llama_nar.py:20)."""
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half) * (-math.log(10000.0) / (half - 1)))
+    ang = t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class AdaptiveRMSNorm(nn.Module):
+    """RMSNorm with scale predicted from a conditioning vector
+    (reference: llama_nar.py:35 — zero-init weight, ones bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, cond):
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        normed = x * jax.lax.rsqrt(var + 1e-6).astype(x.dtype)
+        weight = nn.Dense(
+            self.dim,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.ones,
+            name="to_weight",
+        )(cond)
+        if weight.ndim == 2:
+            weight = weight[:, None, :]
+        return normed * weight.astype(x.dtype)
+
+
+class NARBlock(nn.Module):
+    cfg: S2AConfig
+
+    @nn.compact
+    def __call__(self, x, t_cond, pad_mask):
+        cfg = self.cfg
+        h = AdaptiveRMSNorm(cfg.hidden_size, name="input_norm")(x, t_cond)
+        h = _self_attention(h, pad_mask, cfg)
+        x = x + h
+        h = AdaptiveRMSNorm(cfg.hidden_size, name="post_attn_norm")(x, t_cond)
+        h = _swiglu_mlp(h, cfg)
+        return x + h
+
+
+def _self_attention(x, pad_mask, cfg: S2AConfig):
+    b, s, _ = x.shape
+    n, d = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+    qkv = nn.Dense(3 * cfg.hidden_size, use_bias=False, name="qkv")(x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, s, n, d)
+    k = k.reshape(b, s, n, d)
+    v = v.reshape(b, s, n, d)
+
+    from maxtext_indextts2_tpu.models.rope import apply_rope, rope_frequencies
+
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    inv = rope_frequencies(d)
+    q = apply_rope(q, pos, inv, interleave=True)
+    k = apply_rope(k, pos, inv, interleave=True)
+
+    if jax.default_backend() == "tpu" and s >= 512 and s % 256 == 0:
+        from maxtext_indextts2_tpu.ops.flash_attention import flash_attention
+
+        seg = pad_mask.astype(jnp.int32)
+        o = flash_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+            pos, pos, seg, seg, False, 0, 0, 0.0, None, 256, 256,
+        )
+        o = jnp.swapaxes(o, 1, 2).reshape(b, s, cfg.hidden_size)
+    else:
+        from maxtext_indextts2_tpu.models.attention import dot_product_attention
+
+        mask = (pad_mask[:, None, None, :] > 0)
+        o = dot_product_attention(q, k, v, mask).reshape(b, s, cfg.hidden_size)
+    return nn.Dense(cfg.hidden_size, use_bias=False, name="out")(o)
+
+
+def _swiglu_mlp(x, cfg: S2AConfig):
+    inner = cfg.hidden_size * 4
+    g = nn.Dense(inner, use_bias=False, name="gate")(x)
+    u = nn.Dense(inner, use_bias=False, name="up")(x)
+    return nn.Dense(cfg.hidden_size, use_bias=False, name="down")(jax.nn.silu(g) * u)
+
+
+class NARDenoiser(nn.Module):
+    """Non-causal llama-style denoiser (reference DiffLlama)."""
+
+    cfg: S2AConfig
+
+    @nn.compact
+    def __call__(self, x, t, cond, pad_mask):
+        cfg = self.cfg
+        cond_emb = nn.Sequential(
+            [nn.Dense(cfg.hidden_size * 4, name="c0"), jax.nn.silu,
+             nn.Dense(cfg.hidden_size, name="c1")], name="cond_mlp",
+        )(cond)
+        t_emb = sinusoidal_time_emb(t, cfg.hidden_size)
+        t_cond = nn.Sequential(
+            [nn.Dense(cfg.hidden_size * 4, name="t0"), jax.nn.silu,
+             nn.Dense(cfg.hidden_size, name="t1")], name="diff_step_mlp",
+        )(t_emb)
+
+        x = x + cond_emb
+        for i in range(cfg.num_layers):
+            x = NARBlock(cfg, name=f"layers_{i}")(x, t_cond, pad_mask)
+        return AdaptiveRMSNorm(cfg.hidden_size, name="final_norm")(x, t_cond)
+
+
+def mask_prob_schedule(t):
+    """sin mask schedule (reference maskgct_s2a.py:139)."""
+    return jnp.sin(t * jnp.pi / 2)
+
+
+def _layer_weights(cfg: S2AConfig) -> np.ndarray:
+    q = cfg.num_quantizers
+    lo = 0 if cfg.predict_layer_1 else 1
+    if cfg.mask_layer_schedule == "uniform":
+        w = np.ones(q)
+    elif cfg.mask_layer_schedule == "cosine":
+        w = np.array([np.cos((i - lo) / q * np.pi / 2) for i in range(q)])
+    else:  # linear
+        w = np.array([q - (i - lo) for i in range(q)], dtype=np.float64)
+    if lo == 1:
+        w[0] = 0.0
+    return (w / w.sum()).astype(np.float32)
+
+
+class S2AModel(nn.Module):
+    cfg: S2AConfig
+
+    def setup(self):
+        cfg = self.cfg
+        init = nn.initializers.normal(0.02)
+        self.layer_emb = self.param(
+            "layer_emb", init, (cfg.num_quantizers, cfg.hidden_size), jnp.float32)
+        self.mask_emb = self.param("mask_emb", init, (cfg.hidden_size,), jnp.float32)
+        self.token_emb = self.param(
+            "token_emb", init,
+            (cfg.num_quantizers, cfg.codebook_size, cfg.hidden_size), jnp.float32)
+        self.to_logits_w = self.param(
+            "to_logits_w", init,
+            (cfg.num_quantizers, cfg.hidden_size, cfg.codebook_size), jnp.float32)
+        self.to_logits_b = self.param(
+            "to_logits_b", nn.initializers.zeros,
+            (cfg.num_quantizers, cfg.codebook_size), jnp.float32)
+        self.cond_emb = self.param(
+            "cond_emb", init, (cfg.cond_codebook_size, cfg.hidden_size), jnp.float32)
+        self.denoiser = NARDenoiser(cfg, name="denoiser")
+
+    # -------------------------------------------------------------- helpers
+    def embed_tokens_upto(self, x0, n_layers: int):
+        """sum_l token_emb[l][x0[..., l]] for l < n_layers. x0: [B,T,Q]."""
+        out = 0.0
+        for l in range(n_layers):
+            out = out + jnp.take(self.token_emb[l], x0[..., l], axis=0)
+        return out
+
+    # ---------------------------------------------------------------- train
+    def compute_loss(self, x0, x_mask, cond_code, rng):
+        """x0: [B,T,Q] acoustic codes; x_mask: [B,T]; cond_code: [B,T] semantic.
+
+        Returns (loss, aux). Reference: compute_loss:272 + forward_diffusion:186.
+        """
+        cfg = self.cfg
+        b, tlen, q = x0.shape
+        r_t, r_layer, r_mask, r_prompt, r_drop, r_plen = jax.random.split(rng, 6)
+
+        t = jnp.clip(jax.random.uniform(r_t, (b,)), 1e-5, 1.0)
+        mask_layer = jax.random.choice(
+            r_layer, cfg.num_quantizers, p=jnp.asarray(_layer_weights(cfg))
+        )
+        mprob = mask_prob_schedule(t)
+
+        # CFG prompt dropout: with prob cfg_dropout keep NO prompt
+        use_prompt = jax.random.uniform(r_drop, ()) > cfg.cfg_dropout
+        plen = jax.random.randint(
+            r_plen, (b,), jnp.minimum(tlen // 4, 5), jnp.maximum(tlen // 2, 6)
+        )
+        plen = jnp.where(use_prompt, plen, 0)
+        is_prompt = jnp.arange(tlen)[None, :] < plen[:, None]  # [B,T]
+
+        mask = jax.random.bernoulli(r_mask, mprob[:, None], (b, tlen))
+        mask = jnp.where(is_prompt, False, mask)
+        # ensure at least one masked position per row
+        none_masked = jnp.sum(mask, axis=1) == 0
+        force = jnp.arange(tlen)[None, :] == plen[:, None]
+        mask = jnp.where(none_masked[:, None] & force, True, mask)
+
+        # assemble xt: layers < mask_layer revealed; == mask_layer partially
+        # masked; > mask_layer all mask tokens (prompt positions revealed)
+        layer_ids = jnp.arange(q)
+        below = (layer_ids < mask_layer)[None, None, :]  # [1,1,Q]
+        at = (layer_ids == mask_layer)[None, None, :]
+        token_embs = jnp.stack(
+            [jnp.take(self.token_emb[l], x0[..., l], axis=0) for l in range(q)], axis=2
+        )  # [B,T,Q,H]
+        m = mask[:, :, None]
+        reveal_at = jnp.where(m, 0.0, 1.0)[..., None]  # [B,T,1,1]
+        prompt_reveal = is_prompt[:, :, None, None].astype(jnp.float32)
+        w_below = below[..., None].astype(jnp.float32)
+        w_at = at[..., None].astype(jnp.float32) * jnp.where(
+            m[..., None], 0.0, 1.0
+        )
+        w_above = (layer_ids > mask_layer)[None, None, :, None].astype(jnp.float32) * prompt_reveal
+        contrib = token_embs * (w_below + w_at + w_above)
+        xt = jnp.sum(contrib, axis=2)
+        n_masked_embs = (
+            at[..., 0].astype(jnp.float32) * mask[:, :, None].astype(jnp.float32)
+        ).sum(-1) + (
+            (layer_ids > mask_layer)[None, None, :].astype(jnp.float32)
+            * (1.0 - prompt_reveal[..., 0])
+        ).sum(-1)
+        xt = xt + n_masked_embs[..., None] * self.mask_emb
+
+        cond = jnp.take(self.cond_emb, cond_code, axis=0)
+        cond = cond + self.layer_emb[mask_layer][None, None, :]
+
+        embeds = self.denoiser(xt.astype(cfg.dtype), t, cond.astype(cfg.dtype), x_mask)
+        logits = (
+            embeds.astype(jnp.float32) @ self.to_logits_w[mask_layer]
+            + self.to_logits_b[mask_layer]
+        )
+
+        final_mask = mask & (x_mask > 0)
+        targets = jnp.take_along_axis(
+            x0, jnp.full((b, tlen, 1), mask_layer, jnp.int32), axis=-1
+        )[..., 0]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        denom = jnp.maximum(jnp.sum(final_mask), 1.0)
+        loss = jnp.sum(jnp.where(final_mask, nll, 0.0)) / denom
+        return loss, {"mask_layer": mask_layer, "masked_tokens": denom}
+
+    # ------------------------------------------------------------- sampling
+    def reverse_diffusion(
+        self,
+        cond_code,  # [B, P+T] semantic tokens (prompt-aligned + target)
+        prompt_code,  # [B, P, Q] acoustic codes of the prompt
+        rng,
+        n_timesteps=(10, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4),
+        temperature: float = 1.5,
+        filter_thres: float = 0.98,
+        cfg: float = 1.0,
+        rescale_cfg: float = 1.0,
+    ):
+        """Iterative per-layer confidence unmasking. Returns [B, T, Q].
+
+        All step counts and re-mask sizes are static — compiles to one XLA
+        program. Reference: reverse_diffusion:318.
+        """
+        c = self.cfg
+        b, p, q = prompt_code.shape
+        total = cond_code.shape[1]
+        tlen = total - p
+        assert len(n_timesteps) == c.num_quantizers
+
+        cond_full = jnp.take(self.cond_emb, cond_code, axis=0)  # [B,P+T,H]
+        prompt_sum = self.embed_tokens_upto_stacked(prompt_code)  # [B,P,H]
+        x_mask = jnp.ones((b, tlen), jnp.int32)
+        full_mask = jnp.ones((b, total), jnp.int32)
+
+        cum = jnp.zeros((b, tlen, c.hidden_size), jnp.float32)
+        out_layers = []
+        topk_keep = max(1, int((1.0 - filter_thres) * c.codebook_size))
+
+        for layer in range(c.num_quantizers):
+            steps = n_timesteps[layer]
+            layer_cond_full = cond_full + self.layer_emb[layer][None, None, :]
+            layer_cond_tgt = layer_cond_full[:, p:]
+            seq = jnp.zeros((b, tlen), jnp.int32)
+            mask = jnp.ones((b, tlen), bool)
+            t_list = [1.0 - i / steps for i in range(steps)] + [0.0]
+
+            for i in range(steps):
+                rng, r_samp, r_choice = jax.random.split(rng, 3)
+                t = jnp.full((b,), t_list[i], jnp.float32)
+                token = jnp.take(self.token_emb[layer], seq, axis=0)
+                cur = cum + jnp.where(mask[..., None], self.mask_emb, token)
+                cur = cur + self.mask_emb * (c.num_quantizers - 1 - layer)
+
+                xt_input = cur if p == 0 else jnp.concatenate([prompt_sum, cur], axis=1)
+                embeds = self.denoiser(
+                    xt_input.astype(c.dtype), t, layer_cond_full.astype(c.dtype), full_mask
+                )[:, p:]
+                if cfg > 0 and p > 0:
+                    uncond = self.denoiser(
+                        cur.astype(c.dtype), t, layer_cond_tgt.astype(c.dtype), x_mask
+                    )
+                    std_pos = jnp.std(embeds)
+                    guided = embeds + cfg * (embeds - uncond)
+                    rescaled = guided * std_pos / jnp.maximum(jnp.std(guided), 1e-6)
+                    embeds = rescale_cfg * rescaled + (1 - rescale_cfg) * guided
+
+                logits = (
+                    embeds.astype(jnp.float32) @ self.to_logits_w[layer]
+                    + self.to_logits_b[layer]
+                )
+                # top-k filter (keep top (1-thres) fraction)
+                kth = jax.lax.top_k(logits, topk_keep)[0][..., -1:]
+                logits = jnp.where(logits < kth, -1e9, logits)
+
+                anneal = t_list[i]
+                temp = max(temperature * anneal, 1e-3)
+                if i == steps - 1 and steps > 1:
+                    sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                else:
+                    if i == steps - 1:
+                        temp = 0.2
+                    g = -jnp.log(-jnp.log(
+                        jax.random.uniform(r_samp, logits.shape, minval=1e-9, maxval=1.0)
+                    ))
+                    sampled = jnp.argmax(logits / temp + g, axis=-1).astype(jnp.int32)
+
+                seq = jnp.where(mask, sampled, seq)
+
+                next_mask_num = int(
+                    float(np.sin(t_list[i + 1] * np.pi / 2)) * tlen
+                )
+                if next_mask_num == 0:
+                    break
+
+                probs = jax.nn.softmax(logits, axis=-1)
+                conf = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
+                gn = -jnp.log(-jnp.log(
+                    jax.random.uniform(r_choice, conf.shape, minval=1e-9, maxval=1.0)
+                ))
+                scores = (1.0 - conf) + (1.0 * anneal) * gn
+                scores = jnp.where(mask, scores, -jnp.inf)
+                _, remask_idx = jax.lax.top_k(scores, next_mask_num)
+                mask = jnp.zeros_like(mask).at[
+                    jnp.arange(b)[:, None], remask_idx
+                ].set(True)
+                seq = jnp.where(mask, 0, seq)
+
+            cum = cum + jnp.take(self.token_emb[layer], seq, axis=0)
+            out_layers.append(seq)
+
+        return jnp.stack(out_layers, axis=-1)  # [B, T, Q]
+
+    def embed_tokens_upto_stacked(self, codes):
+        """codes [B,P,Q] -> summed embeddings [B,P,H]."""
+        out = 0.0
+        for l in range(self.cfg.num_quantizers):
+            out = out + jnp.take(self.token_emb[l], codes[..., l], axis=0)
+        return out
+
+    def __call__(self, x0, x_mask, cond_code, rng):
+        return self.compute_loss(x0, x_mask, cond_code, rng)

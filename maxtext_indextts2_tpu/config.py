@@ -77,6 +77,7 @@ class Config:
     chunk_attn_window_size: int = 0  # chunked causal attention (0 = off)
     attention_type: str = "global"  # global | local_sliding | chunk
     attention: str = "autoselected"  # autoselected | dot_product | flash | ragged
+    flash_block_sizes: tuple[int, ...] = (512, 512)  # (block_q, block_kv)
     dropout_rate: float = 0.0
     gradient_clipping_threshold: float = 1.0
 

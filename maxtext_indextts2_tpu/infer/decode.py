@@ -1,0 +1,41 @@
+"""Batch-decode CLI (reference: MaxText/decode.py).
+
+Run: ``python -m maxtext_indextts2_tpu.infer.decode <cfg.yml> key=value ...``
+Decodes ``prompt`` (comma-separated token ids, or text when a tokenizer is
+configured) for ``max_new_tokens`` tokens and prints the result.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from maxtext_indextts2_tpu.config import load_config
+from maxtext_indextts2_tpu.infer.engine import Engine
+
+
+def main(argv=None, prompt_ids=None, max_new_tokens: int = 16):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    extra = [a for a in argv if a.startswith(("prompt=", "max_new_tokens="))]
+    argv = [a for a in argv if a not in extra]
+    for a in extra:
+        k, _, v = a.partition("=")
+        if k == "prompt":
+            prompt_ids = np.array([int(t) for t in v.split(",")], np.int32)
+        else:
+            max_new_tokens = int(v)
+    cfg = load_config(argv)
+    if prompt_ids is None:
+        prompt_ids = np.arange(1, 9, dtype=np.int32)
+
+    engine = Engine(cfg)
+    engine.load_params()
+    out = engine.generate_stream(prompt_ids, max_new_tokens)
+    print("prompt:", prompt_ids.tolist())
+    print("completion:", out)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Inference engine: prefill / insert / generate continuous-batching slots.
+
+TPU-native counterpart of the reference's MaxEngine
+(MaxText/maxengine.py:100: prefill:533, insert:1166, generate:838,
+init_decode_state:1370). All three phases are separate jitted programs with
+donated decode state; the decode state is a pytree:
+
+    {"cache": <per-layer KV pytree, batch dim = num_slots>,
+     "tokens": [slots] int32 last sampled token,
+     "pos": [slots] int32 next position,
+     "active": [slots] bool}
+
+Slot semantics: `prefill` runs the model over one prompt (padded to a
+bucket), returning a prefix (cache with batch=1 + first token); `insert`
+copies that prefix into slot i of the decode state; `generate` advances every
+active slot one token. This is exactly the JetStream-style engine loop the
+reference serves with, minus the gRPC scaffolding (see infer/server.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
+
+from maxtext_indextts2_tpu.config import Config
+from maxtext_indextts2_tpu.infer.sampling import sample_tokens
+from maxtext_indextts2_tpu.models import (
+    MODE_AUTOREGRESSIVE,
+    MODE_PREFILL,
+    Transformer,
+)
+from maxtext_indextts2_tpu.parallel import create_device_mesh, resolve, tree_logical_to_sharding
+
+
+class Engine:
+    def __init__(self, cfg: Config, mesh=None, model: Transformer | None = None, params=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else create_device_mesh(cfg)
+        self.model = model or Transformer(cfg=cfg, mesh=self.mesh)
+        self.params = params
+        self.num_slots = int(cfg.per_device_batch_size * cfg.num_devices)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self._p_prefill = None
+        self._p_generate = None
+        self._p_insert = None
+
+    # ------------------------------------------------------------- params
+    def load_params(self, path: str | None = None):
+        """Restore params-only checkpoint, or random-init when absent."""
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.init_weights_seed)
+        dummy = jnp.zeros((1, cfg.max_prefill_predict_length), jnp.int32)
+
+        def init_fn(rng):
+            return self.model.init(rng, dummy, dummy, dummy)["params"]
+
+        import flax.linen as nn
+
+        abstract = jax.eval_shape(init_fn, rng)
+        shardings = tree_logical_to_sharding(nn.get_partition_spec(abstract), self.mesh)
+        path = path or cfg.load_parameters_path
+        if path:
+            from maxtext_indextts2_tpu.train.checkpointing import load_params_only
+
+            abstract_unboxed = nn.meta.unbox(abstract)
+            target = jax.tree.map(
+                lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+                abstract_unboxed,
+                nn.meta.unbox(shardings),
+            )
+            self.params = load_params_only(path, target)
+        else:
+            with self.mesh:
+                self.params = nn.meta.unbox(
+                    jax.jit(init_fn, out_shardings=shardings)(rng)
+                )
+        return self.params
+
+    # ------------------------------------------------------------- prefill
+    def _prefill_impl(self, params, tokens, true_length, rng):
+        """tokens: [1, P] padded prompt; true_length: [1]."""
+        cfg = self.cfg
+        p = tokens.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32)[None, :], tokens.shape)
+        segs = (jnp.arange(p, dtype=jnp.int32)[None, :] < true_length[:, None]).astype(jnp.int32)
+        logits, vars_ = self.model.apply(
+            {"params": params},
+            tokens,
+            positions,
+            segs,
+            mode=MODE_PREFILL,
+            mutable=["cache"],
+        )
+        last = jnp.take_along_axis(
+            logits, (true_length - 1)[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]  # [1, V]
+        first_token = sample_tokens(
+            last, rng, cfg.decode_sampling_strategy,
+            cfg.decode_sampling_temperature, cfg.decode_sampling_top_k,
+            cfg.decode_sampling_nucleus_p,
+        )
+        prefix = {
+            "cache": vars_["cache"],
+            "token": first_token,
+            "pos": true_length,
+            "logits": last,
+        }
+        return prefix, first_token
+
+    def prefill(self, tokens: np.ndarray, true_length: int):
+        """Host API: pad to the prefill bucket and run the jitted prefill."""
+        cfg = self.cfg
+        if self._p_prefill is None:
+            self._p_prefill = jax.jit(self._prefill_impl)
+        p = cfg.max_prefill_predict_length
+        padded = np.zeros((1, p), np.int32)
+        padded[0, :true_length] = tokens[:true_length]
+        self.rng, rng = jax.random.split(self.rng)
+        with self.mesh:
+            return self._p_prefill(
+                self.params, jnp.asarray(padded), jnp.asarray([true_length], jnp.int32), rng
+            )
+
+    # ------------------------------------------------------- decode state
+    def init_decode_state(self):
+        cfg = self.cfg
+        slots = self.num_slots
+
+        def init_fn():
+            dummy = jnp.zeros((slots, 1), jnp.int32)
+            _, vars_ = self.model.apply(
+                {"params": self.params},
+                dummy,
+                dummy,
+                jnp.ones((slots, 1), jnp.int32),
+                mode=MODE_AUTOREGRESSIVE,
+                mutable=["cache"],
+            )
+            cache = jax.tree.map(jnp.zeros_like, vars_["cache"])
+            return {
+                "cache": cache,
+                "tokens": jnp.zeros((slots,), jnp.int32),
+                "pos": jnp.zeros((slots,), jnp.int32),
+                "active": jnp.zeros((slots,), jnp.bool_),
+            }
+
+        with self.mesh:
+            return jax.jit(init_fn)()
+
+    # ------------------------------------------------------------- insert
+    @staticmethod
+    def _insert_leaf(full, pre, slot):
+        """Write prefix leaf (batch=1) into `slot` along the slot axis of the
+        decode leaf; works for scanned ([L, B, ...]) and unscanned ([B, ...])
+        cache layouts by locating the axis where shapes differ."""
+        if full.shape == pre.shape:
+            return full
+        axis = next(
+            i for i, (a, b) in enumerate(zip(full.shape, pre.shape)) if a != b
+        )
+        start = [0] * full.ndim
+        start[axis] = slot
+        return jax.lax.dynamic_update_slice(full, pre.astype(full.dtype), tuple(start))
+
+    def _insert_impl(self, decode_state, prefix, slot):
+        cache = jax.tree.map(
+            lambda full, pre: self._insert_leaf(full, pre, slot),
+            decode_state["cache"],
+            prefix["cache"],
+        )
+        return {
+            "cache": cache,
+            "tokens": jax.lax.dynamic_update_index_in_dim(
+                decode_state["tokens"], prefix["token"][0], slot, 0
+            ),
+            "pos": jax.lax.dynamic_update_index_in_dim(
+                decode_state["pos"], prefix["pos"][0], slot, 0
+            ),
+            "active": jax.lax.dynamic_update_index_in_dim(
+                decode_state["active"], True, slot, 0
+            ),
+        }
+
+    def insert(self, prefix, decode_state, slot: int):
+        if self._p_insert is None:
+            self._p_insert = jax.jit(self._insert_impl, donate_argnums=(0,))
+        with self.mesh:
+            return self._p_insert(decode_state, prefix, jnp.asarray(slot, jnp.int32))
+
+    # ------------------------------------------------------------ generate
+    def _generate_impl(self, params, decode_state, rng):
+        cfg = self.cfg
+        tokens = decode_state["tokens"][:, None]
+        pos = decode_state["pos"][:, None]
+        logits, vars_ = self.model.apply(
+            {"params": params, "cache": decode_state["cache"]},
+            tokens,
+            pos,
+            jnp.ones_like(tokens),
+            mode=MODE_AUTOREGRESSIVE,
+            mutable=["cache"],
+        )
+        new_tokens = sample_tokens(
+            logits[:, 0], rng, cfg.decode_sampling_strategy,
+            cfg.decode_sampling_temperature, cfg.decode_sampling_top_k,
+            cfg.decode_sampling_nucleus_p,
+        )
+        active = decode_state["active"]
+        new_state = {
+            "cache": vars_["cache"],
+            "tokens": jnp.where(active, new_tokens, decode_state["tokens"]),
+            "pos": decode_state["pos"] + active.astype(jnp.int32),
+            "active": active,
+        }
+        return new_state, new_tokens
+
+    def generate(self, decode_state):
+        if self._p_generate is None:
+            self._p_generate = jax.jit(self._generate_impl, donate_argnums=(1,))
+        self.rng, rng = jax.random.split(self.rng)
+        with self.mesh:
+            return self._p_generate(self.params, decode_state, rng)
+
+    # --------------------------------------------------------- convenience
+    def generate_stream(self, prompt_tokens: np.ndarray, max_new_tokens: int):
+        """Single-stream decode helper: prefill -> insert(0) -> generate loop."""
+        prefix, first = self.prefill(prompt_tokens, len(prompt_tokens))
+        state = self.init_decode_state()
+        state = self.insert(prefix, state, 0)
+        out = [int(np.asarray(first)[0])]
+        for _ in range(max_new_tokens - 1):
+            state, toks = self.generate(state)
+            out.append(int(np.asarray(toks)[0]))
+        return out

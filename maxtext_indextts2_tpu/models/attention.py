@@ -90,7 +90,7 @@ def dot_product_attention(
         logits = jnp.where(mask[:, :, None, :, :], logits, DEFAULT_MASK_VALUE)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v, preferred_element_type=jnp.float32)
-    return out.reshape(b, sq, nq, d).astype(v.dtype)
+    return out.reshape(b, sq, nq, v.shape[-1]).astype(v.dtype)  # v head dim may differ (MLA)
 
 
 class KVCache(nn.Module):
@@ -104,35 +104,36 @@ class KVCache(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def update(self, k: jax.Array, v: jax.Array, mode: str):
+    def update(self, k: jax.Array, v: jax.Array, mode: str, true_lengths=None):
+        """true_lengths: [B] int32 — actual prompt length per row in prefill
+        (defaults to the full prefill width). cache_index is per-slot so a
+        continuous-batching engine can hold slots at different positions."""
         b = k.shape[0]
         shape = (b, self.max_length, self.num_kv_heads, self.head_dim)
         ck = self.variable("cache", "cached_key", jnp.zeros, shape, self.dtype)
         cv = self.variable("cache", "cached_value", jnp.zeros, shape, self.dtype)
-        idx = self.variable("cache", "cache_index", lambda: jnp.zeros((), jnp.int32))
+        idx = self.variable("cache", "cache_index", jnp.zeros, (b,), jnp.int32)
         seg = self.variable(
             "cache", "cached_segment_ids", jnp.zeros, (b, self.max_length), jnp.int32
         )
 
         if mode == MODE_PREFILL:
             prefill_len = k.shape[1]
+            if true_lengths is None:
+                true_lengths = jnp.full((b,), prefill_len, jnp.int32)
             ck.value = jax.lax.dynamic_update_slice(ck.value, k.astype(self.dtype), (0, 0, 0, 0))
             cv.value = jax.lax.dynamic_update_slice(cv.value, v.astype(self.dtype), (0, 0, 0, 0))
-            seg.value = jax.lax.dynamic_update_slice(
-                seg.value, jnp.ones((b, prefill_len), jnp.int32), (0, 0)
-            )
-            idx.value = jnp.asarray(prefill_len, jnp.int32)
-        else:  # autoregressive: k,v are [B, 1, N, D]
-            pos = idx.value
-            ck.value = jax.lax.dynamic_update_slice(
-                ck.value, k.astype(self.dtype), (0, pos, 0, 0)
-            )
-            cv.value = jax.lax.dynamic_update_slice(
-                cv.value, v.astype(self.dtype), (0, pos, 0, 0)
-            )
-            seg.value = jax.lax.dynamic_update_slice(
-                seg.value, jnp.ones((b, 1), jnp.int32), (0, pos)
-            )
+            valid = (
+                jnp.arange(self.max_length, dtype=jnp.int32)[None, :] < true_lengths[:, None]
+            ).astype(jnp.int32)
+            seg.value = valid
+            idx.value = true_lengths.astype(jnp.int32)
+        else:  # autoregressive: k,v are [B, 1, N, D]; per-slot write position
+            pos = idx.value  # [B]
+            rows = jnp.arange(b)
+            ck.value = ck.value.at[rows, pos].set(k[:, 0].astype(self.dtype))
+            cv.value = cv.value.at[rows, pos].set(v[:, 0].astype(self.dtype))
+            seg.value = seg.value.at[rows, pos].set(1)
             idx.value = pos + 1
 
         ck.value = shard(ck.value, "cache_batch", "cache_sequence", "cache_heads", "cache_kv")
@@ -250,6 +251,7 @@ class Attention(nn.Module):
 
         if mode == MODE_TRAIN:
             out = self._train_attention(q, k, v, positions, segment_ids)
+            out = out.astype(self.dtype)
         else:
             cache = KVCache(
                 max_length=self.max_target_length,
@@ -258,7 +260,10 @@ class Attention(nn.Module):
                 dtype=self.dtype,
                 name="kv_cache",
             )
-            ck, cv, cseg, cidx = cache.update(k, v, mode)
+            true_lengths = None
+            if mode == MODE_PREFILL and segment_ids is not None:
+                true_lengths = jnp.sum((segment_ids != 0).astype(jnp.int32), axis=1)
+            ck, cv, cseg, cidx = cache.update(k, v, mode, true_lengths)
             if mode == MODE_PREFILL:
                 # attend only within the prefill segment
                 mask = make_attention_mask(
@@ -278,12 +283,13 @@ class Attention(nn.Module):
                     jnp.arange(self.max_target_length, dtype=jnp.int32)[None, :],
                     (q.shape[0], self.max_target_length),
                 )
-                valid = kv_positions < cidx
+                nxt = cidx[:, None]  # [B,1] next write position; query sits at nxt-1
+                valid = kv_positions < nxt
                 if self.sliding_window_size > 0:
-                    valid &= kv_positions > (cidx - 1) - self.sliding_window_size
+                    valid &= kv_positions > (nxt - 1) - self.sliding_window_size
                 if self.chunk_attn_window_size > 0:
                     valid &= (kv_positions // self.chunk_attn_window_size) == (
-                        (cidx - 1) // self.chunk_attn_window_size
+                        (nxt - 1) // self.chunk_attn_window_size
                     )
                 valid &= cseg > 0
                 mask = valid[:, None, None, :]
@@ -317,6 +323,7 @@ class Attention(nn.Module):
                 v,
                 segment_ids,
                 mesh=self.mesh,
+                positions=positions,
                 causal=True,
                 sliding_window=self.sliding_window_size,
                 chunk_size=self.chunk_attn_window_size,

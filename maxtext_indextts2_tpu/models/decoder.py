@@ -52,6 +52,7 @@ def _attention_kwargs(cfg: Config, block, mesh, attention_type: str) -> dict[str
         normalization_layer_epsilon=cfg.normalization_layer_epsilon,
         use_bias=block.use_attn_bias,
         matmul_precision=cfg.matmul_precision,
+        flash_block_sizes=tuple(cfg.flash_block_sizes),
         context_parallelism=cfg.ici_context_parallelism,
         load_balanced_context_parallel=cfg.context_parallel_load_balance,
         mesh=mesh,
@@ -95,10 +96,17 @@ class DecoderLayer(nn.Module):
 
         # ---- attention sublayer
         h = norm(name=f"pre_self_attention_norm_{idx}")(x) if block.use_pre_norm else x
-        attn_out = Attention(
-            **_attention_kwargs(cfg, block, self.mesh, attention_type),
-            name=f"self_attention_{idx}",
-        )(h, h, positions, segment_ids, mode=mode, deterministic=deterministic)
+        if block.use_mla:
+            from maxtext_indextts2_tpu.models.mla import MLAttention
+
+            attn_out = MLAttention(cfg=cfg, mesh=self.mesh, name=f"self_attention_{idx}")(
+                h, positions, segment_ids, mode=mode, deterministic=deterministic
+            )
+        else:
+            attn_out = Attention(
+                **_attention_kwargs(cfg, block, self.mesh, attention_type),
+                name=f"self_attention_{idx}",
+            )(h, h, positions, segment_ids, mode=mode, deterministic=deterministic)
         if block.use_post_attn_norm:
             attn_out = norm(name=f"post_self_attention_norm_{idx}")(attn_out)
         x = x + attn_out

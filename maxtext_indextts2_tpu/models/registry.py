@@ -26,6 +26,7 @@ class BlockStyle:
     query_pre_attn_scalar: float | None = None
     use_attn_bias: bool = False
     use_mlp_bias: bool = False
+    use_mla: bool = False  # DeepSeek multi-head latent attention
 
 
 BLOCK_STYLES: dict[str, BlockStyle] = {
@@ -53,7 +54,7 @@ BLOCK_STYLES: dict[str, BlockStyle] = {
         scale_embedding=True,
         use_qk_norm=True,
     ),
-    "deepseek": BlockStyle(),
+    "deepseek": BlockStyle(use_mla=True),
     "tts": BlockStyle(use_qk_norm=True),  # flagship audio-LM decoder style
 }
 

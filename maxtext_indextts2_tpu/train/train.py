@@ -231,6 +231,20 @@ def train_loop(cfg: Config, mesh: Mesh | None = None) -> dict:
     rng = jax.random.PRNGKey(cfg.seed)
     step_tflops = flops_lib.training_tflops_per_step(cfg)
 
+    # Context parallelism: apply the load-balanced causal reorder to every
+    # sequence-shaped field so each context shard does equal work
+    # (reference: MaxText/train.py:548-552 + max_utils.py:788).
+    cp = cfg.ici_context_parallelism * cfg.dcn_context_parallelism
+    reorder = None
+    if cp > 1 and cfg.context_parallel_load_balance and cfg.attention != "dot_product":
+        from maxtext_indextts2_tpu.ops.flash_attention import load_balanced_reorder
+
+        reorder = jax.jit(
+            functools.partial(
+                jax.tree.map, lambda x: load_balanced_reorder(x, cp, axis=1)
+            )
+        )
+
     checkpointer = None
     if cfg.enable_checkpointing:
         from maxtext_indextts2_tpu.train.checkpointing import CheckpointManager
@@ -249,6 +263,8 @@ def train_loop(cfg: Config, mesh: Mesh | None = None) -> dict:
             batch = jax.tree.map(
                 lambda x: _put_batch(x, data_shard, cfg.global_batch_size_to_train_on), batch
             )
+            if reorder is not None:
+                batch = reorder(batch)
             rng, step_rng = jax.random.split(rng)
             state, metrics = p_train_step(state, batch, step_rng)
 

@@ -76,3 +76,26 @@ def test_dp_matches_fsdp_loss():
     m_dp = train_loop(load_config(SMALL + ["steps=2", "ici_fsdp_parallelism=1", "ici_data_parallelism=8"]))
     m_fsdp = train_loop(load_config(SMALL + ["steps=2"]))
     np.testing.assert_allclose(m_dp["loss"], m_fsdp["loss"], rtol=1e-2)
+
+
+def test_flash_attention_training_with_cp():
+    """attention=flash + context parallelism + load-balanced reorder."""
+    cfg = load_config(
+        SMALL
+        + [
+            "steps=2",
+            "attention=flash",
+            "ici_fsdp_parallelism=2",
+            "ici_context_parallelism=4",
+            "flash_block_sizes=[32,32]",
+        ]
+    )
+    metrics = train_loop(cfg)
+    assert np.isfinite(metrics["loss"])
+
+
+def test_flash_matches_dot_product_loss():
+    base = SMALL + ["steps=2", "dtype=float32", "gradient_clipping_threshold=0"]
+    m_dot = train_loop(load_config(base + ["attention=dot_product"]))
+    m_flash = train_loop(load_config(base + ["attention=flash", "flash_block_sizes=[32,32]"]))
+    np.testing.assert_allclose(m_dot["loss"], m_flash["loss"], rtol=1e-3)
