@@ -46,7 +46,8 @@ def main():
             "per_device_batch_size=8" if on_tpu else "per_device_batch_size=1",
             "scan_layers=true",
             "remat_policy=minimal",
-            "attention=dot_product",
+            "attention=flash",
+            "flash_block_sizes=[512,512]",
         ]
         + ([] if on_tpu else ["base_num_decoder_layers=2", "max_target_length=256"])
     )

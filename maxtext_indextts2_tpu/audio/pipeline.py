@@ -1,0 +1,186 @@
+"""Zero-shot TTS pipeline: text + prompt audio -> waveform, all on-device.
+
+Counterpart of reference maskgct/full_inference.py (MaskGCTInference:14) +
+the fork's intended LM-driven flow (SURVEY.md §3.4):
+
+    prompt wav 16k --SemanticTokenizer--> prompt semantic tokens
+    prompt wav 24k --AcousticCodec.tokenize--> prompt acoustic tokens
+    [e_<BT>] text [e_<BA>] + prompt semantic  --decoder-LM-->  semantic tokens
+    (prompt+generated semantic, prompt acoustic) --S2A reverse diffusion-->
+        acoustic tokens --CodecDecoder--> waveform 24k
+
+Unlike the reference (torch on host, no waveform head, NotImplementedError
+data path), every stage here is a jitted JAX computation; text-in/audio-out
+never leaves the device between stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxtext_indextts2_tpu.audio.acoustic import AcousticCodec
+from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
+from maxtext_indextts2_tpu.audio.semantic_tokenizer import SemanticTokenizer
+from maxtext_indextts2_tpu.config import Config
+from maxtext_indextts2_tpu.infer.engine import Engine
+from maxtext_indextts2_tpu.train.data.audio_iterator import _default_mapping
+from maxtext_indextts2_tpu.train.data.tokenizer import build_tokenizer
+from maxtext_indextts2_tpu.vocab.mapping import AudioVocabMapping
+
+
+@dataclasses.dataclass
+class TTSPipeline:
+    cfg: Config
+    engine: Engine
+    semantic_tokenizer: SemanticTokenizer
+    s2a: S2AModel
+    s2a_params: dict
+    codec: AcousticCodec
+    codec_params: dict
+    mapping: AudioVocabMapping = None
+    tokenizer=None
+
+    def __post_init__(self):
+        if self.mapping is None:
+            self.mapping = _default_mapping(self.cfg)
+        if self.tokenizer is None:
+            self.tokenizer = build_tokenizer(self.cfg)
+        self._e2a = self.mapping.embedding_to_audio_array(self.cfg.vocab_size)
+        self._jit_s2a = jax.jit(
+            lambda params, cond, prompt, rng: self.s2a.apply(
+                params, cond, prompt, rng,
+                method=self.s2a.reverse_diffusion,
+                n_timesteps=tuple(self.cfg.s2a_timesteps)[: self.s2a.cfg.num_quantizers],
+                cfg=self.cfg.s2a_cfg_scale,
+            )
+        )
+        self._jit_detok = jax.jit(
+            lambda params, idx: self.codec.apply(params, idx, method=self.codec.detokenize)
+        )
+        self._jit_tok = jax.jit(
+            lambda params, wav: self.codec.apply(params, wav, method=self.codec.tokenize)
+        )
+
+    # ------------------------------------------------------------ stages
+    def text_and_prompt_to_lm_prompt(self, text: str, prompt_semantic: np.ndarray) -> np.ndarray:
+        m = self.mapping
+        ids = [m.audio_to_embedding(m.marker_bt_audio_id)]
+        ids += [m.token_to_embedding(t) for t in self.tokenizer.encode(text)]
+        ids += [m.audio_to_embedding(m.marker_ba_audio_id)]
+        ids += [m.audio_to_embedding(int(a)) for a in prompt_semantic]
+        return np.asarray(ids, np.int32)
+
+    def generate_semantic(self, lm_prompt: np.ndarray, max_new_tokens: int) -> list[int]:
+        out_embedding_ids = self.engine.generate_stream(lm_prompt, max_new_tokens)
+        audio_ids = []
+        for e in out_embedding_ids:
+            a = int(self._e2a[e]) if 0 <= e < len(self._e2a) else -1
+            if a < 0 or a >= self.mapping.codebook_size:
+                break  # EOS / non-audio token terminates generation
+            audio_ids.append(a)
+        return audio_ids
+
+    # ------------------------------------------------------------ pipeline
+    def synthesize(
+        self,
+        text: str,
+        prompt_wav_16k: np.ndarray,
+        prompt_wav_24k: np.ndarray,
+        max_new_tokens: int = 256,
+        rng: jax.Array | None = None,
+    ) -> tuple[np.ndarray, dict]:
+        """Returns (wav24k [T], timing/info dict)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+
+        sem_prompt, sem_len = self.semantic_tokenizer.tokenize(prompt_wav_16k[None])
+        sem_prompt = np.asarray(sem_prompt)[0, : int(np.asarray(sem_len)[0])]
+
+        ac_prompt = self._jit_tok(self.codec_params, jnp.asarray(prompt_wav_24k)[None])
+        ac_prompt = jnp.transpose(ac_prompt, (1, 2, 0))  # [B, P, Q]
+
+        lm_prompt = self.text_and_prompt_to_lm_prompt(text, sem_prompt)
+        t1 = time.perf_counter()
+        gen_semantic = self.generate_semantic(lm_prompt, max_new_tokens)
+        t2 = time.perf_counter()
+
+        # align prompt lengths: semantic tokens are 50 Hz, acoustic tokens 50 Hz
+        p = min(ac_prompt.shape[1], len(sem_prompt))
+        cond = jnp.concatenate(
+            [jnp.asarray(sem_prompt[:p], jnp.int32), jnp.asarray(gen_semantic, jnp.int32)]
+        )[None, :]
+        acoustic = self._jit_s2a(self.s2a_params, cond, ac_prompt[:, :p], rng)
+        t3 = time.perf_counter()
+
+        wav = self._jit_detok(self.codec_params, jnp.transpose(acoustic, (2, 0, 1)))
+        wav = np.asarray(wav[0])
+        t4 = time.perf_counter()
+
+        dur = len(wav) / 24_000.0
+        info = {
+            "semantic_tokens": len(gen_semantic),
+            "audio_seconds": dur,
+            "t_lm": t2 - t1,
+            "t_s2a": t3 - t2,
+            "t_vocoder": t4 - t3,
+            "t_total": t4 - t0,
+            "rtf": (t4 - t0) / max(dur, 1e-6),
+        }
+        return wav, info
+
+
+def build_tiny_pipeline(cfg: Config, rng: jax.Array | None = None) -> TTSPipeline:
+    """Randomly-initialized pipeline (tests / benches before real weights)."""
+    from maxtext_indextts2_tpu.audio.conformer import ConformerConfig
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    engine = Engine(cfg)
+    engine.load_params()
+
+    st = SemanticTokenizer(
+        encoder_cfg=ConformerConfig(
+            hidden_size=cfg.s2a_hidden_size // 4 if cfg.s2a_hidden_size >= 256 else 64,
+            num_layers=2, num_heads=4, intermediate_size=256, output_layer=2,
+        ),
+        repcodec_kwargs=dict(
+            codebook_size=cfg.semantic_codebook_size,
+            vocos_dim=64, vocos_intermediate_dim=128, vocos_num_layers=2,
+        ),
+    )
+    st.init_params()
+
+    s2a_cfg = S2AConfig(
+        num_quantizers=cfg.s2a_num_quantizers,
+        hidden_size=cfg.s2a_hidden_size,
+        num_layers=cfg.s2a_num_layers,
+        num_heads=cfg.s2a_num_heads,
+        codebook_size=cfg.s2a_codebook_size,
+        cond_codebook_size=cfg.s2a_cond_codebook_size,
+    )
+    s2a = S2AModel(s2a_cfg)
+    t = 16
+    r1, r2 = jax.random.split(rng)
+    s2a_params = s2a.init(
+        r1,
+        jnp.zeros((1, t, s2a_cfg.num_quantizers), jnp.int32),
+        jnp.ones((1, t), jnp.int32),
+        jnp.zeros((1, t), jnp.int32),
+        r2,
+    )
+
+    codec = AcousticCodec(
+        d_model=32, latent_dim=64,
+        num_quantizers=cfg.s2a_num_quantizers,
+        codebook_size=cfg.s2a_codebook_size,
+    )
+    codec_params = codec.init(r2, jnp.zeros((1, 480 * 4)))
+
+    return TTSPipeline(
+        cfg=cfg, engine=engine, semantic_tokenizer=st,
+        s2a=s2a, s2a_params=s2a_params, codec=codec, codec_params=codec_params,
+    )

@@ -1,0 +1,69 @@
+"""On-device semantic tokenizer: wav -> 8192-vocab semantic token ids.
+
+The TPU-native replacement for the reference's torch SemanticTokenizer
+(reference: input_pipeline/maskgct/semantic_utils.py:35 — SeamlessM4T
+features -> w2v-BERT layer 17 -> mean/std normalize -> RepCodec quantize).
+One jitted function; batched; static shapes via a padded duration bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxtext_indextts2_tpu.audio import mel
+from maxtext_indextts2_tpu.audio.conformer import ConformerConfig, SemanticEncoder
+from maxtext_indextts2_tpu.audio.repcodec import RepCodec
+
+
+class SemanticTokenizer:
+    """Bundles encoder+codec params into one jitted tokenize fn."""
+
+    def __init__(
+        self,
+        encoder_cfg: ConformerConfig | None = None,
+        repcodec_kwargs: dict | None = None,
+        params=None,
+        rng: jax.Array | None = None,
+    ):
+        self.encoder_cfg = encoder_cfg or ConformerConfig()
+        self.encoder = SemanticEncoder(self.encoder_cfg)
+        self.repcodec = RepCodec(
+            hidden_size=self.encoder_cfg.hidden_size, **(repcodec_kwargs or {})
+        )
+        self.params = params
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._jit_tokenize = jax.jit(self._tokenize_impl)
+
+    def init_params(self, example_seconds: float = 1.0):
+        """Random-init params (tests / before checkpoint conversion)."""
+        n = int(example_seconds * mel.SAMPLE_RATE)
+        wav = jnp.zeros((1, n), jnp.float32)
+        feats, _ = mel.w2vbert_features(wav, jnp.array([n]))
+        r1, r2 = jax.random.split(self._rng)
+        p_enc = self.encoder.init(r1, feats)
+        hidden = self.encoder.apply(p_enc, feats)
+        p_rep = self.repcodec.init(r2, hidden)
+        self.params = {"encoder": p_enc, "repcodec": p_rep}
+        return self.params
+
+    def _tokenize_impl(self, params, wav, wav_lengths):
+        feats, feat_lengths = mel.w2vbert_features(wav, wav_lengths)
+        pad_mask = (
+            jnp.arange(feats.shape[1])[None, :] < feat_lengths[:, None]
+        )
+        hidden = self.encoder.apply(params["encoder"], feats, pad_mask)
+        ids = self.repcodec.apply(params["repcodec"], hidden, method=self.repcodec.quantize)
+        return ids, feat_lengths
+
+    def tokenize(self, wav: np.ndarray | jax.Array, wav_lengths=None):
+        """[B, T] 16 kHz float wav -> ([B, T'] ids, [B] lengths)."""
+        wav = jnp.asarray(wav)
+        if wav.ndim == 1:
+            wav = wav[None]
+        if wav_lengths is None:
+            wav_lengths = jnp.full((wav.shape[0],), wav.shape[1], jnp.int32)
+        return self._jit_tokenize(self.params, wav, jnp.asarray(wav_lengths))

@@ -151,6 +151,8 @@ class Config:
     dcn_expert_parallelism: int = 1
     dcn_autoregressive_parallelism: int = 1
     num_slices: int = 1
+    compile_topology: str = ""  # AOT target, e.g. "v5e-256" (train_compile.py)
+    compile_topology_num_slices: int = 1
     context_parallel_load_balance: bool = True
     expert_shard_attention_option: str = "fsdp"  # how EP axis acts in attention
     allow_split_physical_axes: bool = False
@@ -373,9 +375,15 @@ def load_config(argv: list[str] | None = None, **kwargs: Any) -> Config:
 def finalize(cfg: Config, num_devices: int | None = None) -> Config:
     """Validate and compute derived quantities."""
     if num_devices is None:
-        import jax
+        if cfg.compile_topology:
+            from maxtext_indextts2_tpu.train.train_compile import TOPOLOGIES
 
-        num_devices = len(jax.devices())
+            num_devices = TOPOLOGIES[cfg.compile_topology][1] * cfg.compile_topology_num_slices
+            cfg.num_slices = cfg.compile_topology_num_slices
+        else:
+            import jax
+
+            num_devices = len(jax.devices())
     cfg.num_devices = num_devices
 
     # -------- scale base dims (reference: pyconfig.py update_model_vars)

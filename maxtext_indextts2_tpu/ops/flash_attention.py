@@ -112,18 +112,49 @@ def compute_block_classes(
     return jnp.where(empty, CLASS_EMPTY, jnp.where(full, CLASS_FULL, CLASS_PARTIAL)).astype(jnp.int32)
 
 
+
+def _block_class_inkernel(q_pos, kv_pos, q_seg, kv_seg, causal, sliding_window, chunk_size):
+    """(empty, full) scalars from VMEM pos/seg blocks — 8 small reductions.
+    SMEM-prefetched classes measured 3x slower on v5e (dynamic SMEM scalar
+    reads stall Mosaic's pipeline); in-kernel VPU reductions are cheap."""
+    q_lo, q_hi = jnp.min(q_pos), jnp.max(q_pos)
+    k_lo, k_hi = jnp.min(kv_pos), jnp.max(kv_pos)
+    qs_lo, qs_hi = jnp.min(q_seg), jnp.max(q_seg)
+    ks_lo, ks_hi = jnp.min(kv_seg), jnp.max(kv_seg)
+    uniform = (qs_lo == qs_hi) & (ks_lo == ks_hi)
+    seg_match = uniform & (qs_lo == ks_lo) & (qs_lo != 0)
+    seg_disjoint = (qs_hi < ks_lo) | (ks_hi < qs_lo) | (qs_hi == 0)
+    empty = seg_disjoint
+    full = seg_match
+    if causal:
+        empty |= k_lo > q_hi
+        full &= k_hi <= q_lo
+    if sliding_window > 0:
+        empty |= k_hi <= q_lo - sliding_window
+        full &= k_lo > q_hi - sliding_window
+    if chunk_size > 0:
+        empty |= ((q_hi // chunk_size) < (k_lo // chunk_size)) | (
+            (q_lo // chunk_size) > (k_hi // chunk_size))
+        full &= ((q_lo // chunk_size) == (q_hi // chunk_size)) & \
+                ((k_lo // chunk_size) == (k_hi // chunk_size)) & \
+                ((q_lo // chunk_size) == (k_lo // chunk_size))
+    return empty, full
+
+
 # ----------------------------------------------------------------- forward
 
 
 def _fwd_kernel(
-    cls_ref,  # SMEM (1,1,1)
     q_ref, k_ref, v_ref, qpos_ref, kpos_ref, qseg_ref, kseg_ref,
     o_ref, lse_ref,
     acc_ref, m_ref, l_ref,
     *, causal, sliding_window, chunk_size, soft_cap, sm_scale, num_kv_blocks,
 ):
     j = pl.program_id(3)
-    blk_class = cls_ref[pl.program_id(0), pl.program_id(2), j]
+    empty, full = _block_class_inkernel(
+        qpos_ref[0, 0], kpos_ref[0, 0], qseg_ref[0, 0], kseg_ref[0, 0],
+        causal, sliding_window, chunk_size,
+    )
 
     @pl.when(j == 0)
     def _init():
@@ -167,11 +198,11 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(blk_class == CLASS_FULL)
+    @pl.when(full)
     def _full():
         _accumulate(masked=False)
 
-    @pl.when(blk_class == CLASS_PARTIAL)
+    @pl.when(jnp.logical_not(empty | full))
     def _partial():
         _accumulate(masked=True)
 
@@ -198,10 +229,6 @@ def _flash_fwd(
     nq = pl.cdiv(sq, block_q)
     nkv = pl.cdiv(skv, block_kv)
 
-    classes = compute_block_classes(
-        q_pos, kv_pos, q_seg, kv_seg, block_q, block_kv,
-        causal, sliding_window, chunk_size,
-    )
     # [B,1,S] keeps the trailing-two-dims tiling constraint happy
     qp, kp = q_pos[:, None, :], kv_pos[:, None, :]
     qs, ks = q_seg[:, None, :], kv_seg[:, None, :]
@@ -214,7 +241,6 @@ def _flash_fwd(
         ),
         grid=(b, h, nq, nkv),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, i, j: (bb, hh, i, 0)),
             pl.BlockSpec((1, 1, block_kv, d), lambda bb, hh, i, j, g=group: (bb, hh // g, j, 0)),
             pl.BlockSpec((1, 1, block_kv, d), lambda bb, hh, i, j, g=group: (bb, hh // g, j, 0)),
@@ -238,7 +264,7 @@ def _flash_fwd(
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=_DIMSEM),
         interpret=_should_interpret(),
-    )(classes, q, k, v, qp, kp, qs, ks)
+    )(q, k, v, qp, kp, qs, ks)
     return o, lse
 
 
@@ -246,7 +272,6 @@ def _flash_fwd(
 
 
 def _bwd_dq_kernel(
-    cls_ref,
     q_ref, k_ref, v_ref, qpos_ref, kpos_ref, qseg_ref, kseg_ref,
     do_ref, lse_ref, delta_ref,
     dq_ref,
@@ -254,7 +279,10 @@ def _bwd_dq_kernel(
     *, causal, sliding_window, chunk_size, soft_cap, sm_scale, num_kv_blocks,
 ):
     j = pl.program_id(3)
-    blk_class = cls_ref[pl.program_id(0), pl.program_id(2), j]
+    empty, full = _block_class_inkernel(
+        qpos_ref[0, 0], kpos_ref[0, 0], qseg_ref[0, 0], kseg_ref[0, 0],
+        causal, sliding_window, chunk_size,
+    )
 
     @pl.when(j == 0)
     def _init():
@@ -301,11 +329,11 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(blk_class == CLASS_FULL)
+    @pl.when(full)
     def _full():
         _compute(masked=False)
 
-    @pl.when(blk_class == CLASS_PARTIAL)
+    @pl.when(jnp.logical_not(empty | full))
     def _partial():
         _compute(masked=True)
 
@@ -315,7 +343,6 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    cls_ref,
     q_ref, k_ref, v_ref, qpos_ref, kpos_ref, qseg_ref, kseg_ref,
     do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
@@ -327,9 +354,10 @@ def _bwd_dkv_kernel(
     # across the whole GQA group before one output write — Pallas does not
     # restore previously-written output blocks on revisit.
     t = pl.program_id(3)
-    # classes indexed [b, q_block, kv_block]; q_block = t % nq
-    nq = num_inner // group
-    blk_class = cls_ref[pl.program_id(0), t % nq, pl.program_id(2)]
+    empty, full = _block_class_inkernel(
+        qpos_ref[0, 0], kpos_ref[0, 0], qseg_ref[0, 0], kseg_ref[0, 0],
+        causal, sliding_window, chunk_size,
+    )
 
     @pl.when(t == 0)
     def _init():
@@ -380,11 +408,11 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(blk_class == CLASS_FULL)
+    @pl.when(full)
     def _full():
         _compute(masked=False)
 
-    @pl.when(blk_class == CLASS_PARTIAL)
+    @pl.when(jnp.logical_not(empty | full))
     def _partial():
         _compute(masked=True)
 
@@ -408,10 +436,6 @@ def _flash_bwd(
     nq = pl.cdiv(sq, block_q)
     nkv = pl.cdiv(skv, block_kv)
 
-    classes = compute_block_classes(
-        q_pos, kv_pos, q_seg, kv_seg, block_q, block_kv,
-        causal, sliding_window, chunk_size,
-    )
     delta = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
     )  # [B,H,Sq,1]
@@ -426,7 +450,6 @@ def _flash_bwd(
         ),
         grid=(b, h, nq, nkv),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, i, j: (bb, hh, i, 0)),
             pl.BlockSpec((1, 1, block_kv, d), lambda bb, hh, i, j, g_=group: (bb, hh // g_, j, 0)),
             pl.BlockSpec((1, 1, block_kv, d), lambda bb, hh, i, j, g_=group: (bb, hh // g_, j, 0)),
@@ -443,7 +466,7 @@ def _flash_bwd(
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(dimension_semantics=_DIMSEM),
         interpret=_should_interpret(),
-    )(classes, q, k, v, qp, kp, qs, ks, do, lse, delta)
+    )(q, k, v, qp, kp, qs, ks, do, lse, delta)
 
     num_inner = group * nq
 
@@ -461,7 +484,6 @@ def _flash_bwd(
         ),
         grid=(b, hkv, nkv, num_inner),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, j, t: (bb, qh(hh, t), qb(t), 0)),
             pl.BlockSpec((1, 1, block_kv, d), lambda bb, hh, j, t: (bb, hh, j, 0)),
             pl.BlockSpec((1, 1, block_kv, d), lambda bb, hh, j, t: (bb, hh, j, 0)),
@@ -487,7 +509,7 @@ def _flash_bwd(
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=_DIMSEM),
         interpret=_should_interpret(),
-    )(classes, q, k, v, qp, kp, qs, ks, do, lse, delta)
+    )(q, k, v, qp, kp, qs, ks, do, lse, delta)
 
     return dq, dk, dv, None, None, None, None
 

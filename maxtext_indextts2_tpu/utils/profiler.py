@@ -1,0 +1,48 @@
+"""Profiling: xplane traces + step annotations.
+
+Reference: MaxText/profiler.py:29 Profiler (xplane/nsys dispatch, periodic
+re-profiling), jax.profiler.StepTraceAnnotation at step boundaries
+(train.py:649).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+import jax
+
+from maxtext_indextts2_tpu.config import Config
+
+
+class Profiler:
+    def __init__(self, cfg: Config, output_dir: str | None = None):
+        self.cfg = cfg
+        self.enabled = cfg.enable_profiler
+        self.output_dir = output_dir or os.path.join(
+            cfg.base_output_directory, cfg.run_name, "profile"
+        )
+        self.start_step = cfg.skip_first_n_steps_for_profiler
+        self.end_step = self.start_step + cfg.profiler_steps
+        self._active = False
+
+    def maybe_start(self, step: int):
+        if self.enabled and not self._active and step == self.start_step:
+            os.makedirs(self.output_dir, exist_ok=True)
+            jax.profiler.start_trace(self.output_dir)
+            self._active = True
+
+    def maybe_stop(self, step: int):
+        if self._active and step >= self.end_step:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def step_annotation(self, step: int):
+        if self.enabled:
+            return jax.profiler.StepTraceAnnotation("train", step_num=step)
+        return contextlib.nullcontext()
+
+    def close(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False

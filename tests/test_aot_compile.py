@@ -1,0 +1,30 @@
+"""AOT compile-for-topology tests (reference: train_compile_test.py — compile
+for large topologies on CPU without hardware)."""
+
+import pytest
+
+from maxtext_indextts2_tpu.config import load_config
+
+SMALL = [
+    "base_emb_dim=128", "base_mlp_dim=256", "base_num_decoder_layers=2",
+    "base_num_query_heads=4", "base_num_kv_heads=4", "head_dim=32",
+    "vocab_size=512", "max_target_length=64",
+]
+
+
+@pytest.mark.parametrize("topo,parallel", [
+    ("v5e-16", ["ici_fsdp_parallelism=8", "ici_tensor_parallelism=2"]),
+    ("v5e-64", ["ici_fsdp_parallelism=16", "ici_tensor_parallelism=4"]),
+])
+def test_aot_compile_topology(topo, parallel):
+    from maxtext_indextts2_tpu.train.train_compile import (
+        aot_compile_train_step,
+        get_topology_mesh,
+    )
+
+    cfg = load_config(SMALL + parallel + [f"compile_topology={topo}"])
+    mesh = get_topology_mesh(cfg, topo)
+    assert mesh.devices.size == cfg.num_devices
+    compiled = aot_compile_train_step(cfg, mesh)
+    mem = compiled.memory_analysis()
+    assert mem is not None

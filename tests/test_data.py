@@ -1,0 +1,110 @@
+"""Data pipeline tests: packing invariants, tokenizers, the emilia audio
+iterator (the path the reference never implemented), multihost assembly."""
+
+import numpy as np
+import pytest
+
+from maxtext_indextts2_tpu.config import load_config
+from maxtext_indextts2_tpu.train.data.packing import PackedBatcher, pack_examples
+from maxtext_indextts2_tpu.train.data.tokenizer import ByteTokenizer, build_tokenizer
+from maxtext_indextts2_tpu.train.data.audio_iterator import (
+    build_tts_sequence,
+    make_emilia_audio_train_iterator,
+    split_tts_sequence,
+)
+from maxtext_indextts2_tpu.vocab.mapping import build_mapping
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    ids = tok.encode("hello TPU")
+    assert ids[0] == tok.BOS and ids[-1] == tok.EOS
+    assert tok.decode(ids) == "hello TPU"
+
+
+def test_pack_examples_invariants():
+    exs = [[1, 2, 3, 4], [5, 6, 7], [8, 9, 10, 11, 12, 13], [14, 15]]
+    rows = pack_examples(exs, max_len=8)
+    total_tokens = sum(len(e) - 1 for e in exs)
+    packed_tokens = sum(int((r["inputs_segmentation"] > 0).sum()) for r in rows)
+    assert packed_tokens == total_tokens
+    for r in rows:
+        seg = r["inputs_segmentation"]
+        pos = r["inputs_position"]
+        # positions restart at each segment
+        for s in np.unique(seg[seg > 0]):
+            p = pos[seg == s]
+            np.testing.assert_array_equal(p, np.arange(len(p)))
+        # targets are the next-token shift of inputs within a segment
+        for s in np.unique(seg[seg > 0]):
+            inp = r["inputs"][seg == s]
+            tgt = r["targets"][seg == s]
+            np.testing.assert_array_equal(inp[1:], tgt[:-1])
+
+
+def test_packed_batcher_shapes():
+    src = iter([[1, 2, 3]] * 10)
+    b = PackedBatcher(src, batch_size=2, max_len=16)
+    batch = next(b)
+    assert batch["inputs"].shape == (2, 16)
+    assert set(batch) == {
+        "inputs", "targets", "inputs_segmentation", "targets_segmentation", "inputs_position"
+    }
+
+
+def test_tts_sequence_roundtrip():
+    mapping = build_mapping(1000, codebook_size=64, soft_token_index=500)
+    text = [3, 10, 499, 501]  # includes ids straddling the soft token
+    audio = [0, 5, 63]
+    seq = build_tts_sequence(text, audio, mapping)
+    t2, a2 = split_tts_sequence(seq[:-1], mapping)  # strip eos
+    assert a2 == audio
+    assert t2 == text
+
+
+def test_emilia_audio_iterator_synthetic():
+    cfg = load_config(
+        ["dataset_type=emilia_audio", "vocab_size=9344", "audio_codebook_size=8192",
+         "max_target_length=256", "per_device_batch_size=0.5"]
+    )
+    it = make_emilia_audio_train_iterator(cfg)
+    batch = next(it)
+    # fractional per-device batch loads ceil() and the train loop drops the
+    # remainder (reference pyconfig convention)
+    assert batch["inputs"].shape == (cfg.global_batch_size_to_load, 256)
+    assert cfg.global_batch_size_to_train_on == 4
+    # all ids must be valid embedding rows
+    assert batch["inputs"].max() < cfg.vocab_size
+    assert batch["inputs"].min() >= 0
+    # real tokens exist and are packed
+    assert (batch["inputs_segmentation"] > 0).mean() > 0.5
+
+
+def test_emilia_training_smoke():
+    """End-to-end: audio-LM trains on the emilia synthetic pipeline."""
+    from maxtext_indextts2_tpu.train.train import train_loop
+
+    cfg = load_config(
+        ["dataset_type=emilia_audio", "vocab_size=9344", "audio_codebook_size=8192",
+         "base_emb_dim=64", "base_mlp_dim=128", "base_num_decoder_layers=2",
+         "base_num_query_heads=2", "base_num_kv_heads=2", "head_dim=32",
+         "max_target_length=128", "steps=2", "decoder_block=tts"]
+    )
+    metrics = train_loop(cfg)
+    assert np.isfinite(metrics["loss"])
+
+
+def test_multihost_iterator_single_process():
+    import jax
+
+    from maxtext_indextts2_tpu.parallel import create_device_mesh
+    from maxtext_indextts2_tpu.train.data.multihost import MultiHostDataLoadIterator
+    from maxtext_indextts2_tpu.train.data.synthetic import SyntheticDataIterator
+
+    cfg = load_config(["per_device_batch_size=1", "max_target_length=64"])
+    mesh = create_device_mesh(cfg)
+    it = MultiHostDataLoadIterator(SyntheticDataIterator(cfg), mesh)
+    batch = next(it)
+    x = batch["inputs"]
+    assert x.shape == (8, 64)
+    assert x.sharding.shard_shape(x.shape) == (1, 64)  # sharded over fsdp
