@@ -199,6 +199,19 @@ class Decoder(nn.Module):
         cfg = self.cfg
         layer_kwargs = dict(cfg=cfg, block=self.block, mesh=self.mesh, use_moe=use_moe)
 
+        if cfg.using_pipeline_parallelism and mode == MODE_TRAIN:
+            from maxtext_indextts2_tpu.models.pipeline import Pipeline
+
+            stages = cfg.ici_stage_parallelism * cfg.dcn_stage_parallelism
+            if num_units != stages * cfg.num_pipeline_repeats:
+                raise ValueError(
+                    f"pipeline needs num_units ({num_units}) == stages ({stages})"
+                    f" * repeats ({cfg.num_pipeline_repeats})"
+                )
+            return Pipeline(**layer_kwargs, name=name)(
+                y, positions, segment_ids, mode, deterministic
+            )
+
         if cfg.scan_layers:
             if mode == MODE_TRAIN and cfg.remat_policy != "none":
                 layer_cls = nn.remat(
