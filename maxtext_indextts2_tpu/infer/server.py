@@ -1,0 +1,183 @@
+"""Continuous-batching inference server.
+
+TPU-native counterpart of the reference's JetStream serving stack
+(MaxText/maxengine_server.py: gRPC port 9000 + orchestrator driving
+prefill/insert/generate slots). Here the orchestrator is in-process and the
+transport is a dependency-free HTTP/JSON server (stdlib): POST /generate
+{"prompt": [ids...], "max_new_tokens": N} -> {"tokens": [...]}.
+
+The decode thread runs generate() continuously while any slot is active;
+prefill requests are interleaved between generate steps (interleaved serving
+mode, reference maxengine_config.py).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from maxtext_indextts2_tpu.config import Config
+from maxtext_indextts2_tpu.infer.engine import Engine
+
+
+@dataclass
+class _Request:
+    prompt: np.ndarray
+    max_new_tokens: int
+    done: threading.Event = field(default_factory=threading.Event)
+    tokens: list[int] = field(default_factory=list)
+    error: str | None = None
+
+
+class Orchestrator:
+    """Slot scheduler: request queue -> prefill -> insert -> shared generate loop."""
+
+    def __init__(self, engine: Engine, eos_id: int | None = None):
+        self.engine = engine
+        self.eos_id = eos_id
+        self.queue: queue.Queue[_Request] = queue.Queue()
+        self.slots: list[_Request | None] = [None] * engine.num_slots
+        self.remaining = np.zeros(engine.num_slots, np.int32)
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.decode_state = None
+
+    def start(self):
+        if self.engine.params is None:
+            self.engine.load_params()
+        self.decode_state = self.engine.init_decode_state()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def submit(self, prompt: np.ndarray, max_new_tokens: int) -> _Request:
+        req = _Request(np.asarray(prompt, np.int32), max_new_tokens)
+        self.queue.put(req)
+        return req
+
+    # ------------------------------------------------------------- internals
+    def _free_slot(self) -> int | None:
+        for i, r in enumerate(self.slots):
+            if r is None:
+                return i
+        return None
+
+    def _loop(self):
+        while not self._stop.is_set():
+            # admit new requests into free slots
+            admitted = False
+            while True:
+                slot = self._free_slot()
+                if slot is None:
+                    break
+                try:
+                    req = self.queue.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
+                    self.decode_state = self.engine.insert(prefix, self.decode_state, slot)
+                    first_tok = int(np.asarray(first)[0])
+                    req.tokens.append(first_tok)
+                    self.slots[slot] = req
+                    self.remaining[slot] = req.max_new_tokens - 1
+                    admitted = True
+                    if self.remaining[slot] <= 0 or first_tok == self.eos_id:
+                        self._finish(slot)
+                except Exception as e:  # surface engine errors to the caller
+                    req.error = repr(e)
+                    req.done.set()
+
+            if not any(r is not None for r in self.slots):
+                if not admitted:
+                    time.sleep(0.001)
+                continue
+
+            self.decode_state, toks = self.engine.generate(self.decode_state)
+            toks = np.asarray(toks)
+            for i, req in enumerate(self.slots):
+                if req is None:
+                    continue
+                tok = int(toks[i])
+                req.tokens.append(tok)
+                self.remaining[i] -= 1
+                if self.remaining[i] <= 0 or (self.eos_id is not None and tok == self.eos_id):
+                    self._finish(i)
+
+    def _finish(self, slot: int):
+        req = self.slots[slot]
+        self.slots[slot] = None
+        if req is not None:
+            req.done.set()
+
+
+def serve(cfg: Config, port: int | None = None, engine: Engine | None = None):
+    """Blocking HTTP server (reference: maxengine_server.main)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    orch = Orchestrator(engine or Engine(cfg))
+    orch.start()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/generate":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(length) or "{}")
+                prompt = np.asarray(body["prompt"], np.int32)
+            except (json.JSONDecodeError, KeyError, ValueError) as e:
+                msg = json.dumps({"error": f"bad request: {e}"}).encode()
+                self.send_response(400)
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+                return
+            req = orch.submit(prompt, int(body.get("max_new_tokens", 32)))
+            req.done.wait(timeout=600)
+            payload = json.dumps(
+                {"tokens": req.tokens} if req.error is None else {"error": req.error}
+            ).encode()
+            self.send_response(200 if req.error is None else 500)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):  # health check
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer(("0.0.0.0", port or cfg.inference_server_port), Handler)
+    try:
+        server.serve_forever()
+    finally:
+        orch.stop()
+
+
+def main(argv=None):
+    import sys
+
+    from maxtext_indextts2_tpu.config import load_config
+
+    cfg = load_config(argv if argv is not None else sys.argv[1:])
+    print(f"serving on :{cfg.inference_server_port}")
+    serve(cfg)
+
+
+if __name__ == "__main__":
+    main()

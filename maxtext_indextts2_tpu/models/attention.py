@@ -167,6 +167,7 @@ class Attention(nn.Module):
     use_bias: bool = False
     kernel_init: Any = nd_dense_init()
     matmul_precision: str = "default"
+    quantization: str = ""
     flash_block_sizes: tuple[int, int] = (512, 512)
     context_parallelism: int = 1
     load_balanced_context_parallel: bool = True
@@ -189,6 +190,7 @@ class Attention(nn.Module):
             weight_dtype=self.weight_dtype,
             use_bias=self.use_bias,
             matmul_precision=self.matmul_precision,
+            quantization=self.quantization,
             name="query",
         )(inputs_q)
         k = DenseGeneral(
@@ -198,6 +200,7 @@ class Attention(nn.Module):
             weight_dtype=self.weight_dtype,
             use_bias=self.use_bias,
             matmul_precision=self.matmul_precision,
+            quantization=self.quantization,
             name="key",
         )(inputs_kv)
         v = DenseGeneral(
@@ -207,6 +210,7 @@ class Attention(nn.Module):
             weight_dtype=self.weight_dtype,
             use_bias=self.use_bias,
             matmul_precision=self.matmul_precision,
+            quantization=self.quantization,
             name="value",
         )(inputs_kv)
 
@@ -306,6 +310,7 @@ class Attention(nn.Module):
             weight_dtype=self.weight_dtype,
             use_bias=self.use_bias,
             matmul_precision=self.matmul_precision,
+            quantization=self.quantization,
             name="out",
         )(out)
 

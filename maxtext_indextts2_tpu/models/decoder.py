@@ -52,6 +52,7 @@ def _attention_kwargs(cfg: Config, block, mesh, attention_type: str) -> dict[str
         normalization_layer_epsilon=cfg.normalization_layer_epsilon,
         use_bias=block.use_attn_bias,
         matmul_precision=cfg.matmul_precision,
+        quantization=cfg.quantization,
         flash_block_sizes=tuple(cfg.flash_block_sizes),
         context_parallelism=cfg.ici_context_parallelism,
         load_balanced_context_parallel=cfg.context_parallel_load_balance,
@@ -130,6 +131,7 @@ class DecoderLayer(nn.Module):
                 intermediate_dropout_rate=cfg.dropout_rate,
                 matmul_precision=cfg.matmul_precision,
                 use_bias=block.use_mlp_bias,
+                quantization=cfg.quantization,
                 name=f"mlp_{idx}",
             )(h, deterministic=deterministic)
         if block.use_post_ffw_norm:

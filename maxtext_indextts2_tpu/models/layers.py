@@ -54,6 +54,7 @@ class DenseGeneral(nn.Module):
     kernel_init: Initializer = nd_dense_init()
     use_bias: bool = False
     matmul_precision: str = "default"
+    quantization: str = ""  # "" | int8 | int8w | fp8 (AQT)
 
     @nn.compact
     def __call__(self, inputs: jax.Array) -> jax.Array:
@@ -78,13 +79,19 @@ class DenseGeneral(nn.Module):
         inputs = inputs.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
         contract = ((axis, in_axes), ((), ()))
-        out = jax.lax.dot_general(
-            inputs,
-            kernel,
-            contract,
-            precision=_precision(self.matmul_precision),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        if self.quantization:
+            from maxtext_indextts2_tpu.ops.quantization import make_dot_general
+
+            dg = make_dot_general(self.quantization)(name="aqt")
+            out = dg(inputs, kernel, contract, precision=None).astype(self.dtype)
+        else:
+            out = jax.lax.dot_general(
+                inputs,
+                kernel,
+                contract,
+                precision=_precision(self.matmul_precision),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
 
         if self.use_bias:
             bias = self.param(
@@ -206,6 +213,7 @@ class MlpBlock(nn.Module):
     intermediate_dropout_rate: float = 0.0
     matmul_precision: str = "default"
     use_bias: bool = False
+    quantization: str = ""
 
     @nn.compact
     def __call__(self, inputs: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -218,6 +226,7 @@ class MlpBlock(nn.Module):
                 weight_dtype=self.weight_dtype,
                 matmul_precision=self.matmul_precision,
                 use_bias=self.use_bias,
+                quantization=self.quantization,
                 name=f"wi_{i}" if len(self.activations) > 1 else "wi",
             )(inputs)
             acts.append(ACTIVATIONS[act_name](x))
@@ -234,6 +243,7 @@ class MlpBlock(nn.Module):
             weight_dtype=self.weight_dtype,
             matmul_precision=self.matmul_precision,
             use_bias=self.use_bias,
+            quantization=self.quantization,
             name="wo",
         )(x)
         return out

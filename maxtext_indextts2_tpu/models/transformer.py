@@ -43,6 +43,13 @@ class Transformer(nn.Module):
             scale_plus_one=self.block.rmsnorm_scale_plus_one,
             name="decoder_norm",
         )
+        if cfg.mtp_num_layers > 0:
+            from maxtext_indextts2_tpu.models.mtp import MTPLayer
+
+            self.mtp_layers = [
+                MTPLayer(cfg=cfg, block=self.block, mesh=self.mesh, name=f"mtp_{k}")
+                for k in range(1, cfg.mtp_num_layers + 1)
+            ]
         if not cfg.logits_via_embedding:
             self.logits_dense = DenseGeneral(
                 features=cfg.vocab_size,
@@ -53,28 +60,14 @@ class Transformer(nn.Module):
                 name="logits_dense",
             )
 
-    def __call__(
-        self,
-        tokens: jax.Array,  # [B, S] int32
-        positions: jax.Array,  # [B, S] int32
-        segment_ids: jax.Array | None = None,  # [B, S] int32, 0 = padding
-        mode: str = MODE_TRAIN,
-        deterministic: bool = True,
-    ) -> jax.Array:
+    def _unembed(self, y: jax.Array) -> jax.Array:
         cfg = self.cfg
-        emb = self.token_embedder(tokens)
-        if self.block.scale_embedding:
-            emb = emb * jnp.asarray(cfg.emb_dim**0.5, emb.dtype)
-
-        y = self.decoder(emb, positions, segment_ids, mode=mode, deterministic=deterministic)
         y = self.final_norm(y)
         y = shard(y, "activation_embed_and_logits_batch", "activation_norm_length", "activation_embed")
-
         if cfg.logits_via_embedding:
             logits = self.token_embedder.attend(y, normalize=cfg.normalize_embedding_logits)
         else:
             logits = self.logits_dense(y)
-
         if cfg.final_logits_soft_cap > 0.0:
             logits = cfg.final_logits_soft_cap * jnp.tanh(logits / cfg.final_logits_soft_cap)
         logits = shard(
@@ -83,3 +76,54 @@ class Transformer(nn.Module):
         if cfg.cast_logits_to_fp32:
             logits = logits.astype(jnp.float32)
         return logits
+
+    def __call__(
+        self,
+        tokens: jax.Array,  # [B, S] int32
+        positions: jax.Array,  # [B, S] int32
+        segment_ids: jax.Array | None = None,  # [B, S] int32, 0 = padding
+        mode: str = MODE_TRAIN,
+        deterministic: bool = True,
+        targets: jax.Array | None = None,  # enables the MTP aux loss
+        target_weights: jax.Array | None = None,
+    ) -> jax.Array:
+        cfg = self.cfg
+        emb = self.token_embedder(tokens)
+        if self.block.scale_embedding:
+            emb = emb * jnp.asarray(cfg.emb_dim**0.5, emb.dtype)
+
+        y = self.decoder(emb, positions, segment_ids, mode=mode, deterministic=deterministic)
+
+        if cfg.mtp_num_layers > 0 and mode == MODE_TRAIN and targets is not None:
+            self._mtp_loss(y, tokens, targets, target_weights, positions, segment_ids,
+                           deterministic)
+
+        return self._unembed(y)
+
+    def _mtp_loss(self, hidden, tokens, targets, target_weights, positions,
+                  segment_ids, deterministic):
+        """DeepSeek-style MTP aux loss, sown as an intermediate."""
+        from maxtext_indextts2_tpu.ops.losses import cross_entropy_with_logits
+
+        cfg = self.cfg
+        w0 = target_weights if target_weights is not None else (
+            (segment_ids != 0).astype(jnp.float32)
+            if segment_ids is not None
+            else jnp.ones_like(tokens, jnp.float32)
+        )
+        h = hidden
+        total_loss, total_weight = 0.0, 0.0
+        for k in range(1, cfg.mtp_num_layers + 1):
+            tok_k = jnp.roll(tokens, -k, axis=1)
+            tgt_k = jnp.roll(targets, -k, axis=1)
+            valid = jnp.arange(tokens.shape[1])[None, :] < tokens.shape[1] - k
+            w_k = jnp.roll(w0, -k, axis=1) * valid
+            emb_k = self.token_embedder(tok_k)
+            h = self.mtp_layers[k - 1](h, emb_k, positions, segment_ids, deterministic)
+            logits = self._unembed(h).astype(jnp.float32)
+            ce, _ = cross_entropy_with_logits(logits, tgt_k, 0.0)
+            total_loss += jnp.sum(ce * w_k)
+            total_weight += jnp.sum(w_k)
+        mtp_loss = total_loss / jnp.maximum(total_weight, 1e-6)
+        self.sow("intermediates", "mtp_loss", mtp_loss)
+        return mtp_loss

@@ -69,7 +69,8 @@ def setup_train_state(
     tokens, positions, segs = _dummy_inputs(cfg)
 
     def init_fn(rng):
-        variables = model.init(rng, tokens, positions, segs)
+        mtp_targets = tokens if cfg.mtp_num_layers > 0 else None
+        variables = model.init(rng, tokens, positions, segs, targets=mtp_targets)
         return TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx)
 
     abstract = jax.eval_shape(init_fn, rng)
@@ -88,8 +89,11 @@ def loss_fn(model: Transformer, cfg: Config, params, batch, rng, is_train: bool 
         batch["inputs"],
         batch["inputs_position"],
         batch["inputs_segmentation"],
+        targets=batch["targets"] if cfg.mtp_num_layers > 0 else None,
         deterministic=not (is_train and cfg.enable_dropout),
-        rngs={"dropout": rng},
+        # "params" rng: AQT's quantized dot_general draws stochastic-rounding
+        # noise through it (reference passes an aqt rng the same way)
+        rngs={"dropout": rng, "params": jax.random.fold_in(rng, 1)},
         mutable=["intermediates"],
     )
     weights = (batch["targets_segmentation"] != 0).astype(jnp.float32)
@@ -103,6 +107,11 @@ def loss_fn(model: Transformer, cfg: Config, params, batch, rng, is_train: bool 
         moe_loss = jnp.mean(lb) * cfg.load_balance_loss_weight
         loss = loss + moe_loss
         aux["moe_lb_loss"] = moe_loss
+    mtp = _collect_sown(inter, "mtp_loss")
+    if mtp is not None:
+        mtp_loss = jnp.mean(mtp) * cfg.mtp_loss_scaling_factor
+        loss = loss + mtp_loss
+        aux["mtp_loss"] = mtp_loss
     return loss, aux
 
 

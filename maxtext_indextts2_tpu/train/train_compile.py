@@ -69,7 +69,8 @@ def aot_compile_train_step(cfg: Config, mesh: Mesh):
     tokens, positions, segs = _dummy_inputs(cfg)
 
     def init_fn(rng):
-        variables = model.init(rng, tokens, positions, segs)
+        mtp_targets = tokens if cfg.mtp_num_layers > 0 else None
+        variables = model.init(rng, tokens, positions, segs, targets=mtp_targets)
         return TrainState.create(apply_fn=model.apply, params=variables["params"], tx=tx)
 
     abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(0))

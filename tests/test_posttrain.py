@@ -1,0 +1,91 @@
+"""SFT / DPO / GRPO trainer tests (reference: sft golden tests,
+grpo_trainer correctness tests — here: structural + learning-signal checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxtext_indextts2_tpu.config import load_config
+from maxtext_indextts2_tpu.models import Transformer
+from maxtext_indextts2_tpu.parallel import create_device_mesh
+from maxtext_indextts2_tpu.train.train import setup_train_state
+
+SMALL = [
+    "base_emb_dim=64", "base_mlp_dim=128", "base_num_decoder_layers=2",
+    "base_num_query_heads=2", "base_num_kv_heads=2", "head_dim=32",
+    "vocab_size=256", "max_target_length=64", "dtype=float32",
+    "steps=3", "warmup_steps_fraction=0", "learning_rate=1e-3",
+]
+
+
+def test_sft_prompt_masking():
+    from maxtext_indextts2_tpu.train.sft import sft_example_to_row
+
+    row = sft_example_to_row([1, 2, 3, 4], [10, 11, 12], max_len=16)
+    tseg = row["targets_segmentation"]
+    # prompt targets (predicting tokens 2..4) are masked; completion not
+    assert (tseg[:3] == 0).all()
+    assert (tseg[3:6] != 0).all()
+    # inputs are the sequence minus its final token (next-token shift)
+    np.testing.assert_array_equal(row["inputs"][:6], [1, 2, 3, 4, 10, 11])
+
+
+def test_sft_training_runs():
+    from maxtext_indextts2_tpu.train.sft import train_sft
+
+    cfg = load_config(SMALL)
+    metrics = train_sft(cfg)
+    assert np.isfinite(metrics["loss"])
+
+
+def _setup(cfg):
+    mesh = create_device_mesh(cfg)
+    model = Transformer(cfg=cfg, mesh=mesh)
+    state, _ = setup_train_state(cfg, model, mesh, jax.random.PRNGKey(0))
+    return mesh, model, state
+
+
+def test_dpo_step_prefers_chosen():
+    from maxtext_indextts2_tpu.train.dpo import dpo_loss_fn, dpo_train_step
+
+    cfg = load_config(SMALL)
+    mesh, model, state = _setup(cfg)
+    ref_params = jax.tree.map(lambda x: x, state.params)
+
+    B, S = 4, cfg.max_target_length
+    rng = np.random.default_rng(0)
+    batch = {}
+    for side in ("chosen", "rejected"):
+        toks = rng.integers(3, 200, size=(B, S)).astype(np.int32)
+        batch[f"{side}_inputs"] = jnp.asarray(toks)
+        batch[f"{side}_targets"] = jnp.asarray(np.roll(toks, -1, 1))
+        batch[f"{side}_position"] = jnp.broadcast_to(jnp.arange(S), (B, S))
+        batch[f"{side}_segmentation"] = jnp.ones((B, S), jnp.int32)
+        batch[f"{side}_targets_segmentation"] = jnp.ones((B, S), jnp.int32)
+
+    loss0, aux0 = dpo_loss_fn(model, cfg, state.params, ref_params, batch)
+    assert np.isfinite(float(loss0))
+    # at init pi == ref -> loss == -log sigmoid(0) == log 2
+    np.testing.assert_allclose(float(loss0), np.log(2.0), atol=1e-3)
+
+    with mesh:
+        for _ in range(5):
+            state, metrics = dpo_train_step(model, cfg, state, ref_params, batch,
+                                            jax.random.PRNGKey(1))
+    # after updates the model should prefer chosen sequences
+    assert float(metrics["loss"]) < float(loss0)
+    assert float(metrics["chosen_reward"]) > float(metrics["rejected_reward"])
+
+
+def test_grpo_loop_improves_reward_signal():
+    from maxtext_indextts2_tpu.train.grpo import grpo_train_loop
+
+    cfg = load_config(SMALL + [
+        "per_device_batch_size=0.5", "max_prefill_predict_length=16",
+        "decode_sampling_strategy=weighted", "decode_sampling_temperature=1.0",
+    ])
+    # reward: prefer completions containing low token ids
+    reward = lambda comp: -float(np.mean(comp))
+    state, metrics = grpo_train_loop(cfg, reward, num_iterations=2, group_size=2)
+    assert np.isfinite(metrics["loss"])
+    assert np.isfinite(metrics["kl"])

@@ -1,0 +1,105 @@
+"""Serving tests: orchestrator continuous batching, offline engine,
+HTTP server end-to-end (reference: jetstream orchestration + offline_engine)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from maxtext_indextts2_tpu.config import load_config
+from maxtext_indextts2_tpu.infer.engine import Engine
+from maxtext_indextts2_tpu.infer.offline_engine import OfflineEngine
+from maxtext_indextts2_tpu.infer.server import Orchestrator
+
+CFG = [
+    "base_emb_dim=64", "base_mlp_dim=128", "base_num_decoder_layers=2",
+    "base_num_query_heads=2", "base_num_kv_heads=2", "head_dim=32",
+    "vocab_size=256", "max_target_length=64", "max_prefill_predict_length=16",
+    "per_device_batch_size=0.25", "dtype=float32", "decode_sampling_strategy=greedy",
+]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = Engine(load_config(CFG))
+    eng.load_params()
+    return eng
+
+
+def test_offline_engine_matches_single_stream(engine):
+    off = OfflineEngine(engine.cfg, engine=engine)
+    prompts = [np.array([3, 5, 7], np.int32), np.array([11, 13], np.int32),
+               np.array([2, 4, 6, 8], np.int32)]
+    outs = off.generate_batch(prompts, max_new_tokens=6)
+    assert len(outs) == 3
+    for p, o in zip(prompts, outs):
+        solo = engine.generate_stream(p, 6)
+        assert o == solo
+
+
+def test_orchestrator_concurrent_requests(engine):
+    orch = Orchestrator(engine)
+    orch.start()
+    try:
+        reqs = [
+            orch.submit(np.array([3, 5, 7], np.int32), 5),
+            orch.submit(np.array([11, 13], np.int32), 5),
+            orch.submit(np.array([2, 4, 6, 8], np.int32), 5),
+        ]
+        for r in reqs:
+            assert r.done.wait(timeout=120), "request timed out"
+            assert r.error is None
+            assert len(r.tokens) == 5
+        # greedy decode must match direct single-stream decode
+        solo = engine.generate_stream(np.array([3, 5, 7], np.int32), 5)
+        assert reqs[0].tokens == solo
+    finally:
+        orch.stop()
+
+
+def test_http_server_roundtrip(engine):
+    from http.server import ThreadingHTTPServer
+
+    import maxtext_indextts2_tpu.infer.server as server_mod
+
+    orch = Orchestrator(engine)
+    orch.start()
+
+    # build the handler the same way serve() does, on an ephemeral port
+    import json as _json
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = _json.loads(self.rfile.read(length) or "{}")
+            req = orch.submit(np.asarray(body["prompt"], np.int32),
+                              int(body.get("max_new_tokens", 8)))
+            req.done.wait(timeout=120)
+            payload = _json.dumps({"tokens": req.tokens}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": [3, 5, 7], "max_new_tokens": 5}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        assert len(out["tokens"]) == 5
+    finally:
+        httpd.shutdown()
+        orch.stop()

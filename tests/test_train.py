@@ -99,3 +99,20 @@ def test_flash_matches_dot_product_loss():
     m_dot = train_loop(load_config(base + ["attention=dot_product"]))
     m_flash = train_loop(load_config(base + ["attention=flash", "flash_block_sizes=[32,32]"]))
     np.testing.assert_allclose(m_dot["loss"], m_flash["loss"], rtol=1e-3)
+
+
+def test_int8_quantized_training():
+    """AQT int8 training runs and loss decreases (reference: int8 AQT path)."""
+    cfg = load_config(SMALL + ["quantization=int8", "steps=4"])
+    metrics = train_loop(cfg)
+    assert np.isfinite(metrics["loss"])
+    assert metrics["loss"] < 7.2
+
+
+def test_mtp_training():
+    """DeepSeek-style multi-token prediction adds a finite aux loss."""
+    cfg = load_config(SMALL + ["mtp_num_layers=2", "steps=2"])
+    metrics = train_loop(cfg)
+    assert "mtp_loss" in metrics
+    assert np.isfinite(metrics["mtp_loss"])
+    assert np.isfinite(metrics["loss"])
