@@ -43,7 +43,7 @@ def main():
             "head_dim=128",
             "vocab_size=9344",
             "max_target_length=2048",
-            "per_device_batch_size=8" if on_tpu else "per_device_batch_size=1",
+            "per_device_batch_size=4" if on_tpu else "per_device_batch_size=1",
             "scan_layers=true",
             "remat_policy=minimal",
             "attention=flash",

@@ -83,6 +83,7 @@ class Config:
 
     # rope
     rope_type: str = "default"  # default | llama3.1 | yarn | none
+    use_positional_embedding: bool = False  # gpt3-style learned positions
     rope_max_timescale: float = 10_000.0
     rope_factor: float = 8.0  # llama3.1 scaling
     rope_low_freq_factor: float = 1.0
@@ -119,6 +120,11 @@ class Config:
     qk_nope_head_dim: int = 128
     qk_rope_head_dim: int = 64
     v_head_dim: int = 128
+
+    # LoRA (PEFT + serving adapters, reference maxengine.py:282-317)
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_only_training: bool = True  # freeze base weights when lora_rank > 0
 
     # multi-token prediction (deepseek v3)
     mtp_num_layers: int = 0
@@ -227,6 +233,7 @@ class Config:
     # ---------------------------------------------------------------- inference
     max_prefill_predict_length: int = 64
     decode_sampling_strategy: str = "greedy"  # greedy | weighted | topk | nucleus
+    autoregressive_decode_assert: str = ""  # comma-separated expected token ids (e2e tests)
     decode_sampling_nucleus_p: float = 0.95
     decode_sampling_top_k: int = 40
     decode_sampling_temperature: float = 1.0
@@ -342,24 +349,40 @@ def _load_yaml(path: str) -> dict[str, Any]:
 
 
 def load_config(argv: list[str] | None = None, **kwargs: Any) -> Config:
-    """Build a Config from [yaml_path] + key=value argv + MTT_* env + kwargs."""
+    """Build a Config from [yaml_path] + key=value argv + MTT_* env + kwargs.
+
+    Merge order (later wins): base yaml < model preset yaml < env < CLI <
+    kwargs. A ``model_name`` with a matching configs/models/<name>.yml pulls
+    in that preset (reference: pyconfig validate_and_update_keys).
+    """
     argv = list(argv or [])
     overrides: dict[str, Any] = {}
 
     if argv and "=" not in argv[0]:
         overrides.update(_load_yaml(argv.pop(0)))
 
+    late: dict[str, Any] = {}
     for key, val in os.environ.items():
         if key.startswith("MTT_"):
-            overrides[key[len("MTT_"):].lower()] = val
+            late[key[len("MTT_"):].lower()] = val
 
     for arg in argv:
         if "=" not in arg:
             raise ValueError(f"expected key=value override, got {arg!r}")
         key, _, val = arg.partition("=")
-        overrides[key.strip()] = val.strip()
+        late[key.strip()] = val.strip()
 
-    overrides.update(kwargs)
+    late.update(kwargs)
+
+    model_name = late.get("model_name", overrides.get("model_name", "default"))
+    if model_name not in ("default", "tiny", "tiny_tts", ""):
+        preset = os.path.join(
+            os.path.dirname(__file__), "configs", "models", f"{model_name}.yml"
+        )
+        if os.path.exists(preset):
+            overrides.update(_load_yaml(preset))
+
+    overrides.update(late)
 
     fields_by_name = {f.name: f for f in dataclasses.fields(Config)}
     clean: dict[str, Any] = {}
@@ -390,14 +413,19 @@ def finalize(cfg: Config, num_devices: int | None = None) -> Config:
     s = cfg.global_parameter_scale
     if s != 1 and (s & (s - 1)) != 0:
         raise ValueError("global_parameter_scale must be a power of 2")
-    lin = round(s ** (1 / 3) * 2) / 2 if s != 1 else 1
-    cfg.emb_dim = _round128(cfg.base_emb_dim * lin)
-    cfg.num_query_heads = max(1, _round_even(cfg.base_num_query_heads * lin))
-    cfg.num_kv_heads = max(1, _round_even(cfg.base_num_kv_heads * lin))
-    cfg.mlp_dim = _round128(cfg.base_mlp_dim * lin)
-    cfg.num_decoder_layers = (
-        cfg.base_num_decoder_layers if s == 1 else _round_even(cfg.base_num_decoder_layers * lin)
-    )
+    if s == 1:
+        cfg.emb_dim = cfg.base_emb_dim
+        cfg.num_query_heads = cfg.base_num_query_heads
+        cfg.num_kv_heads = cfg.base_num_kv_heads
+        cfg.mlp_dim = cfg.base_mlp_dim
+        cfg.num_decoder_layers = cfg.base_num_decoder_layers
+    else:
+        lin = round(s ** (1 / 3) * 2) / 2
+        cfg.emb_dim = _round128(cfg.base_emb_dim * lin)
+        cfg.num_query_heads = max(1, _round_even(cfg.base_num_query_heads * lin))
+        cfg.num_kv_heads = max(1, _round_even(cfg.base_num_kv_heads * lin))
+        cfg.mlp_dim = _round128(cfg.base_mlp_dim * lin)
+        cfg.num_decoder_layers = _round_even(cfg.base_num_decoder_layers * lin)
 
     # -------- parallelism products
     per_slice = num_devices // cfg.num_slices

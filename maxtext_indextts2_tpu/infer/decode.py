@@ -34,6 +34,12 @@ def main(argv=None, prompt_ids=None, max_new_tokens: int = 16):
     out = engine.generate_stream(prompt_ids, max_new_tokens)
     print("prompt:", prompt_ids.tolist())
     print("completion:", out)
+    if cfg.autoregressive_decode_assert:
+        expected = [int(t) for t in cfg.autoregressive_decode_assert.split(",")]
+        assert out[: len(expected)] == expected, (
+            f"decode assert failed: {out[:len(expected)]} != {expected}"
+        )
+        print("decode assert passed")
     return out
 
 

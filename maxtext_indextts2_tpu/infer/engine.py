@@ -46,6 +46,7 @@ class Engine:
         self.num_slots = int(cfg.per_device_batch_size * cfg.num_devices)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self._p_prefill = None
+        self._p_prefill_chunk = None
         self._p_generate = None
         self._p_insert = None
 
@@ -125,6 +126,59 @@ class Engine:
             return self._p_prefill(
                 self.params, jnp.asarray(padded), jnp.asarray([true_length], jnp.int32), rng
             )
+
+    def prefill_chunked(self, tokens: np.ndarray, true_length: int, chunk_size: int):
+        """Chunked prefill: process the prompt in fixed-size chunks, each
+        attending to previously cached KV (reference: maxengine.py chunked
+        prefill with ExistingPrefix; benchmark_chunked_prefill.py). One jitted
+        program per chunk width; lower peak memory than full-width prefill."""
+        cfg = self.cfg
+        if self._p_prefill_chunk is None:
+            def chunk_impl(variables, chunk, positions, segs, offset):
+                return self.model.apply(
+                    variables, chunk, positions, segs,
+                    mode=MODE_PREFILL, mutable=["cache"],
+                    cache_offset=offset,
+                )
+
+            self._p_prefill_chunk = jax.jit(chunk_impl)
+
+        padded_total = ((true_length + chunk_size - 1) // chunk_size) * chunk_size
+        padded = np.zeros((1, padded_total), np.int32)
+        padded[0, :true_length] = tokens[:true_length]
+
+        cache = None
+        logits = None
+        with self.mesh:
+            for off in range(0, padded_total, chunk_size):
+                chunk = jnp.asarray(padded[:, off : off + chunk_size])
+                positions = jnp.arange(off, off + chunk_size, dtype=jnp.int32)[None, :]
+                valid = (
+                    jnp.arange(off, off + chunk_size)[None, :] < true_length
+                ).astype(jnp.int32)
+                variables = {"params": self.params}
+                if cache is not None:
+                    variables["cache"] = cache
+                logits, vars_ = self._p_prefill_chunk(
+                    variables, chunk, positions, valid, jnp.asarray(off, jnp.int32)
+                )
+                cache = vars_["cache"]
+
+        last_rel = (true_length - 1) % chunk_size
+        last = logits[:, last_rel]
+        self.rng, rng = jax.random.split(self.rng)
+        first_token = sample_tokens(
+            last, rng, cfg.decode_sampling_strategy,
+            cfg.decode_sampling_temperature, cfg.decode_sampling_top_k,
+            cfg.decode_sampling_nucleus_p,
+        )
+        prefix = {
+            "cache": cache,
+            "token": first_token,
+            "pos": jnp.asarray([true_length], jnp.int32),
+            "logits": last,
+        }
+        return prefix, first_token
 
     # ------------------------------------------------------- decode state
     def init_decode_state(self):

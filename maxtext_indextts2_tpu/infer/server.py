@@ -120,15 +120,24 @@ class Orchestrator:
             req.done.set()
 
 
-def serve(cfg: Config, port: int | None = None, engine: Engine | None = None):
-    """Blocking HTTP server (reference: maxengine_server.main)."""
+def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
+          tts_pipeline=None):
+    """Blocking HTTP server (reference: maxengine_server.main).
+
+    Endpoints: POST /generate (token LM) and, when a TTS pipeline is
+    provided, POST /tts {"text": ..., "prompt_wav_16k": [...],
+    "prompt_wav_24k": [...]} -> {"wav": [...], "info": {...}}.
+    """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    orch = Orchestrator(engine or Engine(cfg))
+    orch = Orchestrator(engine or (tts_pipeline.engine if tts_pipeline else Engine(cfg)))
     orch.start()
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
+            if self.path == "/tts" and tts_pipeline is not None:
+                self._do_tts()
+                return
             if self.path != "/generate":
                 self.send_error(404)
                 return
@@ -149,6 +158,29 @@ def serve(cfg: Config, port: int | None = None, engine: Engine | None = None):
                 {"tokens": req.tokens} if req.error is None else {"error": req.error}
             ).encode()
             self.send_response(200 if req.error is None else 500)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _do_tts(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(length) or "{}")
+                wav, info = tts_pipeline.synthesize(
+                    body["text"],
+                    np.asarray(body["prompt_wav_16k"], np.float32),
+                    np.asarray(body["prompt_wav_24k"], np.float32),
+                    max_new_tokens=int(body.get("max_new_tokens", 256)),
+                )
+                payload = json.dumps(
+                    {"wav": np.asarray(wav).tolist(), "info": info}
+                ).encode()
+                code = 200
+            except (json.JSONDecodeError, KeyError, ValueError) as e:
+                payload = json.dumps({"error": f"bad request: {e}"}).encode()
+                code = 400
+            self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()

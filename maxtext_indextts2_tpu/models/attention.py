@@ -104,10 +104,14 @@ class KVCache(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def update(self, k: jax.Array, v: jax.Array, mode: str, true_lengths=None):
+    def update(self, k: jax.Array, v: jax.Array, mode: str, true_lengths=None,
+               cache_offset=None):
         """true_lengths: [B] int32 — actual prompt length per row in prefill
         (defaults to the full prefill width). cache_index is per-slot so a
-        continuous-batching engine can hold slots at different positions."""
+        continuous-batching engine can hold slots at different positions.
+        cache_offset: scalar — chunked prefill writes this chunk at
+        [offset, offset+len) on top of the existing cache (reference:
+        maxengine.py ExistingPrefix chunked prefill)."""
         b = k.shape[0]
         shape = (b, self.max_length, self.num_kv_heads, self.head_dim)
         ck = self.variable("cache", "cached_key", jnp.zeros, shape, self.dtype)
@@ -121,13 +125,17 @@ class KVCache(nn.Module):
             prefill_len = k.shape[1]
             if true_lengths is None:
                 true_lengths = jnp.full((b,), prefill_len, jnp.int32)
-            ck.value = jax.lax.dynamic_update_slice(ck.value, k.astype(self.dtype), (0, 0, 0, 0))
-            cv.value = jax.lax.dynamic_update_slice(cv.value, v.astype(self.dtype), (0, 0, 0, 0))
+            off = jnp.asarray(0 if cache_offset is None else cache_offset, jnp.int32)
+            ck.value = jax.lax.dynamic_update_slice(
+                ck.value, k.astype(self.dtype), (0, off, 0, 0))
+            cv.value = jax.lax.dynamic_update_slice(
+                cv.value, v.astype(self.dtype), (0, off, 0, 0))
+            end = off + true_lengths[:, None]
             valid = (
-                jnp.arange(self.max_length, dtype=jnp.int32)[None, :] < true_lengths[:, None]
+                jnp.arange(self.max_length, dtype=jnp.int32)[None, :] < end
             ).astype(jnp.int32)
-            seg.value = valid
-            idx.value = true_lengths.astype(jnp.int32)
+            seg.value = jnp.where(cache_offset is None, valid, jnp.maximum(seg.value, valid))                 if cache_offset is not None else valid
+            idx.value = (off + true_lengths).astype(jnp.int32)
         else:  # autoregressive: k,v are [B, 1, N, D]; per-slot write position
             pos = idx.value  # [B]
             rows = jnp.arange(b)
@@ -168,6 +176,7 @@ class Attention(nn.Module):
     kernel_init: Any = nd_dense_init()
     matmul_precision: str = "default"
     quantization: str = ""
+    lora_rank: int = 0  # applied to q/v projections (classic LoRA targets)
     flash_block_sizes: tuple[int, int] = (512, 512)
     context_parallelism: int = 1
     load_balanced_context_parallel: bool = True
@@ -182,6 +191,7 @@ class Attention(nn.Module):
         segment_ids: jax.Array | None,
         mode: str = MODE_TRAIN,
         deterministic: bool = True,
+        cache_offset=None,  # chunked prefill: this chunk's global start
     ) -> jax.Array:
         q = DenseGeneral(
             features=(self.num_query_heads, self.head_dim),
@@ -191,6 +201,7 @@ class Attention(nn.Module):
             use_bias=self.use_bias,
             matmul_precision=self.matmul_precision,
             quantization=self.quantization,
+            lora_rank=self.lora_rank,
             name="query",
         )(inputs_q)
         k = DenseGeneral(
@@ -211,6 +222,7 @@ class Attention(nn.Module):
             use_bias=self.use_bias,
             matmul_precision=self.matmul_precision,
             quantization=self.quantization,
+            lora_rank=self.lora_rank,
             name="value",
         )(inputs_kv)
 
@@ -267,8 +279,22 @@ class Attention(nn.Module):
             true_lengths = None
             if mode == MODE_PREFILL and segment_ids is not None:
                 true_lengths = jnp.sum((segment_ids != 0).astype(jnp.int32), axis=1)
-            ck, cv, cseg, cidx = cache.update(k, v, mode, true_lengths)
-            if mode == MODE_PREFILL:
+            ck, cv, cseg, cidx = cache.update(k, v, mode, true_lengths, cache_offset)
+            if mode == MODE_PREFILL and cache_offset is not None:
+                # chunked prefill: attend over everything cached so far,
+                # causal against this chunk's GLOBAL positions
+                kv_positions = jnp.broadcast_to(
+                    jnp.arange(self.max_target_length, dtype=jnp.int32)[None, :],
+                    (q.shape[0], self.max_target_length),
+                )
+                mask = (kv_positions[:, None, :] <= positions[:, :, None]) & (
+                    cseg[:, None, :] > 0
+                )
+                out = dot_product_attention(
+                    q, ck, cv, mask[:, None, :, :],
+                    self.attn_logits_soft_cap, self.float32_qk_product,
+                )
+            elif mode == MODE_PREFILL:
                 # attend only within the prefill segment
                 mask = make_attention_mask(
                     positions,

@@ -53,6 +53,7 @@ def _attention_kwargs(cfg: Config, block, mesh, attention_type: str) -> dict[str
         use_bias=block.use_attn_bias,
         matmul_precision=cfg.matmul_precision,
         quantization=cfg.quantization,
+        lora_rank=cfg.lora_rank,
         flash_block_sizes=tuple(cfg.flash_block_sizes),
         context_parallelism=cfg.ici_context_parallelism,
         load_balanced_context_parallel=cfg.context_parallel_load_balance,
@@ -76,14 +77,17 @@ class DecoderLayer(nn.Module):
         segment_ids: jax.Array | None,
         mode: str = MODE_TRAIN,
         deterministic: bool = True,
+        cache_offset=None,
     ):
         x = inputs
         for i, attention_type in enumerate(self.block.attention_pattern):
-            x = self._sublayer(x, positions, segment_ids, mode, deterministic, i, attention_type)
+            x = self._sublayer(x, positions, segment_ids, mode, deterministic, i,
+                               attention_type, cache_offset)
         # (carry, ys) contract so the module is directly nn.scan-able
         return x, None
 
-    def _sublayer(self, x, positions, segment_ids, mode, deterministic, idx, attention_type):
+    def _sublayer(self, x, positions, segment_ids, mode, deterministic, idx,
+                  attention_type, cache_offset=None):
         cfg, block = self.cfg, self.block
         dtype = jnp.dtype(cfg.dtype)
         norm = functools.partial(
@@ -107,7 +111,8 @@ class DecoderLayer(nn.Module):
             attn_out = Attention(
                 **_attention_kwargs(cfg, block, self.mesh, attention_type),
                 name=f"self_attention_{idx}",
-            )(h, h, positions, segment_ids, mode=mode, deterministic=deterministic)
+            )(h, h, positions, segment_ids, mode=mode, deterministic=deterministic,
+              cache_offset=cache_offset)
         if block.use_post_attn_norm:
             attn_out = norm(name=f"post_self_attention_norm_{idx}")(attn_out)
         x = x + attn_out
@@ -175,6 +180,7 @@ class Decoder(nn.Module):
         segment_ids: jax.Array | None,
         mode: str = MODE_TRAIN,
         deterministic: bool = True,
+        cache_offset=None,
     ) -> jax.Array:
         cfg, block = self.cfg, self.block
         group = len(block.attention_pattern)
@@ -193,11 +199,13 @@ class Decoder(nn.Module):
             if num_units == 0:
                 continue
             y = self._run_region(
-                name, num_units, use_moe, y, positions, segment_ids, mode, deterministic
+                name, num_units, use_moe, y, positions, segment_ids, mode,
+                deterministic, cache_offset
             )
         return y
 
-    def _run_region(self, name, num_units, use_moe, y, positions, segment_ids, mode, deterministic):
+    def _run_region(self, name, num_units, use_moe, y, positions, segment_ids, mode,
+                    deterministic, cache_offset=None):
         cfg = self.cfg
         layer_kwargs = dict(cfg=cfg, block=self.block, mesh=self.mesh, use_moe=use_moe)
 
@@ -228,16 +236,16 @@ class Decoder(nn.Module):
                 layer_cls,
                 variable_axes={"params": 0, "cache": 0, "intermediates": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast,) * 5,
                 length=num_units,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
             y, _ = scan_fn(**layer_kwargs, name=name)(
-                y, positions, segment_ids, mode, deterministic
+                y, positions, segment_ids, mode, deterministic, cache_offset
             )
         else:
             for i in range(num_units):
                 y, _ = DecoderLayer(**layer_kwargs, name=f"{name}_{i}")(
-                    y, positions, segment_ids, mode, deterministic
+                    y, positions, segment_ids, mode, deterministic, cache_offset
                 )
         return y

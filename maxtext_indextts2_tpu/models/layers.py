@@ -55,6 +55,8 @@ class DenseGeneral(nn.Module):
     use_bias: bool = False
     matmul_precision: str = "default"
     quantization: str = ""  # "" | int8 | int8w | fp8 (AQT)
+    lora_rank: int = 0  # LoRA adapter rank (0 = off); B zero-init
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, inputs: jax.Array) -> jax.Array:
@@ -92,6 +94,33 @@ class DenseGeneral(nn.Module):
                 precision=_precision(self.matmul_precision),
                 preferred_element_type=jnp.float32,
             ).astype(self.dtype)
+
+        if self.lora_rank > 0:
+            # additive low-rank adapter: x @ A @ B * alpha/r (B zero-init so
+            # the adapted model starts identical to the base model)
+            r = self.lora_rank
+            flat_in = int(np.prod([inputs.shape[ax] for ax in axis]))
+            flat_out = int(np.prod(features))
+            lora_a = self.param(
+                "lora_a",
+                nn.with_logical_partitioning(
+                    nn.initializers.normal(1.0 / r), (None, None)
+                ),
+                (flat_in, r),
+                self.weight_dtype,
+            )
+            lora_b = self.param(
+                "lora_b",
+                nn.with_logical_partitioning(jax.nn.initializers.zeros, (None, None)),
+                (r, flat_out),
+                self.weight_dtype,
+            )
+            batch_shape = tuple(
+                d for i, d in enumerate(inputs.shape) if i not in axis
+            )
+            x2 = inputs.reshape(batch_shape + (flat_in,))
+            delta = (x2 @ lora_a.astype(self.dtype)) @ lora_b.astype(self.dtype)
+            out = out + (self.lora_alpha / r) * delta.reshape(out.shape)
 
         if self.use_bias:
             bias = self.param(

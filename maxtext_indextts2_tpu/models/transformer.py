@@ -43,6 +43,14 @@ class Transformer(nn.Module):
             scale_plus_one=self.block.rmsnorm_scale_plus_one,
             name="decoder_norm",
         )
+        if cfg.use_positional_embedding:
+            self.position_embedder = Embed(
+                num_embeddings=cfg.max_target_length,
+                features=cfg.emb_dim,
+                dtype=jnp.dtype(cfg.dtype),
+                weight_dtype=jnp.dtype(cfg.weight_dtype),
+                name="position_embedder",
+            )
         if cfg.mtp_num_layers > 0:
             from maxtext_indextts2_tpu.models.mtp import MTPLayer
 
@@ -86,13 +94,17 @@ class Transformer(nn.Module):
         deterministic: bool = True,
         targets: jax.Array | None = None,  # enables the MTP aux loss
         target_weights: jax.Array | None = None,
+        cache_offset=None,  # chunked prefill: global start of this chunk
     ) -> jax.Array:
         cfg = self.cfg
         emb = self.token_embedder(tokens)
         if self.block.scale_embedding:
             emb = emb * jnp.asarray(cfg.emb_dim**0.5, emb.dtype)
+        if cfg.use_positional_embedding:
+            emb = emb + self.position_embedder(positions)
 
-        y = self.decoder(emb, positions, segment_ids, mode=mode, deterministic=deterministic)
+        y = self.decoder(emb, positions, segment_ids, mode=mode,
+                         deterministic=deterministic, cache_offset=cache_offset)
 
         if cfg.mtp_num_layers > 0 and mode == MODE_TRAIN and targets is not None:
             self._mtp_loss(y, tokens, targets, target_weights, positions, segment_ids,

@@ -1,0 +1,106 @@
+"""Vision encoder + multimodal token fusion.
+
+Reference: MaxText/layers/encoders.py:28 VisionEncoder (gemma3/llama4 vision
+towers) + multimodal_utils.py token fusion. One compact ViT covers the
+capability: conv patchify -> pre-LN transformer blocks -> pooled/projected
+image embeddings, merged into the decoder's token stream at image
+placeholder positions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from maxtext_indextts2_tpu.models.attention import dot_product_attention
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    output_dim: int = 2048  # decoder emb_dim
+    pool_stride: int = 4  # output tokens = (patches/stride^2)
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+class ViTBlock(nn.Module):
+    cfg: VisionConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        b, s, e = x.shape
+        h = nn.LayerNorm(name="ln1")(x)
+        qkv = nn.Dense(3 * e, dtype=cfg.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        d = e // cfg.num_heads
+        q = q.reshape(b, s, cfg.num_heads, d)
+        k = k.reshape(b, s, cfg.num_heads, d)
+        v = v.reshape(b, s, cfg.num_heads, d)
+        attn = dot_product_attention(q, k, v, None).reshape(b, s, e)
+        x = x + nn.Dense(e, dtype=cfg.dtype, name="proj")(attn)
+        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype, name="fc1")(h)
+        h = jax.nn.gelu(h)
+        return x + nn.Dense(e, dtype=cfg.dtype, name="fc2")(h)
+
+
+class VisionEncoder(nn.Module):
+    cfg: VisionConfig
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """[B, H, W, 3] -> [B, num_image_tokens, output_dim]."""
+        cfg = self.cfg
+        x = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            dtype=cfg.dtype,
+            name="patch_embed",
+        )(images.astype(cfg.dtype))
+        b, hp, wp, e = x.shape
+        x = x.reshape(b, hp * wp, e)
+        pos = self.param(
+            "pos_embedding", nn.initializers.normal(0.02), (1, hp * wp, e), jnp.float32
+        )
+        x = x + pos.astype(cfg.dtype)
+        for i in range(cfg.num_layers):
+            x = ViTBlock(cfg, name=f"block_{i}")(x)
+        x = nn.LayerNorm(name="final_ln")(x)
+        # spatial average-pool to reduce image token count (gemma3-style)
+        if cfg.pool_stride > 1:
+            s = cfg.pool_stride
+            x = x.reshape(b, hp, wp, e)
+            x = x[:, : hp // s * s, : wp // s * s].reshape(
+                b, hp // s, s, wp // s, s, e
+            ).mean(axis=(2, 4))
+            x = x.reshape(b, -1, e)
+        return nn.Dense(cfg.output_dim, dtype=cfg.dtype, name="projector")(x)
+
+
+def merge_vision_embeddings(
+    token_embeddings: jax.Array,  # [B, S, E]
+    vision_embeddings: jax.Array,  # [B, T_img, E]
+    tokens: jax.Array,  # [B, S]
+    image_token_id: int,
+) -> jax.Array:
+    """Replace embeddings at image-placeholder positions with vision tokens,
+    in order (reference: multimodal_utils token fusion)."""
+    is_img = tokens == image_token_id  # [B, S]
+    # index of each image slot among the row's placeholders
+    slot = jnp.cumsum(is_img.astype(jnp.int32), axis=1) - 1
+    slot = jnp.clip(slot, 0, vision_embeddings.shape[1] - 1)
+    gathered = jnp.take_along_axis(
+        vision_embeddings, slot[..., None], axis=1
+    )
+    return jnp.where(is_img[..., None], gathered.astype(token_embeddings.dtype),
+                     token_embeddings)

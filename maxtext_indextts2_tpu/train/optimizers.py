@@ -22,13 +22,30 @@ def create_learning_rate_schedule(cfg: Config) -> optax.Schedule:
 
 def get_optimizer(cfg: Config, schedule: optax.Schedule) -> optax.GradientTransformation:
     if cfg.opt_type == "adamw":
-        return optax.adamw(
+        tx = optax.adamw(
             schedule,
             b1=cfg.adam_b1,
             b2=cfg.adam_b2,
             eps=cfg.adam_eps,
             weight_decay=cfg.adam_weight_decay,
         )
-    if cfg.opt_type == "sgd":
-        return optax.sgd(schedule)
-    raise ValueError(f"unknown opt_type: {cfg.opt_type}")
+    elif cfg.opt_type == "sgd":
+        tx = optax.sgd(schedule)
+    else:
+        raise ValueError(f"unknown opt_type: {cfg.opt_type}")
+
+    if cfg.lora_rank > 0 and cfg.lora_only_training:
+        # PEFT: update only lora_a/lora_b, hard-freeze everything else
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, _lora_labels
+        )
+    return tx
+
+
+def _lora_labels(params):
+    import jax
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "train" if any("lora_" in str(k) for k in path) else "freeze",
+        params,
+    )

@@ -39,6 +39,10 @@ from maxtext_indextts2_tpu.utils import flops as flops_lib
 from maxtext_indextts2_tpu.utils.metrics import MetricLogger
 
 
+class StopTraining(Exception):
+    """Signal: target metric reached (reference: MaxText/exceptions.py)."""
+
+
 class TrainState(flax_train_state.TrainState):
     pass
 
@@ -217,6 +221,10 @@ def create_data_iterator(cfg: Config):
         from maxtext_indextts2_tpu.train.data.hf_pipeline import make_hf_iterator
 
         return make_hf_iterator(cfg)
+    if cfg.dataset_type == "grain":
+        from maxtext_indextts2_tpu.train.data.grain_pipeline import make_grain_iterator
+
+        return make_grain_iterator(cfg)
     raise ValueError(f"unknown dataset_type: {cfg.dataset_type}")
 
 
@@ -294,10 +302,45 @@ def train_loop(cfg: Config, mesh: Mesh | None = None) -> dict:
             ):
                 checkpointer.save(step, state)
 
+            # periodic eval + early stop (reference: train.py:673-692)
+            if cfg.eval_interval > 0 and (step + 1) % cfg.eval_interval == 0:
+                eval_metrics = run_eval(cfg, model, state, mesh, p_eval=None)
+                logger.write_step(step, eval_metrics, step_time=0.0)
+                target = cfg.target_eval_loss
+                if target > 0 and float(eval_metrics["eval_loss"]) <= target:
+                    print(f"target_eval_loss {target} reached at step {step}; stopping")
+                    break
+
     if checkpointer is not None:
         checkpointer.close()
     logger.close()
     return jax.tree.map(lambda x: np.asarray(x), metrics)
+
+
+def run_eval(cfg: Config, model, state, mesh, p_eval=None, num_batches: int | None = None):
+    """Average eval loss over eval_steps batches of held-out (or synthetic) data."""
+    n = num_batches or (cfg.eval_steps if cfg.eval_steps > 0 else 4)
+    eval_iter = SyntheticDataIterator(cfg, cfg.global_batch_size_to_eval_on)
+    if cfg.dataset_type == "emilia_audio":
+        from maxtext_indextts2_tpu.train.data.audio_iterator import (
+            make_emilia_audio_eval_iterator,
+        )
+
+        eval_iter = make_emilia_audio_eval_iterator(cfg)
+    p_step = p_eval or jax.jit(functools.partial(eval_step, model, cfg))
+    total, weight = 0.0, 0.0
+    rng = jax.random.PRNGKey(cfg.seed + 777)
+    dshard = batch_sharding(mesh)
+    with mesh:
+        for _ in range(n):
+            batch = jax.tree.map(
+                lambda x: _put_batch(x, dshard, cfg.global_batch_size_to_eval_on),
+                next(eval_iter),
+            )
+            m = p_step(state, batch, rng)
+            total += float(m["eval_loss"]) * float(m["eval_total_weights"])
+            weight += float(m["eval_total_weights"])
+    return {"eval_loss": total / max(weight, 1e-9), "eval_weight": weight}
 
 
 def _put_batch(x, sharding, train_batch):

@@ -1,0 +1,175 @@
+"""HF <-> framework checkpoint conversion.
+
+Reference: MaxText/utils/ckpt_conversion/{to_maxtext.py:207,
+to_huggingface.py:191} + per-family converters (llama_or_mistral_ckpt.py
+etc.). One table-driven converter covers the llama-family layout
+(llama2/3/3.1, mistral, qwen3); weights land directly in the scanned
+[L, ...] parameter layout.
+
+Correctness bar: logits parity against the HF torch forward
+(tests/test_ckpt_conversion.py), mirroring the reference's
+forward_pass_logit_checker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from maxtext_indextts2_tpu.config import Config
+
+
+def _t(x) -> np.ndarray:
+    import torch
+
+    if isinstance(x, np.ndarray):
+        return x
+    return x.detach().to(torch.float32).cpu().numpy()
+
+
+def convert_hf_llama_to_framework(state_dict: dict, cfg: Config) -> dict:
+    """HF llama/mistral/qwen3-style state dict -> framework params (scanned).
+
+    Returns {"params": {...}} matching Transformer with scan_layers=True.
+    """
+    L = cfg.num_decoder_layers
+    E = cfg.emb_dim
+    nq, nkv, hd = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
+
+    sd = {k: v for k, v in state_dict.items()}
+
+    def get(name):
+        return _t(sd[name])
+
+    def stack(fmt, transform):
+        return np.stack([transform(get(fmt.format(i))) for i in range(L)], axis=0)
+
+    layers = {
+        "self_attention_0": {
+            "query": {"kernel": stack(
+                "model.layers.{}.self_attn.q_proj.weight",
+                lambda w: w.T.reshape(E, nq, hd))},
+            "key": {"kernel": stack(
+                "model.layers.{}.self_attn.k_proj.weight",
+                lambda w: w.T.reshape(E, nkv, hd))},
+            "value": {"kernel": stack(
+                "model.layers.{}.self_attn.v_proj.weight",
+                lambda w: w.T.reshape(E, nkv, hd))},
+            "out": {"kernel": stack(
+                "model.layers.{}.self_attn.o_proj.weight",
+                lambda w: w.T.reshape(nq, hd, E))},
+        },
+        "mlp_0": {
+            "wi_0": {"kernel": stack("model.layers.{}.mlp.gate_proj.weight", lambda w: w.T)},
+            "wi_1": {"kernel": stack("model.layers.{}.mlp.up_proj.weight", lambda w: w.T)},
+            "wo": {"kernel": stack("model.layers.{}.mlp.down_proj.weight", lambda w: w.T)},
+        },
+        "pre_self_attention_norm_0": {
+            "scale": stack("model.layers.{}.input_layernorm.weight", lambda w: w)
+        },
+        "pre_mlp_norm_0": {
+            "scale": stack("model.layers.{}.post_attention_layernorm.weight", lambda w: w)
+        },
+    }
+    # qwen3 per-head q/k norms
+    if "model.layers.0.self_attn.q_norm.weight" in sd:
+        layers["self_attention_0"]["query_norm"] = {
+            "scale": stack("model.layers.{}.self_attn.q_norm.weight", lambda w: w)
+        }
+        layers["self_attention_0"]["key_norm"] = {
+            "scale": stack("model.layers.{}.self_attn.k_norm.weight", lambda w: w)
+        }
+
+    params = {
+        "token_embedder": {"embedding": _pad_vocab(get("model.embed_tokens.weight"), cfg.vocab_size)},
+        "decoder": {"layers": layers},
+        "decoder_norm": {"scale": get("model.norm.weight")},
+    }
+    if not cfg.logits_via_embedding:
+        lm_head = sd.get("lm_head.weight")
+        if lm_head is None:  # tied embeddings
+            lm_head = sd["model.embed_tokens.weight"]
+        params["logits_dense"] = {"kernel": _pad_vocab(_t(lm_head), cfg.vocab_size).T.copy()}
+    return {"params": params}
+
+
+def _pad_vocab(emb: np.ndarray, vocab_size: int) -> np.ndarray:
+    if emb.shape[0] == vocab_size:
+        return emb
+    if emb.shape[0] > vocab_size:
+        return emb[:vocab_size]
+    out = np.zeros((vocab_size, emb.shape[1]), emb.dtype)
+    out[: emb.shape[0]] = emb
+    return out
+
+
+def convert_framework_to_hf_llama(params: dict, cfg: Config) -> dict:
+    """Inverse: framework (scanned) params -> HF llama-style state dict."""
+    import flax
+
+    p = params.get("params", params)
+    flat = flax.traverse_util.flatten_dict(p)
+    L = cfg.num_decoder_layers
+    E = cfg.emb_dim
+    nq, nkv, hd = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def g(*path):
+        return np.asarray(flat[path])
+
+    sd = {
+        "model.embed_tokens.weight": g("token_embedder", "embedding"),
+        "model.norm.weight": g("decoder_norm", "scale"),
+    }
+    if ("logits_dense", "kernel") in flat:
+        sd["lm_head.weight"] = g("logits_dense", "kernel").T.copy()
+    for i in range(L):
+        pre = f"model.layers.{i}."
+        sd[pre + "self_attn.q_proj.weight"] = (
+            g("decoder", "layers", "self_attention_0", "query", "kernel")[i]
+            .reshape(E, nq * hd).T.copy()
+        )
+        sd[pre + "self_attn.k_proj.weight"] = (
+            g("decoder", "layers", "self_attention_0", "key", "kernel")[i]
+            .reshape(E, nkv * hd).T.copy()
+        )
+        sd[pre + "self_attn.v_proj.weight"] = (
+            g("decoder", "layers", "self_attention_0", "value", "kernel")[i]
+            .reshape(E, nkv * hd).T.copy()
+        )
+        sd[pre + "self_attn.o_proj.weight"] = (
+            g("decoder", "layers", "self_attention_0", "out", "kernel")[i]
+            .reshape(nq * hd, E).T.copy()
+        )
+        sd[pre + "mlp.gate_proj.weight"] = g("decoder", "layers", "mlp_0", "wi_0", "kernel")[i].T.copy()
+        sd[pre + "mlp.up_proj.weight"] = g("decoder", "layers", "mlp_0", "wi_1", "kernel")[i].T.copy()
+        sd[pre + "mlp.down_proj.weight"] = g("decoder", "layers", "mlp_0", "wo", "kernel")[i].T.copy()
+        sd[pre + "input_layernorm.weight"] = g(
+            "decoder", "layers", "pre_self_attention_norm_0", "scale")[i]
+        sd[pre + "post_attention_layernorm.weight"] = g(
+            "decoder", "layers", "pre_mlp_norm_0", "scale")[i]
+    return sd
+
+
+def main(argv=None):
+    """CLI: convert a local HF checkpoint dir to a params-only Orbax ckpt."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hf_path", required=True)
+    ap.add_argument("--out_path", required=True)
+    ap.add_argument("--model_name", required=True)
+    args = ap.parse_args(argv)
+
+    from transformers import AutoModelForCausalLM
+
+    from maxtext_indextts2_tpu.config import load_config
+    from maxtext_indextts2_tpu.train.checkpointing import save_params_only
+
+    cfg = load_config([f"model_name={args.model_name}"])
+    hf = AutoModelForCausalLM.from_pretrained(args.hf_path)
+    params = convert_hf_llama_to_framework(hf.state_dict(), cfg)
+    save_params_only(args.out_path, params["params"])
+    print(f"converted {args.hf_path} -> {args.out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""HF->framework conversion: logits parity against the actual HF torch
+forward (reference: forward_pass_logit_checker.py golden-logit strategy,
+self-contained with a tiny randomly-initialized HF model)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from maxtext_indextts2_tpu.config import load_config
+from maxtext_indextts2_tpu.models import Transformer
+from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+    convert_framework_to_hf_llama,
+    convert_hf_llama_to_framework,
+)
+
+
+def _tiny_hf_llama():
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        rms_norm_eps=1e-6,
+        attention_bias=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    return LlamaForCausalLM(hf_cfg)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    hf = _tiny_hf_llama().eval()
+    cfg = load_config([
+        "decoder_block=llama2",
+        "base_emb_dim=64", "base_mlp_dim=128", "base_num_decoder_layers=2",
+        "base_num_query_heads=4", "base_num_kv_heads=2", "head_dim=16",
+        "vocab_size=256", "max_target_length=32",
+        "dtype=float32", "weight_dtype=float32", "attention=dot_product",
+    ])
+    params = convert_hf_llama_to_framework(hf.state_dict(), cfg)
+    params = {"params": jax.tree.map(jnp.asarray, params["params"])}
+    return hf, cfg, params
+
+
+def test_logits_parity_with_hf(setup):
+    hf, cfg, params = setup
+    model = Transformer(cfg=cfg)
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 256, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(tokens.astype(np.int64))).logits.numpy()
+
+    positions = jnp.broadcast_to(jnp.arange(16), (2, 16))
+    segs = jnp.ones((2, 16), jnp.int32)
+    ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
+
+    # same argmax everywhere and close logits
+    np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+    assert np.abs(ref - ours).max() < 2e-3
+
+
+def test_roundtrip_hf_framework_hf(setup):
+    hf, cfg, params = setup
+    sd = convert_framework_to_hf_llama(params, cfg)
+    ref_sd = hf.state_dict()
+    for k, v in sd.items():
+        np.testing.assert_allclose(
+            np.asarray(v), ref_sd[k].float().numpy(), atol=1e-6, err_msg=k
+        )

@@ -108,3 +108,26 @@ def test_multihost_iterator_single_process():
     x = batch["inputs"]
     assert x.shape == (8, 64)
     assert x.sharding.shard_shape(x.shape) == (1, 64)  # sharded over fsdp
+
+
+def test_grain_pipeline(tmp_path):
+    """Deterministic grain pipeline over JSONL shards with state checkpointing."""
+    import json
+
+    shard = tmp_path / "data.jsonl"
+    with open(shard, "w") as f:
+        for i in range(64):
+            f.write(json.dumps({"text": f"example number {i} " * 3}) + "\n")
+    cfg = load_config([
+        "dataset_type=grain", f"dataset_path={shard}",
+        "per_device_batch_size=0.25", "max_target_length=64", "num_epochs=4",
+    ])
+    from maxtext_indextts2_tpu.train.data.grain_pipeline import make_grain_iterator
+
+    it = make_grain_iterator(cfg)
+    b1 = next(it)
+    assert b1["inputs"].shape == (cfg.global_batch_size_to_load, 64)
+    assert (b1["inputs_segmentation"] > 0).any()
+    # iterator state roundtrips
+    state = it.get_state()
+    assert isinstance(state, bytes)

@@ -90,3 +90,21 @@ def test_sampling_strategies():
     # high temperature nucleus stays within the top-p set
     toks = sample_tokens(logits, rng, "nucleus", temperature=5.0, nucleus_p=0.5)
     assert toks.tolist() == [2, 0]
+
+
+def test_chunked_prefill_matches_full(engine):
+    """Chunked prefill must produce the same first token and decode path as
+    full prefill (reference: benchmark_chunked_prefill correctness bar)."""
+    import numpy as np
+
+    prompt = np.array([3, 5, 7, 11, 13, 17, 19, 23, 29, 31], np.int32)
+    full = engine.generate_stream(prompt, 6)
+
+    prefix, first = engine.prefill_chunked(prompt, len(prompt), chunk_size=4)
+    state = engine.init_decode_state()
+    state = engine.insert(prefix, state, 0)
+    out = [int(np.asarray(first)[0])]
+    for _ in range(5):
+        state, toks = engine.generate(state)
+        out.append(int(np.asarray(toks)[0]))
+    assert out == full

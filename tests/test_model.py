@@ -138,3 +138,30 @@ def test_logits_via_embedding():
     assert logits.shape == (1, 32, cfg.vocab_size)
     # no separate unembedding matrix
     assert "logits_dense" not in params["params"]
+
+
+def test_vision_encoder_and_fusion():
+    from maxtext_indextts2_tpu.models.vision import (
+        VisionConfig,
+        VisionEncoder,
+        merge_vision_embeddings,
+    )
+    import jax.numpy as jnp
+
+    vcfg = VisionConfig(image_size=28, patch_size=7, hidden_size=32, num_layers=2,
+                        num_heads=4, mlp_dim=64, output_dim=16, pool_stride=2,
+                        dtype=jnp.float32)
+    enc = VisionEncoder(vcfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 28, 28, 3))
+    params = enc.init(jax.random.PRNGKey(1), imgs)
+    out = enc.apply(params, imgs)
+    assert out.shape == (2, 4, 16)  # (28/7/2)^2 = 4 tokens
+
+    # fusion: placeholders get vision embeddings in order
+    tok_emb = jnp.zeros((1, 6, 16))
+    tokens = jnp.array([[5, 99, 99, 7, 99, 8]])
+    fused = merge_vision_embeddings(tok_emb, out[:1], tokens, image_token_id=99)
+    np.testing.assert_allclose(np.asarray(fused[0, 1]), np.asarray(out[0, 0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused[0, 2]), np.asarray(out[0, 1]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused[0, 4]), np.asarray(out[0, 2]), atol=1e-6)
+    assert np.allclose(np.asarray(fused[0, 0]), 0)
