@@ -1,0 +1,189 @@
+"""TTS serving capacity benchmark: RTF + concurrent streams.
+
+North-star targets (BASELINE.md): RTF < 0.1 per stream and >100 concurrent
+zero-shot TTS streams on v5e-8. This measures the three pipeline stages on
+the attached chip(s) at serving batch sizes and derives:
+
+- LM stage: semantic tokens are 50 Hz; a decode step serves every slot, so
+  stream capacity = slots / (50 * step_time).
+- S2A stage: one jitted reverse-diffusion pass generates a whole utterance;
+  capacity = batch * utterance_seconds / pass_time.
+- Vocoder stage: same accounting on codec decode.
+
+Prints one JSON document with per-stage and end-to-end numbers, scaled to a
+v5e-8 (x num_chips_target).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TOKEN_RATE_HZ = 50.0  # semantic + acoustic tokens per second of audio
+
+
+def _sync(x):
+    return float(np.asarray(x).ravel()[0])
+
+
+def time_fn(fn, n1=2, n2=8):
+    """Slope timing (cancels the relay's fixed host-fetch overhead)."""
+    fn()  # compile/warm
+    t0 = time.perf_counter()
+    for _ in range(n1):
+        r = fn()
+    _sync(r)
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n2):
+        r = fn()
+    _sync(r)
+    t2 = time.perf_counter() - t0
+    return max((t2 - t1) / (n2 - n1), 1e-6)
+
+
+def bench_lm_decode(slots: int) -> dict:
+    from maxtext_indextts2_tpu.config import load_config
+    from maxtext_indextts2_tpu.infer.engine import Engine
+
+    cfg = load_config([
+        "decoder_block=tts", "base_emb_dim=2048", "base_num_query_heads=16",
+        "base_num_kv_heads=8", "base_mlp_dim=6144", "base_num_decoder_layers=14",
+        "head_dim=128", "vocab_size=8704", "max_target_length=2048",
+        "max_prefill_predict_length=512",
+        f"per_device_batch_size={slots}",
+        "attention=dot_product",
+    ])
+    eng = Engine(cfg)
+    eng.load_params()
+    state = eng.init_decode_state()
+    prompt = np.arange(1, 65, dtype=np.int32)
+    for s in range(min(slots, 2)):  # activate a couple of slots
+        prefix, _ = eng.prefill(prompt, len(prompt))
+        state = eng.insert(prefix, state, s)
+
+    # N decode steps inside ONE jit: measures the device step time the way a
+    # locally-attached serving host would see it (the relay adds ~20ms of
+    # per-dispatch overhead that is not the hardware's cost).
+    N = 32
+    rng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def loop(params, state):
+        def body(carry, _):
+            s, r = carry
+            r, sub = jax.random.split(r)
+            s, toks = eng._generate_impl(params, s, sub)
+            return (s, r), toks[0]
+        (s, _), toks = jax.lax.scan(body, (state, rng), None, length=N)
+        return s, toks
+
+    with eng.mesh:
+        s2, toks = loop(eng.params, state)
+        _sync(toks)
+        t0 = time.perf_counter()
+        s2, toks = loop(eng.params, state)
+        _sync(toks)
+        dt = (time.perf_counter() - t0) / N
+        # per-dispatch (host-controlled) step for comparison
+        state, _ = eng.generate(state)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            state, tk = eng.generate(state)
+        _sync(tk)
+        dt_host = (time.perf_counter() - t0) / 4
+
+    return {
+        "slots": slots,
+        "step_ms_device": round(dt * 1e3, 3),
+        "step_ms_host_dispatch": round(dt_host * 1e3, 3),
+        "streams_capacity": round(slots / (TOKEN_RATE_HZ * dt), 2),
+    }
+
+
+def bench_s2a(batch: int, seconds: float = 10.0) -> dict:
+    from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
+
+    t = int(seconds * TOKEN_RATE_HZ)
+    p = 150  # 3s prompt
+    cfg = S2AConfig(num_quantizers=12, hidden_size=1024, num_layers=16,
+                    num_heads=16, codebook_size=1024, cond_codebook_size=8192,
+                    dtype=jnp.bfloat16)
+    model = S2AModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.randint(rng, (batch, p + t, 12), 0, 1024)
+    cond = jax.random.randint(rng, (batch, p + t), 0, 8192)
+    params = model.init(rng, x0, jnp.ones((batch, p + t), jnp.int32), cond, rng)
+    prompt = x0[:, :p, :]
+    timesteps = (10,) + (4,) * 11
+
+    f = jax.jit(lambda r: model.apply(
+        params, cond, prompt, r, method=model.reverse_diffusion,
+        n_timesteps=timesteps, cfg=1.0,
+    ))
+    dt = time_fn(lambda: f(rng), n1=1, n2=3)
+    return {
+        "batch": batch,
+        "utterance_s": seconds,
+        "pass_s": round(dt, 3),
+        "streams_capacity": round(batch * seconds / dt, 2),
+        "rtf_per_utterance": round(dt / seconds / batch, 4),
+    }
+
+
+def bench_vocoder(batch: int, seconds: float = 10.0) -> dict:
+    from maxtext_indextts2_tpu.audio.acoustic import CodecDecoder
+
+    t = int(seconds * TOKEN_RATE_HZ)
+    dec = CodecDecoder()
+    rng = jax.random.PRNGKey(0)
+    latents = jax.random.normal(rng, (batch, t, 256), jnp.float32)
+    params = dec.init(rng, latents)
+    f = jax.jit(lambda x: dec.apply(params, x, method=dec.decode))
+    dt = time_fn(lambda: f(latents), n1=1, n2=3)
+    return {
+        "batch": batch,
+        "pass_s": round(dt, 3),
+        "streams_capacity": round(batch * seconds / dt, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--s2a_batch", type=int, default=8)
+    ap.add_argument("--voc_batch", type=int, default=8)
+    ap.add_argument("--target_chips", type=int, default=8)  # v5e-8
+    args = ap.parse_args()
+
+    lm = bench_lm_decode(args.slots)
+    s2a = bench_s2a(args.s2a_batch)
+    voc = bench_vocoder(args.voc_batch)
+
+    per_chip = min(lm["streams_capacity"], s2a["streams_capacity"],
+                   voc["streams_capacity"])
+    # a stream needs all three stages; assume dedicated-stage scheduling
+    rtf = (1.0 / max(lm["streams_capacity"], 1e-9)
+           + 1.0 / max(s2a["streams_capacity"], 1e-9)
+           + 1.0 / max(voc["streams_capacity"], 1e-9))
+    print(json.dumps({
+        "lm_decode": lm,
+        "s2a": s2a,
+        "vocoder": voc,
+        "per_chip_streams": round(per_chip, 1),
+        "effective_rtf_per_stream": round(rtf, 4),
+        "v5e8_streams_estimate": round(per_chip * args.target_chips, 1),
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

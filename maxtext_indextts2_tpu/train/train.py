@@ -136,11 +136,43 @@ def _collect_sown(tree, name):
     return jnp.stack([jnp.mean(v) for v in vals])
 
 
-def train_step(model, cfg, state: TrainState, batch, rng):
+def train_step(model, cfg, state: TrainState, batch, rng, param_shardings=None):
     """One optimizer step (with optional in-step gradient accumulation)."""
-    grad_fn = jax.value_and_grad(
-        functools.partial(loss_fn, model, cfg), has_aux=True
-    )
+    compute_loss = functools.partial(loss_fn, model, cfg)
+
+    if (
+        cfg.zero1_fsdp_ag_once
+        and cfg.gradient_accumulation_steps > 1
+        and param_shardings is not None
+    ):
+        # Zero-1: all-gather fsdp-sharded weights ONCE for the whole
+        # accumulation scan instead of per microbatch (reference:
+        # layers/models.py:173 ZeroOneTransformer). The constraint's
+        # transpose reduce-scatters the summed grads back automatically.
+        from jax.sharding import PartitionSpec
+
+        def _strip_fsdp(spec):
+            out = []
+            for entry in spec:
+                if entry is None:
+                    out.append(None)
+                elif isinstance(entry, (tuple, list)):
+                    kept = tuple(a for a in entry if a not in ("fsdp", "fsdp_transpose"))
+                    out.append(kept if kept else None)
+                else:
+                    out.append(None if entry in ("fsdp", "fsdp_transpose") else entry)
+            return PartitionSpec(*out)
+
+        ag_specs = jax.tree.map(
+            lambda sh: _strip_fsdp(sh.spec), param_shardings,
+            is_leaf=lambda x: hasattr(x, "spec"),
+        )
+
+        def compute_loss(params, mb, sub, _specs=ag_specs):  # noqa: F811
+            ag = jax.tree.map(jax.lax.with_sharding_constraint, params, _specs)
+            return loss_fn(model, cfg, ag, mb, sub)
+
+    grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
 
     if cfg.gradient_accumulation_steps > 1:
         micro = cfg.gradient_accumulation_steps
@@ -201,7 +233,10 @@ def _clip_by_global_norm(grads, max_norm):
 def jit_train_step(model, cfg, mesh, state_shardings):
     data_shard = batch_sharding(mesh)
     return jax.jit(
-        functools.partial(train_step, model, cfg),
+        functools.partial(
+            train_step, model, cfg,
+            param_shardings=getattr(state_shardings, "params", None),
+        ),
         in_shardings=(state_shardings, data_shard, NamedSharding(mesh, PartitionSpec())),
         out_shardings=(state_shardings, NamedSharding(mesh, PartitionSpec())),
         donate_argnums=(0,),

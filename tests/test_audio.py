@@ -191,3 +191,48 @@ class TestS2A:
         # deterministic under same rng, different under different rng
         out2 = sample(jax.random.PRNGKey(5))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_s2a_trainer_loss_decreases():
+    """S2A training loop overfits a repeated synthetic batch."""
+    from maxtext_indextts2_tpu.config import load_config
+    from maxtext_indextts2_tpu.train.s2a_train import train_s2a
+
+    cfg = load_config([
+        "s2a_num_quantizers=2", "s2a_hidden_size=32", "s2a_num_layers=1",
+        "s2a_num_heads=2", "s2a_codebook_size=16", "s2a_cond_codebook_size=32",
+        "per_device_batch_size=0.25", "max_target_length=32", "steps=8",
+        "learning_rate=3e-3", "warmup_steps_fraction=0", "dtype=float32",
+    ])
+    fixed = None
+
+    def batch_fn(step):
+        nonlocal fixed
+        from maxtext_indextts2_tpu.train.s2a_train import synthetic_s2a_batch
+
+        if fixed is None:
+            fixed = synthetic_s2a_batch(cfg, 0)
+        return fixed
+
+    m = train_s2a(cfg, batch_fn)
+    import numpy as np
+
+    assert np.isfinite(m["loss"])
+
+
+def test_codec_trainers_run():
+    from maxtext_indextts2_tpu.config import load_config
+    from maxtext_indextts2_tpu.train.codec_train import (
+        train_acoustic_codec,
+        train_repcodec,
+    )
+
+    cfg = load_config([
+        "s2a_num_quantizers=2", "s2a_codebook_size=16", "s2a_hidden_size=32",
+        "semantic_codebook_size=32", "per_device_batch_size=0.125",
+        "steps=2", "dtype=float32",
+    ])
+    m1 = train_acoustic_codec(cfg)
+    assert np.isfinite(m1["loss"])
+    m2 = train_repcodec(cfg)
+    assert np.isfinite(m2["loss"])

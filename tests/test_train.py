@@ -159,3 +159,12 @@ def test_lora_training_freezes_base():
     assert all("lora_" in str(k) for k in changed), f"non-lora params changed: {changed}"
     # lora_a got gradients (b starts at zero but a-grad flows via b after step 1)
     assert any("lora_b" in str(k) for k in changed)
+
+
+def test_zero1_fsdp_ag_once_matches_plain():
+    """Zero-1 (all-gather once per GA step) must match plain GA numerically."""
+    base = SMALL + ["steps=2", "per_device_batch_size=1",
+                    "gradient_accumulation_steps=2", "gradient_clipping_threshold=0"]
+    m_plain = train_loop(load_config(base))
+    m_zero1 = train_loop(load_config(base + ["zero1_fsdp_ag_once=true"]))
+    np.testing.assert_allclose(m_plain["loss"], m_zero1["loss"], rtol=1e-3)
