@@ -82,6 +82,33 @@ class Engine:
                 )
         return self.params
 
+    def aot_compile(self):
+        """AOT-compile prefill + generate against abstract inputs (reference:
+        maxengine.py:197 aot_compile). Returns {name: compiled} — inspect
+        .memory_analysis(), serialize, or call directly."""
+        cfg = self.cfg
+        if self.params is None:
+            self.load_params()
+        p = cfg.max_prefill_predict_length
+        prefill_ab = (
+            self.params,
+            jax.ShapeDtypeStruct((1, p), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.uint32),
+        )
+        compiled = {}
+        with self.mesh:
+            compiled["prefill"] = (
+                jax.jit(self._prefill_impl).lower(*prefill_ab).compile()
+            )
+            state_ab = jax.eval_shape(self.init_decode_state)
+            compiled["generate"] = (
+                jax.jit(self._generate_impl, donate_argnums=(1,))
+                .lower(self.params, state_ab, jax.ShapeDtypeStruct((2,), jnp.uint32))
+                .compile()
+            )
+        return compiled
+
     # ------------------------------------------------------------- prefill
     def _prefill_impl(self, params, tokens, true_length, rng):
         """tokens: [1, P] padded prompt; true_length: [1]."""
@@ -126,6 +153,76 @@ class Engine:
             return self._p_prefill(
                 self.params, jnp.asarray(padded), jnp.asarray([true_length], jnp.int32), rng
             )
+
+    def prefill_concat(self, prompts: list[np.ndarray]):
+        """Packed multi-prompt prefill: several short prompts share ONE
+        prefill call via sequence packing (segment ids + restarted
+        positions), then each prompt's KV span is sliced out into its own
+        prefix (reference: maxengine.py:719 prefill_concat +
+        prefill_packing.py). Returns a list of (prefix, first_token)."""
+        cfg = self.cfg
+        p = cfg.max_prefill_predict_length
+        lengths = [len(t) for t in prompts]
+        assert sum(lengths) <= p, f"prompts ({sum(lengths)}) exceed bucket {p}"
+
+        inputs = np.zeros((1, p), np.int32)
+        positions = np.zeros((1, p), np.int32)
+        segs = np.zeros((1, p), np.int32)
+        starts = []
+        off = 0
+        for i, t in enumerate(prompts):
+            n = len(t)
+            starts.append(off)
+            inputs[0, off : off + n] = t
+            positions[0, off : off + n] = np.arange(n)
+            segs[0, off : off + n] = i + 1
+            off += n
+
+        logits, vars_ = self.model.apply(
+            {"params": self.params},
+            jnp.asarray(inputs), jnp.asarray(positions), jnp.asarray(segs),
+            mode=MODE_PREFILL, mutable=["cache"],
+        )
+        cache = vars_["cache"]
+
+        def extract(leaf_path, leaf, start, length):
+            name = leaf_path[-1].key if hasattr(leaf_path[-1], "key") else str(leaf_path[-1])
+            ndim = leaf.ndim
+            if name in ("cached_key", "cached_value"):
+                seq_axis = ndim - 3
+            elif name == "cached_segment_ids":
+                seq_axis = ndim - 1
+            elif name == "cache_index":
+                return jnp.full(leaf.shape, length, jnp.int32)
+            else:
+                return leaf
+            # shift this prompt's span to position 0, zero the rest
+            rolled = jnp.roll(leaf, -start, axis=seq_axis)
+            idx = jnp.arange(leaf.shape[seq_axis])
+            keep = idx < length
+            shape = [1] * ndim
+            shape[seq_axis] = -1
+            return jnp.where(keep.reshape(shape), rolled, jnp.zeros_like(rolled))
+
+        out = []
+        self.rng, rng = jax.random.split(self.rng)
+        for i, (start, length) in enumerate(zip(starts, lengths)):
+            prefix_cache = jax.tree_util.tree_map_with_path(
+                lambda path, leaf, s=start, ln=length: extract(path, leaf, s, ln),
+                cache,
+            )
+            last = logits[:, start + length - 1]
+            tok = sample_tokens(
+                last, jax.random.fold_in(rng, i), cfg.decode_sampling_strategy,
+                cfg.decode_sampling_temperature, cfg.decode_sampling_top_k,
+                cfg.decode_sampling_nucleus_p,
+            )
+            out.append((
+                {"cache": prefix_cache, "token": tok,
+                 "pos": jnp.asarray([length], jnp.int32), "logits": last},
+                tok,
+            ))
+        return out
 
     def prefill_chunked(self, tokens: np.ndarray, true_length: int, chunk_size: int):
         """Chunked prefill: process the prompt in fixed-size chunks, each

@@ -236,3 +236,23 @@ def test_codec_trainers_run():
     assert np.isfinite(m1["loss"])
     m2 = train_repcodec(cfg)
     assert np.isfinite(m2["loss"])
+
+
+def test_reverse_diffusion_scan_matches_unrolled():
+    """The grouped-scan sampler must produce exactly the unrolled result."""
+    from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
+
+    cfg = S2AConfig(num_quantizers=4, hidden_size=32, num_layers=1, num_heads=2,
+                    codebook_size=16, cond_codebook_size=32)
+    model = S2AModel(cfg)
+    b, p, t = 1, 3, 10
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.randint(rng, (b, p + t, 4), 0, 16)
+    cond = jax.random.randint(rng, (b, p + t), 0, 32)
+    params = model.init(rng, x0, jnp.ones((b, p + t), jnp.int32), cond, rng)
+    prompt = x0[:, :p, :]
+    kw = dict(method=model.reverse_diffusion, n_timesteps=(3, 2, 2, 2))
+    out_scan = model.apply(params, cond, prompt, jax.random.PRNGKey(7), **kw)
+    out_unroll = model.apply(params, cond, prompt, jax.random.PRNGKey(7),
+                             unroll=True, **kw)
+    np.testing.assert_array_equal(np.asarray(out_scan), np.asarray(out_unroll))

@@ -108,3 +108,32 @@ def test_chunked_prefill_matches_full(engine):
         state, toks = engine.generate(state)
         out.append(int(np.asarray(toks)[0]))
     assert out == full
+
+
+def test_prefill_concat_matches_separate(engine):
+    """Packed multi-prompt prefill must reproduce per-prompt decode."""
+    import numpy as np
+
+    prompts = [np.array([3, 5, 7], np.int32), np.array([11, 13, 17, 19], np.int32)]
+    solos = [engine.generate_stream(p, 5) for p in prompts]
+
+    packed = engine.prefill_concat(prompts)
+    state = engine.init_decode_state()
+    outs = []
+    for slot, (prefix, first) in enumerate(packed):
+        state = engine.insert(prefix, state, slot)
+        outs.append([int(np.asarray(first)[0])])
+    for _ in range(4):
+        state, toks = engine.generate(state)
+        toks = np.asarray(toks)
+        for slot in range(len(prompts)):
+            outs[slot].append(int(toks[slot]))
+    assert outs[0] == solos[0]
+    assert outs[1] == solos[1]
+
+
+def test_engine_aot_compile(engine):
+    compiled = engine.aot_compile()
+    assert set(compiled) == {"prefill", "generate"}
+    for c in compiled.values():
+        assert c.memory_analysis() is not None
