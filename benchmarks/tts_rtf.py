@@ -165,9 +165,15 @@ def main():
     ap.add_argument("--target_chips", type=int, default=8)  # v5e-8
     args = ap.parse_args()
 
+    print("benching lm decode...", flush=True)
     lm = bench_lm_decode(args.slots)
-    s2a = bench_s2a(args.s2a_batch)
+    print(json.dumps(lm), flush=True)
+    print("benching vocoder...", flush=True)
     voc = bench_vocoder(args.voc_batch)
+    print(json.dumps(voc), flush=True)
+    print("benching s2a...", flush=True)
+    s2a = bench_s2a(args.s2a_batch)
+    print(json.dumps(s2a), flush=True)
 
     per_chip = min(lm["streams_capacity"], s2a["streams_capacity"],
                    voc["streams_capacity"])

@@ -102,6 +102,7 @@ class KVCache(nn.Module):
     num_kv_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.bfloat16
+    quantize: bool = False  # int8 values + per-(pos,head) f32 scales
 
     @nn.compact
     def update(self, k: jax.Array, v: jax.Array, mode: str, true_lengths=None,
@@ -114,12 +115,21 @@ class KVCache(nn.Module):
         maxengine.py ExistingPrefix chunked prefill)."""
         b = k.shape[0]
         shape = (b, self.max_length, self.num_kv_heads, self.head_dim)
-        ck = self.variable("cache", "cached_key", jnp.zeros, shape, self.dtype)
-        cv = self.variable("cache", "cached_value", jnp.zeros, shape, self.dtype)
+        store_dtype = jnp.int8 if self.quantize else self.dtype
+        ck = self.variable("cache", "cached_key", jnp.zeros, shape, store_dtype)
+        cv = self.variable("cache", "cached_value", jnp.zeros, shape, store_dtype)
         idx = self.variable("cache", "cache_index", jnp.zeros, (b,), jnp.int32)
         seg = self.variable(
             "cache", "cached_segment_ids", jnp.zeros, (b, self.max_length), jnp.int32
         )
+        if self.quantize:
+            from maxtext_indextts2_tpu.ops.quantization import dequantize_kv, quantize_kv
+
+            sshape = (b, self.max_length, self.num_kv_heads, 1)
+            ck_s = self.variable("cache", "key_scale", jnp.ones, sshape, jnp.float32)
+            cv_s = self.variable("cache", "value_scale", jnp.ones, sshape, jnp.float32)
+            k, k_scale = quantize_kv(k)
+            v, v_scale = quantize_kv(v)
 
         if mode == MODE_PREFILL:
             prefill_len = k.shape[1]
@@ -127,25 +137,38 @@ class KVCache(nn.Module):
                 true_lengths = jnp.full((b,), prefill_len, jnp.int32)
             off = jnp.asarray(0 if cache_offset is None else cache_offset, jnp.int32)
             ck.value = jax.lax.dynamic_update_slice(
-                ck.value, k.astype(self.dtype), (0, off, 0, 0))
+                ck.value, k.astype(store_dtype), (0, off, 0, 0))
             cv.value = jax.lax.dynamic_update_slice(
-                cv.value, v.astype(self.dtype), (0, off, 0, 0))
+                cv.value, v.astype(store_dtype), (0, off, 0, 0))
+            if self.quantize:
+                ck_s.value = jax.lax.dynamic_update_slice(ck_s.value, k_scale, (0, off, 0, 0))
+                cv_s.value = jax.lax.dynamic_update_slice(cv_s.value, v_scale, (0, off, 0, 0))
             end = off + true_lengths[:, None]
-            valid = (
+            # [0, off) was validated by earlier chunks; arange < end covers it
+            seg.value = (
                 jnp.arange(self.max_length, dtype=jnp.int32)[None, :] < end
             ).astype(jnp.int32)
-            seg.value = jnp.where(cache_offset is None, valid, jnp.maximum(seg.value, valid))                 if cache_offset is not None else valid
             idx.value = (off + true_lengths).astype(jnp.int32)
         else:  # autoregressive: k,v are [B, 1, N, D]; per-slot write position
             pos = idx.value  # [B]
             rows = jnp.arange(b)
-            ck.value = ck.value.at[rows, pos].set(k[:, 0].astype(self.dtype))
-            cv.value = cv.value.at[rows, pos].set(v[:, 0].astype(self.dtype))
+            ck.value = ck.value.at[rows, pos].set(k[:, 0].astype(store_dtype))
+            cv.value = cv.value.at[rows, pos].set(v[:, 0].astype(store_dtype))
+            if self.quantize:
+                ck_s.value = ck_s.value.at[rows, pos].set(k_scale[:, 0])
+                cv_s.value = cv_s.value.at[rows, pos].set(v_scale[:, 0])
             seg.value = seg.value.at[rows, pos].set(1)
             idx.value = pos + 1
 
         ck.value = shard(ck.value, "cache_batch", "cache_sequence", "cache_heads", "cache_kv")
         cv.value = shard(cv.value, "cache_batch", "cache_sequence", "cache_heads", "cache_kv")
+        if self.quantize:
+            return (
+                dequantize_kv(ck.value, ck_s.value, self.dtype),
+                dequantize_kv(cv.value, cv_s.value, self.dtype),
+                seg.value,
+                idx.value,
+            )
         return ck.value, cv.value, seg.value, idx.value
 
 
@@ -176,6 +199,7 @@ class Attention(nn.Module):
     kernel_init: Any = nd_dense_init()
     matmul_precision: str = "default"
     quantization: str = ""
+    quantize_kvcache: bool = False
     lora_rank: int = 0  # applied to q/v projections (classic LoRA targets)
     flash_block_sizes: tuple[int, int] = (512, 512)
     context_parallelism: int = 1
@@ -274,6 +298,7 @@ class Attention(nn.Module):
                 num_kv_heads=self.num_kv_heads,
                 head_dim=self.head_dim,
                 dtype=self.dtype,
+                quantize=self.quantize_kvcache,
                 name="kv_cache",
             )
             true_lengths = None

@@ -53,6 +53,7 @@ def _attention_kwargs(cfg: Config, block, mesh, attention_type: str) -> dict[str
         use_bias=block.use_attn_bias,
         matmul_precision=cfg.matmul_precision,
         quantization=cfg.quantization,
+        quantize_kvcache=cfg.quantize_kvcache,
         lora_rank=cfg.lora_rank,
         flash_block_sizes=tuple(cfg.flash_block_sizes),
         context_parallelism=cfg.ici_context_parallelism,

@@ -137,3 +137,25 @@ def test_engine_aot_compile(engine):
     assert set(compiled) == {"prefill", "generate"}
     for c in compiled.values():
         assert c.memory_analysis() is not None
+
+
+def test_quantized_kv_cache_decode():
+    """int8 KV cache: greedy decode stays close to the fp cache decode."""
+    import numpy as np
+
+    cfg_q = load_config(CFG + ["quantize_kvcache=true"])
+    eng_q = Engine(cfg_q)
+    eng_q.load_params()
+    prompt = np.array([3, 5, 7, 11], np.int32)
+    out_q = eng_q.generate_stream(prompt, 6)
+    # cache variables really are int8
+    prefix, _ = eng_q.prefill(prompt, len(prompt))
+    leaves = jax.tree_util.tree_flatten_with_path(prefix["cache"])[0]
+    kinds = {str(p[-1]): l.dtype for p, l in leaves}
+    assert any("int8" in str(d) for d in kinds.values()), kinds
+    # same params as unquantized engine -> outputs should mostly agree
+    eng = Engine(load_config(CFG))
+    eng.params = eng_q.params
+    out = eng.generate_stream(prompt, 6)
+    agree = sum(a == b for a, b in zip(out, out_q)) / len(out)
+    assert agree >= 0.5, (out, out_q)
