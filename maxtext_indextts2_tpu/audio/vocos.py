@@ -105,15 +105,20 @@ def istft_overlap_add(
     frames = frames * win
 
     b, f, _ = frames.shape
-    total = (f - 1) * hop + n_fft
-    idx = jnp.arange(f)[:, None] * hop + jnp.arange(n_fft)[None, :]  # [F, n_fft]
-    out = jnp.zeros((b, total), jnp.float32).at[:, idx.reshape(-1)].add(
-        frames.reshape(b, -1)
-    )
-    norm = jnp.zeros((total,), jnp.float32).at[idx.reshape(-1)].add(
-        jnp.tile(win * win, (f,))
-    )
-    out = out / jnp.maximum(norm, 1e-8)[None, :]
+    assert n_fft % hop == 0, "istft requires hop | n_fft"
+    ratio = n_fft // hop
+    # overlap-add WITHOUT scatter (TPU scatters serialize): frame i's k-th
+    # hop-chunk lands in output hop-block i+k -> ratio static slice-adds.
+    fr = frames.reshape(b, f, ratio, hop)
+    blocks = f + ratio - 1
+    out = jnp.zeros((b, blocks, hop), jnp.float32)
+    wsq = jnp.square(win).reshape(ratio, hop)
+    norm = jnp.zeros((blocks, hop), jnp.float32)
+    for k in range(ratio):
+        out = out.at[:, k : k + f].add(fr[:, :, k])
+        norm = norm.at[k : k + f].add(jnp.broadcast_to(wsq[k], (f, hop)))
+    out = out / jnp.maximum(norm, 1e-8)[None]
+    out = out.reshape(b, blocks * hop)
     pad = (n_fft - hop) // 2
     return out[:, pad : pad + f * hop]
 

@@ -48,11 +48,16 @@ class Engine:
         self._p_prefill = None
         self._p_prefill_chunk = None
         self._p_generate = None
+        self._p_generate_n = {}
         self._p_insert = None
 
     # ------------------------------------------------------------- params
-    def load_params(self, path: str | None = None):
-        """Restore params-only checkpoint, or random-init when absent."""
+    def load_params(self, path: str | None = None, cast_dtype=None):
+        """Restore params-only checkpoint, or random-init when absent.
+
+        cast_dtype: cast weights for serving (bf16 halves HBM reads per decode
+        step vs f32 masters; reference quantize_params:318 goes further to
+        int8 via AQT conversion)."""
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.init_weights_seed)
         dummy = jnp.zeros((1, cfg.max_prefill_predict_length), jnp.int32)
@@ -80,6 +85,14 @@ class Engine:
                 self.params = nn.meta.unbox(
                     jax.jit(init_fn, out_shardings=shardings)(rng)
                 )
+        if cast_dtype is not None:
+            import jax.numpy as _jnp
+
+            self.params = jax.tree.map(
+                lambda x: x.astype(cast_dtype)
+                if hasattr(x, "dtype") and x.dtype == _jnp.float32 else x,
+                self.params,
+            )
         return self.params
 
     def aot_compile(self):
@@ -376,6 +389,25 @@ class Engine:
         self.rng, rng = jax.random.split(self.rng)
         with self.mesh:
             return self._p_generate(self.params, decode_state, rng)
+
+    def generate_n(self, decode_state, n: int):
+        """n decode steps in ONE dispatch (lax.scan) — amortizes per-call
+        host overhead for the continuous-batching loop. Returns
+        (state, tokens [n, slots])."""
+        if n not in self._p_generate_n:
+            def impl(params, state, rng):
+                def body(carry, _):
+                    s, r = carry
+                    r, sub = jax.random.split(r)
+                    s, toks = self._generate_impl(params, s, sub)
+                    return (s, r), toks
+                (s, _), toks = jax.lax.scan(body, (state, rng), None, length=n)
+                return s, toks
+
+            self._p_generate_n[n] = jax.jit(impl, donate_argnums=(1,))
+        self.rng, rng = jax.random.split(self.rng)
+        with self.mesh:
+            return self._p_generate_n[n](self.params, decode_state, rng)
 
     # --------------------------------------------------------- convenience
     def generate_stream(self, prompt_tokens: np.ndarray, max_new_tokens: int):

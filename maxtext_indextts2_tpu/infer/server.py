@@ -37,9 +37,11 @@ class _Request:
 class Orchestrator:
     """Slot scheduler: request queue -> prefill -> insert -> shared generate loop."""
 
-    def __init__(self, engine: Engine, eos_id: int | None = None):
+    def __init__(self, engine: Engine, eos_id: int | None = None,
+                 steps_per_dispatch: int = 4):
         self.engine = engine
         self.eos_id = eos_id
+        self.steps_per_dispatch = steps_per_dispatch
         self.queue: queue.Queue[_Request] = queue.Queue()
         self.slots: list[_Request | None] = [None] * engine.num_slots
         self.remaining = np.zeros(engine.num_slots, np.int32)
@@ -102,16 +104,26 @@ class Orchestrator:
                     time.sleep(0.001)
                 continue
 
-            self.decode_state, toks = self.engine.generate(self.decode_state)
-            toks = np.asarray(toks)
-            for i, req in enumerate(self.slots):
-                if req is None:
-                    continue
-                tok = int(toks[i])
-                req.tokens.append(tok)
-                self.remaining[i] -= 1
-                if self.remaining[i] <= 0 or (self.eos_id is not None and tok == self.eos_id):
-                    self._finish(i)
+            # amortize dispatch overhead: run several steps in one jit when
+            # no request is waiting and no slot is about to finish
+            active = [i for i, r in enumerate(self.slots) if r is not None]
+            n = self.steps_per_dispatch
+            if (self.eos_id is None and self.queue.empty()
+                    and all(self.remaining[i] >= n for i in active)):
+                self.decode_state, toks_n = self.engine.generate_n(self.decode_state, n)
+                toks_n = np.asarray(toks_n)  # [n, slots]
+            else:
+                self.decode_state, toks = self.engine.generate(self.decode_state)
+                toks_n = np.asarray(toks)[None, :]
+            for step_toks in toks_n:
+                for i, req in enumerate(self.slots):
+                    if req is None:
+                        continue
+                    tok = int(step_toks[i])
+                    req.tokens.append(tok)
+                    self.remaining[i] -= 1
+                    if self.remaining[i] <= 0 or (self.eos_id is not None and tok == self.eos_id):
+                        self._finish(i)
 
     def _finish(self, slot: int):
         req = self.slots[slot]
