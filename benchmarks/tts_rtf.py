@@ -148,8 +148,8 @@ def bench_vocoder(batch: int, seconds: float = 10.0) -> dict:
     rng = jax.random.PRNGKey(0)
     latents = jax.random.normal(rng, (batch, t, 256), jnp.float32)
     params = dec.init(rng, latents)
-    f = jax.jit(lambda x: dec.apply(params, x, method=dec.decode))
-    dt = time_fn(lambda: f(latents), n1=1, n2=3)
+    f = jax.jit(lambda p, x: dec.apply(p, x, method=dec.decode))
+    dt = time_fn(lambda: f(params, latents), n1=6, n2=30)
     return {
         "batch": batch,
         "pass_s": round(dt, 3),

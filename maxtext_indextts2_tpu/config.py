@@ -263,6 +263,8 @@ class Config:
     semantic_codebook_dim: int = 8
     semantic_encoder_layers: int = 17  # w2v-bert tap layer (reference: semantic_utils.py:92)
 
+    jax_cache_dir: str = "/tmp/jax_cache"  # persistent compile cache ("" = off)
+
     # ---------------------------------------------------------------- observability
     enable_profiler: bool = False
     profiler_steps: int = 5
@@ -478,6 +480,9 @@ def finalize(cfg: Config, num_devices: int | None = None) -> Config:
             cfg.base_output_directory, cfg.run_name, "checkpoints"
         )
 
+    if cfg.jax_cache_dir:
+        _enable_compilation_cache(cfg.jax_cache_dir)
+
     if cfg.moe_mlp_dim == 0:
         cfg.moe_mlp_dim = cfg.mlp_dim
     if cfg.num_experts > 1 and cfg.num_experts_per_tok > cfg.num_experts:
@@ -487,6 +492,26 @@ def finalize(cfg: Config, num_devices: int | None = None) -> Config:
         cfg.max_prefill_predict_length = cfg.max_target_length // 2
 
     return cfg
+
+
+_CACHE_ENABLED = False
+
+
+def _enable_compilation_cache(path: str) -> None:
+    """Persistent XLA compile cache (reference: base.yml:312 jax_cache_dir).
+    Especially valuable here: compiles go through a slow remote toolchain."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _CACHE_ENABLED = True
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
 
 
 def _round128(x: float) -> int:

@@ -10,10 +10,11 @@ rather than a port:
   packing (segment ids), sliding-window, chunked attention, and
   context-parallel load-balanced reordering (non-contiguous per-shard
   positions) — no HBM mask materialization, no per-mask kernel variants.
-- Block classification (empty / fully-visible / partial) is precomputed in
-  XLA from the positions and fed to the kernel through SMEM: off-diagonal
-  blocks skip ALL elementwise mask work and empty blocks skip compute
-  entirely, with the branch predicate available before the block executes.
+- Blocks are classified in-kernel (empty / fully-visible / partial) from 8
+  scalar reductions over the pos/seg blocks: off-diagonal blocks skip ALL
+  elementwise mask work and empty blocks skip compute entirely. (An
+  SMEM-prefetched classification was measured 3x slower on v5e — dynamic
+  SMEM scalar reads stall Mosaic's pipeline.)
 - Running softmax stats (m, l) are stored (block_q, 128)-shaped — sublane
   aligned — because 1-D lane-major vectors force a lane->sublane relayout
   against the (block_q, d) accumulator on every kv step. LSE/delta use a
@@ -44,10 +45,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
-CLASS_EMPTY = 0
-CLASS_PARTIAL = 1
-CLASS_FULL = 2
-
 _DIMSEM = ("parallel", "parallel", "parallel", "arbitrary")
 
 
@@ -61,56 +58,6 @@ def _mask_block(q_pos, kv_pos, q_seg, kv_seg, causal, sliding_window, chunk_size
     if chunk_size > 0:
         mask &= (q_pos // chunk_size) == (kv_pos // chunk_size)
     return mask
-
-
-def compute_block_classes(
-    q_pos, kv_pos, q_seg, kv_seg, block_q, block_kv,
-    causal, sliding_window, chunk_size,
-):
-    """[B, nq, nkv] int32 block classes, computed in XLA (cheap reductions).
-
-    The positions/segments are kernel *inputs*, so the per-block scalar
-    bounds can be computed once outside and prefetched to SMEM instead of
-    re-reduced inside every grid step."""
-    b, sq = q_pos.shape
-    skv = kv_pos.shape[1]
-    nq, nkv = sq // block_q, skv // block_kv
-
-    def bounds(x, n, blk):
-        xb = x.reshape(b, n, blk)
-        return jnp.min(xb, -1), jnp.max(xb, -1)
-
-    q_lo, q_hi = bounds(q_pos, nq, block_q)  # [B, nq]
-    k_lo, k_hi = bounds(kv_pos, nkv, block_kv)
-    qs_lo, qs_hi = bounds(q_seg, nq, block_q)
-    ks_lo, ks_hi = bounds(kv_seg, nkv, block_kv)
-
-    q_lo, q_hi = q_lo[:, :, None], q_hi[:, :, None]
-    qs_lo, qs_hi = qs_lo[:, :, None], qs_hi[:, :, None]
-    k_lo, k_hi = k_lo[:, None, :], k_hi[:, None, :]
-    ks_lo, ks_hi = ks_lo[:, None, :], ks_hi[:, None, :]
-
-    uniform = (qs_lo == qs_hi) & (ks_lo == ks_hi)
-    seg_match = uniform & (qs_lo == ks_lo) & (qs_lo != 0)
-    seg_disjoint = (qs_hi < ks_lo) | (ks_hi < qs_lo) | (qs_hi == 0)
-
-    empty = seg_disjoint
-    full = seg_match
-    if causal:
-        empty |= k_lo > q_hi
-        full &= k_hi <= q_lo
-    if sliding_window > 0:
-        empty |= k_hi <= q_lo - sliding_window
-        full &= k_lo > q_hi - sliding_window
-    if chunk_size > 0:
-        empty |= ((q_hi // chunk_size) < (k_lo // chunk_size)) | (
-            (q_lo // chunk_size) > (k_hi // chunk_size)
-        )
-        full &= ((q_lo // chunk_size) == (q_hi // chunk_size)) & \
-                ((k_lo // chunk_size) == (k_hi // chunk_size)) & \
-                ((q_lo // chunk_size) == (k_lo // chunk_size))
-    return jnp.where(empty, CLASS_EMPTY, jnp.where(full, CLASS_FULL, CLASS_PARTIAL)).astype(jnp.int32)
-
 
 
 def _block_class_inkernel(q_pos, kv_pos, q_seg, kv_seg, causal, sliding_window, chunk_size):

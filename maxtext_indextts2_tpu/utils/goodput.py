@@ -53,7 +53,7 @@ class GoodputRecorder:
 
     def goodput_fraction(self) -> float:
         total = time.time() - self._t0
-        return self._productive / max(total, 1e-9)
+        return min(self._productive / max(total, 1e-9), 1.0)
 
     def close(self):
         if self._f:

