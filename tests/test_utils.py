@@ -90,3 +90,23 @@ def test_weight_inspector():
     assert rows["['bad']"]["nonfinite"] == 1
     assert rows["['z']"]["all_zero"]
     assert rows["['w']"]["mean"] == 1.0
+
+
+def test_mcd_metric():
+    from maxtext_indextts2_tpu.utils.mcd import mcd
+
+    def broadband(seed):
+        r = np.random.default_rng(seed)
+        x = r.standard_normal(24000).astype(np.float32)
+        k = np.hanning(64).astype(np.float32)
+        return np.convolve(x, k / k.sum(), mode="same")  # speech-like spectrum
+
+    a = broadband(0)
+    # identical -> 0; amplitude change -> ~0 (c0 dropped)
+    assert mcd(a, a) < 1e-4
+    assert mcd(a, 0.7 * a) < 0.5  # near-invariant (c0 dropped; floor effects only)
+    # mild corruption << independent signal
+    b = a + 0.05 * broadband(1)
+    c = broadband(2)
+    m_small, m_big = mcd(a, b), mcd(a, c)
+    assert 0 < m_small < m_big
