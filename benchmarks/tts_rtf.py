@@ -126,11 +126,13 @@ def bench_s2a(batch: int, seconds: float = 10.0) -> dict:
     prompt = x0[:, :p, :]
     timesteps = (10,) + (4,) * 11
 
-    f = jax.jit(lambda r: model.apply(
-        params, cond, prompt, r, method=model.reverse_diffusion,
+    # pass EVERY device array as an argument: captured constants are fetched
+    # host-side during lowering (catastrophic through the relay)
+    f = jax.jit(lambda pr, c, pm, r: model.apply(
+        pr, c, pm, r, method=model.reverse_diffusion,
         n_timesteps=timesteps, cfg=1.0,
     ))
-    dt = time_fn(lambda: f(rng), n1=1, n2=3)
+    dt = time_fn(lambda: f(params, cond, prompt, rng), n1=1, n2=3)
     return {
         "batch": batch,
         "utterance_s": seconds,

@@ -273,6 +273,8 @@ class Config:
     enable_tensorboard: bool = False
     enable_goodput_recording: bool = False
     monitor_goodput: bool = False
+    collect_stack_trace: bool = False  # dump stacks if a step hangs
+    stack_trace_interval_seconds: float = 600.0
 
     # ------------------------------------------------------------ derived (set by finalize)
     num_devices: int = 0

@@ -283,6 +283,11 @@ def train_loop(cfg: Config, mesh: Mesh | None = None) -> dict:
     rng = jax.random.PRNGKey(cfg.seed)
     step_tflops = flops_lib.training_tflops_per_step(cfg)
 
+    if cfg.collect_stack_trace:
+        from maxtext_indextts2_tpu.utils.debug import enable_hang_diagnostics
+
+        enable_hang_diagnostics(cfg.stack_trace_interval_seconds)
+
     # Context parallelism: apply the load-balanced causal reorder to every
     # sequence-shaped field so each context shard does equal work
     # (reference: MaxText/train.py:548-552 + max_utils.py:788).
