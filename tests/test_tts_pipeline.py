@@ -1,0 +1,57 @@
+"""Full zero-shot TTS pipeline test (reference: maskgct/full_inference.py —
+which could not run end-to-end; ours must)."""
+
+import numpy as np
+import pytest
+
+from maxtext_indextts2_tpu.config import load_config
+from maxtext_indextts2_tpu.audio.pipeline import build_tiny_pipeline
+
+CFG = [
+    "vocab_size=9344", "audio_codebook_size=8192",
+    "base_emb_dim=64", "base_mlp_dim=128", "base_num_decoder_layers=2",
+    "base_num_query_heads=2", "base_num_kv_heads=2", "head_dim=32",
+    "max_target_length=512", "max_prefill_predict_length=128",
+    "per_device_batch_size=0.125", "dtype=float32", "decoder_block=tts",
+    "s2a_num_quantizers=4", "s2a_hidden_size=64", "s2a_num_layers=2",
+    "s2a_num_heads=4", "s2a_codebook_size=64", "s2a_timesteps=[2,2,2,2]",
+    "semantic_codebook_size=8192",
+]
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return build_tiny_pipeline(load_config(CFG))
+
+
+def test_synthesize_end_to_end(pipeline):
+    rng = np.random.default_rng(0)
+    wav16 = rng.standard_normal(16000).astype(np.float32) * 0.1
+    wav24 = rng.standard_normal(24000).astype(np.float32) * 0.1
+    wav, info = pipeline.synthesize("hello tpu", wav16, wav24, max_new_tokens=12)
+    assert wav.ndim == 1 and len(wav) > 0
+    assert len(wav) % 480 == 0  # hop-aligned 24 kHz samples
+    assert np.isfinite(wav).all()
+    assert info["semantic_tokens"] >= 1
+    assert info["audio_seconds"] == pytest.approx(len(wav) / 24000.0)
+
+
+def test_lm_prompt_construction(pipeline):
+    m = pipeline.mapping
+    prompt = pipeline.text_and_prompt_to_lm_prompt("ab", np.array([0, 5]))
+    # [BT] text(with bos/eos) [BA] audio...
+    assert prompt[0] == m.audio_to_embedding(m.marker_bt_audio_id)
+    ba_pos = list(prompt).index(m.audio_to_embedding(m.marker_ba_audio_id))
+    assert ba_pos > 1
+    assert prompt[ba_pos + 1] == m.audio_to_embedding(0)
+    assert prompt[ba_pos + 2] == m.audio_to_embedding(5)
+    assert (prompt < pipeline.cfg.vocab_size).all()
+
+
+def test_generate_semantic_stops_on_non_audio(pipeline):
+    # embedding ids that map back to audio, then a text id terminates
+    m = pipeline.mapping
+    lm_prompt = pipeline.text_and_prompt_to_lm_prompt("x", np.array([1, 2, 3]))
+    out = pipeline.generate_semantic(lm_prompt, max_new_tokens=8)
+    assert isinstance(out, list)
+    assert all(0 <= a < m.codebook_size for a in out)
