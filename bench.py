@@ -113,5 +113,39 @@ def main():
     )
 
 
+def _probe_device(timeout_s: int = 180) -> bool:
+    """The fabric can wedge (observed: stuck grants after killed clients);
+    probe with a trivial op under SIGALRM before committing to the bench."""
+    import signal
+
+    def _raise(*a):
+        raise TimeoutError("device probe timed out")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(timeout_s)
+    try:
+        import numpy as np
+
+        float(np.asarray(jax.jit(lambda x: x.sum())(jnp.ones(8))))
+        return True
+    except Exception as e:  # noqa: BLE001
+        print(
+            json.dumps(
+                {
+                    "metric": "train_mfu",
+                    "value": 0.0,
+                    "unit": "fraction_of_peak",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": f"device unavailable: {e!r}"},
+                }
+            )
+        )
+        return False
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 if __name__ == "__main__":
-    main()
+    if _probe_device():
+        main()

@@ -76,6 +76,7 @@ class Config:
     sliding_window_size: int = 0  # 0 = global attention
     chunk_attn_window_size: int = 0  # chunked causal attention (0 = off)
     attention_type: str = "global"  # global | local_sliding | chunk
+    query_pre_attn_scalar: float = 0.0  # gemma: replace 1/sqrt(d); 0 = off
     attention: str = "autoselected"  # autoselected | dot_product | flash | ragged
     flash_block_sizes: tuple[int, ...] = (512, 512)  # (block_q, block_kv)
     dropout_rate: float = 0.0

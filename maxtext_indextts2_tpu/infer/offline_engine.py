@@ -64,3 +64,37 @@ class OfflineEngine:
             if refill:
                 state = admit(state)
         return [r if r is not None else [] for r in results]
+
+
+def main(argv=None):
+    """CLI: batch-decode prompts from a JSONL file ({"prompt": [ids...]})
+    or a default set (reference: decode_multi / offline inference)."""
+    import json
+    import sys
+
+    from maxtext_indextts2_tpu.config import load_config
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    prompts_path, max_new = "", 16
+    keep = []
+    for a in argv:
+        if a.startswith("prompts_path="):
+            prompts_path = a.split("=", 1)[1]
+        elif a.startswith("max_new_tokens="):
+            max_new = int(a.split("=", 1)[1])
+        else:
+            keep.append(a)
+    cfg = load_config(keep)
+    if prompts_path:
+        prompts = [np.asarray(json.loads(l)["prompt"], np.int32)
+                   for l in open(prompts_path)]
+    else:
+        prompts = [np.arange(1, 6, dtype=np.int32), np.arange(7, 15, dtype=np.int32)]
+    eng = OfflineEngine(cfg)
+    outs = eng.generate_batch(prompts, max_new)
+    for p, o in zip(prompts, outs):
+        print(json.dumps({"prompt": p.tolist(), "completion": o}))
+
+
+if __name__ == "__main__":
+    main()

@@ -281,9 +281,9 @@ class Attention(nn.Module):
             k = rope_lib.apply_rope(k, positions, inv_freq)
 
         if self.query_pre_attn_scalar is not None:
-            # fold custom query scaling into q, then un-scale the 1/sqrt(d)
-            # the kernel applies.
-            q = q * (np.sqrt(self.head_dim) * self.query_pre_attn_scalar)
+            # gemma semantics: scores = qk / sqrt(query_pre_attn_scalar).
+            # Fold into q, compensating the kernel's 1/sqrt(head_dim).
+            q = q * (np.sqrt(self.head_dim) / np.sqrt(self.query_pre_attn_scalar))
 
         q = shard(q, "activation_batch", "activation_length", "activation_heads", "activation_kv_head_dim")
         k = shard(k, "activation_kv_batch", "activation_length", "activation_kv_heads", "activation_kv_head_dim")

@@ -48,7 +48,10 @@ def _attention_kwargs(cfg: Config, block, mesh, attention_type: str) -> dict[str
         rope_high_freq_factor=cfg.rope_high_freq_factor,
         rope_original_max_position=cfg.rope_original_max_position,
         use_qk_norm=block.use_qk_norm,
-        query_pre_attn_scalar=block.query_pre_attn_scalar,
+        query_pre_attn_scalar=(
+            cfg.query_pre_attn_scalar if cfg.query_pre_attn_scalar > 0
+            else block.query_pre_attn_scalar
+        ),
         normalization_layer_epsilon=cfg.normalization_layer_epsilon,
         use_bias=block.use_attn_bias,
         matmul_precision=cfg.matmul_precision,

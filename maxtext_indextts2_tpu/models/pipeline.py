@@ -14,6 +14,10 @@ forwarding). Differences:
   ``DecoderLayer.apply`` over gathered per-stage params.
 - Inactive (bubble) stages compute garbage that is simply never written to
   outputs/circ-storage — no masking inside the layer.
+- Known limitation: sown intermediates (MoE load-balance loss) are dropped
+  inside the pipelined region — pair PP with dense layers or add the aux
+  loss at the router level if MoE+PP is required (reference has the same
+  coupling constraints).
 
 Correctness bar (matching the reference's pipeline_parallelism_test.py):
 output AND gradient equality vs the scanned non-pipelined decoder.
