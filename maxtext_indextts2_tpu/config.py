@@ -109,6 +109,7 @@ class Config:
     router_z_loss_weight: float = 0.0
     routed_scaling_factor: float = 1.0
     routed_score_func: str = "softmax"  # softmax | sigmoid
+    normalize_topk_weights: bool = False  # mixtral: renormalize selected weights
     routed_bias: bool = False
     n_routing_groups: int = -1
     topk_routing_group: int = -1

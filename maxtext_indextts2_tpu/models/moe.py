@@ -73,7 +73,7 @@ class RoutedMoE(nn.Module):
         top_scores, top_idx = jax.lax.top_k(select_scores, k)
         # combine weights come from the unbiased scores
         top_w = jnp.take_along_axis(scores, top_idx, axis=-1)
-        if cfg.routed_score_func == "sigmoid":
+        if cfg.routed_score_func == "sigmoid" or cfg.normalize_topk_weights:
             top_w = top_w / jnp.maximum(
                 jnp.sum(top_w, axis=-1, keepdims=True), 1e-9
             )

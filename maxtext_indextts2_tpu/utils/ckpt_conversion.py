@@ -226,3 +226,61 @@ def convert_hf_gemma2_to_framework(state_dict: dict, cfg: Config) -> dict:
         "decoder": {"layers": layers},
         "decoder_norm": {"scale": get("model.norm.weight")},
     }}
+
+
+def convert_hf_mixtral_to_framework(state_dict: dict, cfg: Config) -> dict:
+    """HF Mixtral state dict -> framework params: llama attention layout +
+    per-layer stacked expert weights (w1->wi_0 gate, w3->wi_1 up, w2->wo)."""
+    L = cfg.num_decoder_layers
+    E = cfg.emb_dim
+    nq, nkv, hd = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
+    n_exp = cfg.num_experts
+    sd = state_dict
+
+    def get(name):
+        return _t(sd[name])
+
+    def stack(fmt, transform):
+        return np.stack([transform(get(fmt.format(i))) for i in range(L)], axis=0)
+
+    def stack_experts(w_name):
+        # [L, n_exp, in, out]
+        return np.stack([
+            np.stack([
+                _t(sd[f"model.layers.{i}.block_sparse_moe.experts.{e}.{w_name}.weight"]).T
+                for e in range(n_exp)
+            ], axis=0)
+            for i in range(L)
+        ], axis=0)
+
+    layers = {
+        "self_attention_0": {
+            "query": {"kernel": stack("model.layers.{}.self_attn.q_proj.weight",
+                                      lambda w: w.T.reshape(E, nq, hd))},
+            "key": {"kernel": stack("model.layers.{}.self_attn.k_proj.weight",
+                                    lambda w: w.T.reshape(E, nkv, hd))},
+            "value": {"kernel": stack("model.layers.{}.self_attn.v_proj.weight",
+                                      lambda w: w.T.reshape(E, nkv, hd))},
+            "out": {"kernel": stack("model.layers.{}.self_attn.o_proj.weight",
+                                    lambda w: w.T.reshape(nq, hd, E))},
+        },
+        "moe_0": {
+            "gate": {"kernel": stack("model.layers.{}.block_sparse_moe.gate.weight",
+                                     lambda w: w.T)},
+            # RoutedMoE holds expert weights as direct [n_exp, in, out] params
+            "wi_0": stack_experts("w1"),
+            "wi_1": stack_experts("w3"),
+            "wo": stack_experts("w2"),
+        },
+        "pre_self_attention_norm_0": {
+            "scale": stack("model.layers.{}.input_layernorm.weight", lambda w: w)},
+        "pre_mlp_norm_0": {
+            "scale": stack("model.layers.{}.post_attention_layernorm.weight", lambda w: w)},
+    }
+    params = {
+        "token_embedder": {"embedding": _pad_vocab(get("model.embed_tokens.weight"), cfg.vocab_size)},
+        "decoder": {"layers": layers},
+        "decoder_norm": {"scale": get("model.norm.weight")},
+        "logits_dense": {"kernel": _pad_vocab(get("lm_head.weight"), cfg.vocab_size).T.copy()},
+    }
+    return {"params": params}
