@@ -284,3 +284,67 @@ def convert_hf_mixtral_to_framework(state_dict: dict, cfg: Config) -> dict:
         "logits_dense": {"kernel": _pad_vocab(get("lm_head.weight"), cfg.vocab_size).T.copy()},
     }
     return {"params": params}
+
+
+def convert_hf_deepseek_to_framework(state_dict: dict, cfg: Config) -> dict:
+    """HF DeepseekV2/V3 (dense layers) -> framework MLA params.
+
+    Maps q_a/q_b (or q_proj), kv_a_proj_with_mqa, kv_b_proj, o_proj onto
+    MLAttention's wq_a/wq_b/wkv_a/wkv_b/out; MoE layers are handled by the
+    mixtral-style expert stacker when present (dense-only here)."""
+    L = cfg.num_decoder_layers
+    n = cfg.num_query_heads
+    d_qk = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+    d_kv_out = cfg.qk_nope_head_dim + cfg.v_head_dim
+    sd = state_dict
+
+    def get(name):
+        return _t(sd[name])
+
+    def stack(fmt, transform):
+        return np.stack([transform(get(fmt.format(i))) for i in range(L)], axis=0)
+
+    attn = {
+        "wkv_a": {"kernel": stack(
+            "model.layers.{}.self_attn.kv_a_proj_with_mqa.weight", lambda w: w.T)},
+        "kv_norm": {"scale": stack(
+            "model.layers.{}.self_attn.kv_a_layernorm.weight", lambda w: w)},
+        "wkv_b": {"kernel": stack(
+            "model.layers.{}.self_attn.kv_b_proj.weight",
+            lambda w: w.T.reshape(cfg.kv_lora_rank, n, d_kv_out))},
+        "out": {"kernel": stack(
+            "model.layers.{}.self_attn.o_proj.weight",
+            lambda w: w.T.reshape(n, cfg.v_head_dim, -1))},
+    }
+    if cfg.q_lora_rank > 0:
+        attn["wq_a"] = {"kernel": stack(
+            "model.layers.{}.self_attn.q_a_proj.weight", lambda w: w.T)}
+        attn["q_norm"] = {"scale": stack(
+            "model.layers.{}.self_attn.q_a_layernorm.weight", lambda w: w)}
+        attn["wq_b"] = {"kernel": stack(
+            "model.layers.{}.self_attn.q_b_proj.weight",
+            lambda w: w.T.reshape(cfg.q_lora_rank, n, d_qk))}
+    else:
+        attn["wq"] = {"kernel": stack(
+            "model.layers.{}.self_attn.q_proj.weight",
+            lambda w: w.T.reshape(-1, n, d_qk))}
+
+    layers = {
+        "self_attention_0": attn,
+        "mlp_0": {
+            "wi_0": {"kernel": stack("model.layers.{}.mlp.gate_proj.weight", lambda w: w.T)},
+            "wi_1": {"kernel": stack("model.layers.{}.mlp.up_proj.weight", lambda w: w.T)},
+            "wo": {"kernel": stack("model.layers.{}.mlp.down_proj.weight", lambda w: w.T)},
+        },
+        "pre_self_attention_norm_0": {
+            "scale": stack("model.layers.{}.input_layernorm.weight", lambda w: w)},
+        "pre_mlp_norm_0": {
+            "scale": stack("model.layers.{}.post_attention_layernorm.weight", lambda w: w)},
+    }
+    params = {
+        "token_embedder": {"embedding": _pad_vocab(get("model.embed_tokens.weight"), cfg.vocab_size)},
+        "decoder": {"layers": layers},
+        "decoder_norm": {"scale": get("model.norm.weight")},
+        "logits_dense": {"kernel": _pad_vocab(get("lm_head.weight"), cfg.vocab_size).T.copy()},
+    }
+    return {"params": params}

@@ -174,3 +174,87 @@ def test_mixtral_logits_parity():
     # dense-path all-expert compute reorders fp ops vs HF's per-expert
     # gather; argmax identical, values within 1e-2
     assert np.abs(ref - ours).max() < 1e-2
+
+
+def test_qwen3_logits_parity():
+    """Qwen3 (qk-norms, untied head) via the llama-family converter."""
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    hf_cfg = Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = Qwen3ForCausalLM(hf_cfg).eval()
+
+    cfg = load_config([
+        "decoder_block=qwen3", "base_emb_dim=64", "base_mlp_dim=128",
+        "base_num_decoder_layers=2", "base_num_query_heads=4",
+        "base_num_kv_heads=2", "head_dim=16", "vocab_size=256",
+        "max_target_length=32", "dtype=float32", "weight_dtype=float32",
+        "attention=dot_product",
+    ])
+    params = convert_hf_llama_to_framework(hf.state_dict(), cfg)
+    params = {"params": jax.tree.map(jnp.asarray, params["params"])}
+
+    from maxtext_indextts2_tpu.models import Transformer
+
+    model = Transformer(cfg=cfg)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 256, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(tokens.astype(np.int64))).logits.numpy()
+    positions = jnp.broadcast_to(jnp.arange(16), (2, 16))
+    segs = jnp.ones((2, 16), jnp.int32)
+    ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
+    np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+    assert np.abs(ref - ours).max() < 2e-3
+
+
+def test_deepseek_mla_logits_parity():
+    """DeepSeek V3 dense layers: MLA conversion parity vs HF torch."""
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_hf_deepseek_to_framework,
+    )
+
+    hf_cfg = DeepseekV3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=32, kv_lora_rank=32, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32,
+        first_k_dense_replace=2,  # all layers dense
+        n_routed_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        rope_interleave=True, tie_word_embeddings=False,
+        attention_bias=False, rope_scaling=None,
+    )
+    torch.manual_seed(0)
+    hf = DeepseekV3ForCausalLM(hf_cfg).eval()
+
+    cfg = load_config([
+        "decoder_block=deepseek", "base_emb_dim=64", "base_mlp_dim=128",
+        "base_num_decoder_layers=2", "base_num_query_heads=4",
+        "base_num_kv_heads=4", "q_lora_rank=32", "kv_lora_rank=32",
+        "qk_nope_head_dim=32", "qk_rope_head_dim=16", "v_head_dim=32",
+        "num_experts=1", "vocab_size=256", "max_target_length=32",
+        "dtype=float32", "weight_dtype=float32", "attention=dot_product",
+    ])
+    params = convert_hf_deepseek_to_framework(hf.state_dict(), cfg)
+    params = {"params": jax.tree.map(jnp.asarray, params["params"])}
+
+    from maxtext_indextts2_tpu.models import Transformer
+
+    model = Transformer(cfg=cfg)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 256, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(tokens.astype(np.int64))).logits.numpy()
+    positions = jnp.broadcast_to(jnp.arange(16), (2, 16))
+    segs = jnp.ones((2, 16), jnp.int32)
+    ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
+    np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+    assert np.abs(ref - ours).max() < 2e-3
