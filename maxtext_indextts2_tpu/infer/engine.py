@@ -323,7 +323,12 @@ class Engine:
         decode leaf; works for scanned ([L, B, ...]) and unscanned ([B, ...])
         cache layouts by locating the axis where shapes differ."""
         if full.shape == pre.shape:
-            return full
+            # Equal shapes means the slot axis has extent 1 on both sides
+            # (num_slots == 1, single-prompt prefill) — the prefix IS the
+            # whole decode leaf. Returning `full` here would silently drop
+            # the prefill cache_index/segment leaves and restart decode at
+            # cache position 0.
+            return pre.astype(full.dtype)
         axis = next(
             i for i, (a, b) in enumerate(zip(full.shape, pre.shape)) if a != b
         )

@@ -193,6 +193,7 @@ class Attention(nn.Module):
     rope_high_freq_factor: float = 4.0
     rope_original_max_position: int = 8192
     use_qk_norm: bool = False  # qwen3/gemma3-style per-head q/k RMSNorm
+    qk_norm_scale_plus_one: bool = False  # gemma convention for the qk norms
     query_pre_attn_scalar: float | None = None  # gemma: scale q by this instead of 1/sqrt(d)
     normalization_layer_epsilon: float = 1e-6
     use_bias: bool = False
@@ -256,6 +257,7 @@ class Attention(nn.Module):
                 dtype=self.dtype,
                 weight_dtype=self.weight_dtype,
                 kernel_axes=("kv_head_dim",),
+                scale_plus_one=self.qk_norm_scale_plus_one,
                 name="query_norm",
             )
             q = qk_norm(q)
@@ -264,6 +266,7 @@ class Attention(nn.Module):
                 dtype=self.dtype,
                 weight_dtype=self.weight_dtype,
                 kernel_axes=("kv_head_dim",),
+                scale_plus_one=self.qk_norm_scale_plus_one,
                 name="key_norm",
             )(k)
 

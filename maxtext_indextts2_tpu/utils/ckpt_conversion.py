@@ -348,3 +348,58 @@ def convert_hf_deepseek_to_framework(state_dict: dict, cfg: Config) -> dict:
         "logits_dense": {"kernel": _pad_vocab(get("lm_head.weight"), cfg.vocab_size).T.copy()},
     }
     return {"params": params}
+
+
+def convert_hf_gemma3_to_framework(state_dict: dict, cfg: Config) -> dict:
+    """HF Gemma3 text model -> framework params (gemma3 BlockStyle: 6-sublayer
+    scan units [5x local_sliding, global], qk-norms, sandwich norms)."""
+    L = cfg.num_decoder_layers
+    E = cfg.emb_dim
+    nq, nkv, hd = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
+    group = 6
+    units = L // group
+    sd = state_dict
+
+    def get(name):
+        return _t(sd[name])
+
+    def stack(sub, fmt, transform):
+        return np.stack(
+            [transform(get(fmt.format(group * u + sub))) for u in range(units)], axis=0
+        )
+
+    layers = {}
+    for sub in range(group):
+        layers[f"self_attention_{sub}"] = {
+            "query": {"kernel": stack(sub, "model.layers.{}.self_attn.q_proj.weight",
+                                      lambda w: w.T.reshape(E, nq, hd))},
+            "key": {"kernel": stack(sub, "model.layers.{}.self_attn.k_proj.weight",
+                                    lambda w: w.T.reshape(E, nkv, hd))},
+            "value": {"kernel": stack(sub, "model.layers.{}.self_attn.v_proj.weight",
+                                      lambda w: w.T.reshape(E, nkv, hd))},
+            "out": {"kernel": stack(sub, "model.layers.{}.self_attn.o_proj.weight",
+                                    lambda w: w.T.reshape(nq, hd, E))},
+            "query_norm": {"scale": stack(sub, "model.layers.{}.self_attn.q_norm.weight",
+                                          lambda w: w)},
+            "key_norm": {"scale": stack(sub, "model.layers.{}.self_attn.k_norm.weight",
+                                        lambda w: w)},
+        }
+        layers[f"mlp_{sub}"] = {
+            "wi_0": {"kernel": stack(sub, "model.layers.{}.mlp.gate_proj.weight", lambda w: w.T)},
+            "wi_1": {"kernel": stack(sub, "model.layers.{}.mlp.up_proj.weight", lambda w: w.T)},
+            "wo": {"kernel": stack(sub, "model.layers.{}.mlp.down_proj.weight", lambda w: w.T)},
+        }
+        layers[f"pre_self_attention_norm_{sub}"] = {
+            "scale": stack(sub, "model.layers.{}.input_layernorm.weight", lambda w: w)}
+        layers[f"post_self_attention_norm_{sub}"] = {
+            "scale": stack(sub, "model.layers.{}.post_attention_layernorm.weight", lambda w: w)}
+        layers[f"pre_mlp_norm_{sub}"] = {
+            "scale": stack(sub, "model.layers.{}.pre_feedforward_layernorm.weight", lambda w: w)}
+        layers[f"post_ffw_norm_{sub}"] = {
+            "scale": stack(sub, "model.layers.{}.post_feedforward_layernorm.weight", lambda w: w)}
+
+    return {"params": {
+        "token_embedder": {"embedding": _pad_vocab(get("model.embed_tokens.weight"), cfg.vocab_size)},
+        "decoder": {"layers": layers},
+        "decoder_norm": {"scale": get("model.norm.weight")},
+    }}

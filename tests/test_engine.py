@@ -159,3 +159,24 @@ def test_quantized_kv_cache_decode():
     out = eng.generate_stream(prompt, 6)
     agree = sum(a == b for a, b in zip(out, out_q)) / len(out)
     assert agree >= 0.5, (out, out_q)
+
+
+def test_single_slot_insert_preserves_prefix():
+    """num_slots==1 regression: prefill cache leaves whose shapes equal the
+    decode-state leaves (cache_index/segment) must still be inserted —
+    previously they were silently skipped and decode restarted at position 0
+    (reference maxengine insert: MaxText/maxengine.py bulk insert path)."""
+    cfg = load_config(CFG + ["per_device_batch_size=0.125"])  # 1 slot on 8 dev
+    eng = Engine(cfg)
+    eng.load_params()
+    assert eng.num_slots == 1
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+    out = eng.generate_stream(prompt, 8)
+
+    full = np.concatenate([prompt, np.array(out[:-1], np.int32)])
+    tokens = jnp.asarray(full)[None, :]
+    positions = jnp.arange(tokens.shape[1])[None, :]
+    segs = jnp.ones_like(tokens)
+    logits = eng.model.apply({"params": eng.params}, tokens, positions, segs)
+    preds = np.asarray(jnp.argmax(logits[0], axis=-1))
+    assert out == preds[len(prompt) - 1 :].tolist()
