@@ -397,6 +397,14 @@ def load_config(argv: list[str] | None = None, **kwargs: Any) -> Config:
             raise ValueError(f"unknown config key: {key!r}")
         clean[key] = _coerce(key, val, fields_by_name[key].type)
 
+    block = clean.get("decoder_block", overrides.get("decoder_block"))
+    if block:
+        from maxtext_indextts2_tpu.models.registry import FAMILY_CONFIG_DEFAULTS
+
+        for key, val in FAMILY_CONFIG_DEFAULTS.get(str(block), {}).items():
+            if key not in overrides:
+                clean[key] = val
+
     cfg = Config(**clean)
     return finalize(cfg)
 

@@ -65,3 +65,31 @@ def get_block_style(name: str) -> BlockStyle:
             f"unknown decoder_block {name!r}; known: {sorted(BLOCK_STYLES)}"
         )
     return BLOCK_STYLES[name]
+
+# Config defaults implied by a decoder family (applied by load_config when the
+# user did not set the key explicitly; reference: MaxText/configs/models/*.yml
+# pin these per model, but a bare decoder_block=gemma* must not silently fall
+# back to silu MLPs / untied unembedding).
+FAMILY_CONFIG_DEFAULTS: dict[str, dict[str, object]] = {
+    "gemma": {
+        "mlp_activations": ("gelu", "linear"),
+        "logits_via_embedding": True,
+        "normalize_embedding_logits": False,
+    },
+    "gemma2": {
+        "mlp_activations": ("gelu", "linear"),
+        "logits_via_embedding": True,
+        "normalize_embedding_logits": False,
+        "attn_logits_soft_cap": 50.0,
+        "final_logits_soft_cap": 30.0,
+    },
+    "gemma3": {
+        "mlp_activations": ("gelu", "linear"),
+        "logits_via_embedding": True,
+        "normalize_embedding_logits": False,
+    },
+    "gpt3": {
+        "mlp_activations": ("gelu",),
+        "logits_via_embedding": True,
+    },
+}
