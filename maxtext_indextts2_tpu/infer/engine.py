@@ -59,11 +59,21 @@ class Engine:
         step vs f32 masters; reference quantize_params:318 goes further to
         int8 via AQT conversion)."""
         cfg = self.cfg
+        serve_quant = cfg.quantization == "int8w_serve"
+        if serve_quant:
+            # checkpoints are float: load/init through an unquantized twin,
+            # then convert into the int8+scale serving structure.
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, quantization="")
+            model = Transformer(cfg=cfg, mesh=self.mesh)
+        else:
+            model = self.model
         rng = jax.random.PRNGKey(cfg.init_weights_seed)
         dummy = jnp.zeros((1, cfg.max_prefill_predict_length), jnp.int32)
 
         def init_fn(rng):
-            return self.model.init(rng, dummy, dummy, dummy)["params"]
+            return model.init(rng, dummy, dummy, dummy)["params"]
 
         import flax.linen as nn
 
@@ -85,6 +95,19 @@ class Engine:
                 self.params = nn.meta.unbox(
                     jax.jit(init_fn, out_shardings=shardings)(rng)
                 )
+        if serve_quant:
+            from maxtext_indextts2_tpu.ops.quantization import (
+                quantize_params_for_serving,
+            )
+
+            abstract_q = nn.meta.unbox(
+                jax.eval_shape(
+                    lambda r: self.model.init(r, dummy, dummy, dummy)["params"],
+                    rng,
+                )
+            )
+            with self.mesh:
+                self.params = quantize_params_for_serving(self.params, abstract_q)
         if cast_dtype is not None:
             import jax.numpy as _jnp
 

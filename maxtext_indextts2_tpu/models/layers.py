@@ -68,6 +68,9 @@ class DenseGeneral(nn.Module):
         in_axes = tuple(range(len(axis)))
         out_axes = tuple(range(len(axis), len(axis) + len(features)))
 
+        if self.quantization == "int8w_serve":
+            return self._serve_quantized(inputs, kernel_shape, axis, features, in_axes)
+
         kernel = self.param(
             "kernel",
             nn.with_logical_partitioning(
@@ -127,6 +130,53 @@ class DenseGeneral(nn.Module):
                 "bias",
                 nn.with_logical_partitioning(
                     jax.nn.initializers.zeros, tuple(self.kernel_axes[len(axis):])
+                ),
+                features,
+                self.weight_dtype,
+            )
+            out = out + bias.astype(self.dtype)
+        return out
+
+    def _serve_quantized(self, inputs, kernel_shape, axis, features, in_axes):
+        """Offline weight-only int8 serving path (reference quantize_params:
+        MaxText/maxengine.py:318 via AQT convert/serve). The kernel is stored
+        int8 with per-output-channel f32 scales — Engine.load_params fills
+        them from a float checkpoint via quantize_params_for_serving. Decode
+        is HBM-bound, so halving the bytes read per weight roughly halves
+        weight-streaming time; XLA fuses the dequant into the matmul read.
+        Serving only: int8 params take no gradient."""
+        scale_shape = (1,) * len(axis) + features
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(
+                lambda key, shape, dtype: jnp.zeros(shape, dtype),
+                tuple(self.kernel_axes),
+            ),
+            kernel_shape,
+            jnp.int8,
+        )
+        scale = self.param(
+            "kernel_scale",
+            nn.with_logical_partitioning(
+                lambda key, shape, dtype: jnp.ones(shape, dtype),
+                (None,) * len(scale_shape),
+            ),
+            scale_shape,
+            jnp.float32,
+        )
+        inputs = inputs.astype(self.dtype)
+        kernel_f = kernel.astype(self.dtype) * scale.astype(self.dtype)
+        contract = ((axis, in_axes), ((), ()))
+        out = jax.lax.dot_general(
+            inputs, kernel_f, contract,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(
+                    jax.nn.initializers.zeros,
+                    tuple(self.kernel_axes[len(axis):]),
                 ),
                 features,
                 self.weight_dtype,

@@ -53,3 +53,47 @@ def quantize_kv(kv: jax.Array, axis: int = -1):
 
 def dequantize_kv(values: jax.Array, scales: jax.Array, dtype=jnp.bfloat16):
     return (values.astype(jnp.float32) * scales).astype(dtype)
+
+
+# ------------------------------------------------- serving weight quant
+
+
+def quantize_params_for_serving(params, abstract):
+    """Convert a float params tree into the ``int8w_serve`` structure.
+
+    ``abstract`` is the (eval_shape) params tree of a model built with
+    quantization="int8w_serve": DenseGeneral kernels appear as int8 leaves
+    with a sibling ``kernel_scale``. Every such kernel in ``params`` is
+    symmetric-quantized per output channel; all other leaves pass through.
+    Reference: MaxText/maxengine.py:318 quantize_params (AQT convert mode).
+    """
+
+    def convert(node, ab):
+        if isinstance(ab, dict):
+            out = {}
+            for key, sub_ab in ab.items():
+                if key == "kernel_scale":
+                    continue  # produced together with "kernel"
+                sub = node[key]
+                if (
+                    key == "kernel"
+                    and "kernel_scale" in ab
+                    and getattr(sub_ab, "dtype", None) == jnp.int8
+                ):
+                    scale_shape = ab["kernel_scale"].shape
+                    red = tuple(
+                        i for i, d in enumerate(scale_shape) if d == 1
+                    )
+                    w = sub.astype(jnp.float32)
+                    amax = jnp.max(jnp.abs(w), axis=red, keepdims=True)
+                    scale = jnp.maximum(amax, 1e-9) / 127.0
+                    out["kernel"] = (
+                        jnp.round(w / scale).clip(-127, 127).astype(jnp.int8)
+                    )
+                    out["kernel_scale"] = scale
+                else:
+                    out[key] = convert(sub, sub_ab)
+            return out
+        return node
+
+    return convert(params, abstract)

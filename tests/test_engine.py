@@ -180,3 +180,37 @@ def test_single_slot_insert_preserves_prefix():
     logits = eng.model.apply({"params": eng.params}, tokens, positions, segs)
     preds = np.asarray(jnp.argmax(logits[0], axis=-1))
     assert out == preds[len(prompt) - 1 :].tolist()
+
+
+def test_int8_weight_only_serving():
+    """quantization=int8w_serve: load float params, auto-convert kernels to
+    int8 + per-channel scales, decode stays within quantization tolerance of
+    the float engine (reference maxengine.py:318 quantize_params)."""
+    cfg_f = load_config(CFG)
+    eng_f = Engine(cfg_f)
+    eng_f.load_params()
+
+    cfg_q = load_config(CFG + ["quantization=int8w_serve"])
+    eng_q = Engine(cfg_q)
+    eng_q.load_params()
+
+    # structure: every DenseGeneral kernel is int8 with a sibling scale
+    leaves = jax.tree_util.tree_leaves_with_path(eng_q.params)
+    int8_kernels = [p for p, x in leaves if x.dtype == jnp.int8]
+    scales = [p for p, _ in leaves if "kernel_scale" in jax.tree_util.keystr(p)]
+    assert len(int8_kernels) == len(scales) > 0
+
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+    out_f = eng_f.generate_stream(prompt, 6)
+    out_q = eng_q.generate_stream(prompt, 6)
+    # greedy logits argmax under int8 noise: first couple of tokens must agree
+    assert out_q[:2] == out_f[:2]
+
+    # int8 engine must be self-consistent with the quantized forward
+    full = np.concatenate([prompt, np.array(out_q[:-1], np.int32)])
+    tokens = jnp.asarray(full)[None, :]
+    positions = jnp.arange(tokens.shape[1])[None, :]
+    segs = jnp.ones_like(tokens)
+    logits = eng_q.model.apply({"params": eng_q.params}, tokens, positions, segs)
+    preds = np.asarray(jnp.argmax(logits[0], axis=-1))
+    assert out_q == preds[len(prompt) - 1 :].tolist()
