@@ -101,6 +101,8 @@ class DecoderLayer(nn.Module):
             dtype=dtype,
             weight_dtype=jnp.dtype(cfg.weight_dtype),
             scale_plus_one=block.rmsnorm_scale_plus_one,
+            use_mean=block.use_layer_norm,
+            use_bias=block.use_layer_norm,
         )
         x = shard(x, "activation_batch", "activation_norm_length", "activation_embed")
 

@@ -192,18 +192,26 @@ def _precision(name: str):
 
 
 class RMSNorm(nn.Module):
-    """RMS layer norm (reference: MaxText/layers/normalizations.py:30)."""
+    """RMS layer norm (reference: MaxText/layers/normalizations.py:30).
+
+    With use_mean + use_bias this is a full LayerNorm (mean-centered,
+    affine) — the gpt3 family's norm (reference: MaxText/layers/gpt3.py:53
+    Gpt3LayerNorm, reductions in fp32)."""
 
     epsilon: float = 1e-6
     dtype: jnp.dtype = jnp.bfloat16
     weight_dtype: jnp.dtype = jnp.float32
     kernel_axes: Sequence[str | None] = ("norm",)
     scale_plus_one: bool = False  # gemma-style (scale initialized around 1)
+    use_mean: bool = False  # subtract mean (LayerNorm) instead of pure RMS
+    use_bias: bool = False  # learned additive bias after scaling
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         dtype_in = x.dtype
         x32 = jnp.asarray(x, jnp.float32)
+        if self.use_mean:
+            x32 = x32 - jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
         normed = x32 * jax.lax.rsqrt(var + self.epsilon)
         scale = self.param(
@@ -218,7 +226,18 @@ class RMSNorm(nn.Module):
         scale = jnp.asarray(scale, jnp.float32)
         if self.scale_plus_one:
             scale = scale + 1.0
-        return jnp.asarray(normed * scale, dtype_in)
+        out = normed * scale
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(
+                    jax.nn.initializers.zeros, tuple(self.kernel_axes)
+                ),
+                (x.shape[-1],),
+                self.weight_dtype,
+            )
+            out = out + jnp.asarray(bias, jnp.float32)
+        return jnp.asarray(out, dtype_in)
 
 
 class Embed(nn.Module):

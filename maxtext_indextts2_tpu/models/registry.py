@@ -25,6 +25,7 @@ class BlockStyle:
     use_qk_norm: bool = False
     query_pre_attn_scalar: float | None = None
     use_attn_bias: bool = False
+    use_layer_norm: bool = False  # gpt3: mean-centered norm with bias
     use_mlp_bias: bool = False
     use_mla: bool = False  # DeepSeek multi-head latent attention
 
@@ -36,7 +37,7 @@ BLOCK_STYLES: dict[str, BlockStyle] = {
     "mistral": BlockStyle(attention_pattern=("local_sliding",)),
     "mixtral": BlockStyle(),
     "qwen3": BlockStyle(use_qk_norm=True),
-    "gpt3": BlockStyle(use_attn_bias=True, use_mlp_bias=True),
+    "gpt3": BlockStyle(use_attn_bias=True, use_mlp_bias=True, use_layer_norm=True),
     "gemma": BlockStyle(rmsnorm_scale_plus_one=True, scale_embedding=True),
     "gemma2": BlockStyle(
         attention_pattern=("local_sliding", "global"),
@@ -91,5 +92,8 @@ FAMILY_CONFIG_DEFAULTS: dict[str, dict[str, object]] = {
     "gpt3": {
         "mlp_activations": ("gelu",),
         "logits_via_embedding": True,
+        "normalize_embedding_logits": False,
+        "use_positional_embedding": True,
+        "rope_type": "none",
     },
 }

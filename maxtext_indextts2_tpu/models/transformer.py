@@ -41,6 +41,8 @@ class Transformer(nn.Module):
             dtype=jnp.dtype(cfg.dtype),
             weight_dtype=jnp.dtype(cfg.weight_dtype),
             scale_plus_one=self.block.rmsnorm_scale_plus_one,
+            use_mean=self.block.use_layer_norm,
+            use_bias=self.block.use_layer_norm,
             name="decoder_norm",
         )
         if cfg.use_positional_embedding:

@@ -403,3 +403,79 @@ def convert_hf_gemma3_to_framework(state_dict: dict, cfg: Config) -> dict:
         "decoder": {"layers": layers},
         "decoder_norm": {"scale": get("model.norm.weight")},
     }}
+
+
+def convert_hf_gemma_to_framework(state_dict: dict, cfg: Config) -> dict:
+    """HF Gemma (v1) state dict -> framework params.
+
+    Gemma1 shares llama's tensor layout (same HF names, single sublayer,
+    pre-norms only); the gemma-specific behavior — (1+w) RMSNorm convention,
+    sqrt(d) embedding scaling, gelu MLP, tied unembedding — lives in the
+    gemma BlockStyle + FAMILY_CONFIG_DEFAULTS, not in the weights
+    (reference: MaxText/MaxText/convert_gemma_chkpt.py).
+    """
+    return convert_hf_llama_to_framework(state_dict, cfg)
+
+
+def convert_hf_gpt2_to_framework(state_dict: dict, cfg: Config) -> dict:
+    """HF GPT-2 state dict -> framework gpt3-family params (scanned).
+
+    Validates the gpt3 BlockStyle end to end: LayerNorm (mean+bias), fused
+    qkv Conv1D split, attention/MLP biases, learned positional embeddings,
+    tied unembedding (reference: MaxText/layers/gpt3.py:183 Gpt3DecoderLayer;
+    HF Conv1D stores weights [in, out], so no transpose).
+    """
+    L = cfg.num_decoder_layers
+    E = cfg.emb_dim
+    nq, nkv, hd = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
+    sd = state_dict
+
+    def get(name):
+        return _t(sd[name])
+
+    def stack(fmt, transform):
+        return np.stack([transform(get(fmt.format(i))) for i in range(L)], axis=0)
+
+    def qkv(part):  # part: 0=q, 1=k, 2=v  (c_attn fused [E, 3E])
+        heads = nq if part == 0 else nkv
+        return {
+            "kernel": stack(
+                "transformer.h.{}.attn.c_attn.weight",
+                lambda w: w[:, part * E:(part + 1) * E].reshape(E, heads, hd)),
+            "bias": stack(
+                "transformer.h.{}.attn.c_attn.bias",
+                lambda b: b[part * E:(part + 1) * E].reshape(heads, hd)),
+        }
+
+    layers = {
+        "self_attention_0": {
+            "query": qkv(0), "key": qkv(1), "value": qkv(2),
+            "out": {
+                "kernel": stack("transformer.h.{}.attn.c_proj.weight",
+                                lambda w: w.reshape(nq, hd, E)),
+                "bias": stack("transformer.h.{}.attn.c_proj.bias", lambda b: b),
+            },
+        },
+        "mlp_0": {
+            "wi": {"kernel": stack("transformer.h.{}.mlp.c_fc.weight", lambda w: w),
+                   "bias": stack("transformer.h.{}.mlp.c_fc.bias", lambda b: b)},
+            "wo": {"kernel": stack("transformer.h.{}.mlp.c_proj.weight", lambda w: w),
+                   "bias": stack("transformer.h.{}.mlp.c_proj.bias", lambda b: b)},
+        },
+        "pre_self_attention_norm_0": {
+            "scale": stack("transformer.h.{}.ln_1.weight", lambda w: w),
+            "bias": stack("transformer.h.{}.ln_1.bias", lambda b: b),
+        },
+        "pre_mlp_norm_0": {
+            "scale": stack("transformer.h.{}.ln_2.weight", lambda w: w),
+            "bias": stack("transformer.h.{}.ln_2.bias", lambda b: b),
+        },
+    }
+    return {"params": {
+        "token_embedder": {"embedding": _pad_vocab(get("transformer.wte.weight"), cfg.vocab_size)},
+        "position_embedder": {"embedding": _pad_vocab(
+            get("transformer.wpe.weight"), cfg.max_target_length)},
+        "decoder": {"layers": layers},
+        "decoder_norm": {"scale": get("transformer.ln_f.weight"),
+                         "bias": get("transformer.ln_f.bias")},
+    }}

@@ -305,3 +305,86 @@ def test_gemma3_logits_parity():
     ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
     np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
     assert np.abs(ref - ours).max() < 2e-3
+
+
+def test_gemma1_logits_parity():
+    """Gemma v1: (1+w) norms, sqrt(d) embedding scale, gelu, tied unembed —
+    all via decoder_block=gemma family defaults (no extra flags)."""
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_hf_gemma_to_framework,
+    )
+
+    hf_cfg = GemmaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        hidden_act="gelu_pytorch_tanh", tie_word_embeddings=True,
+    )
+    torch.manual_seed(0)
+    hf = GemmaForCausalLM(hf_cfg).eval()
+
+    cfg = load_config([
+        "decoder_block=gemma", "base_emb_dim=64", "base_mlp_dim=128",
+        "base_num_decoder_layers=3", "base_num_query_heads=4",
+        "base_num_kv_heads=2", "head_dim=16", "vocab_size=256",
+        "max_target_length=32",
+        "dtype=float32", "weight_dtype=float32", "attention=dot_product",
+    ])
+    params = convert_hf_gemma_to_framework(hf.state_dict(), cfg)
+    params = {"params": jax.tree.map(jnp.asarray, params["params"])}
+
+    from maxtext_indextts2_tpu.models import Transformer
+
+    model = Transformer(cfg=cfg)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 256, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(tokens.astype(np.int64))).logits.numpy()
+    positions = jnp.broadcast_to(jnp.arange(16), (2, 16))
+    segs = jnp.ones((2, 16), jnp.int32)
+    ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
+    np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+    assert np.abs(ref - ours).max() < 2e-3
+
+
+def test_gpt2_logits_parity():
+    """GPT-2 -> gpt3 family: LayerNorm (mean+bias), fused-qkv split, attn/MLP
+    biases, learned positions, tied unembedding."""
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_hf_gpt2_to_framework,
+    )
+
+    hf_cfg = GPT2Config(
+        vocab_size=256, n_positions=64, n_embd=64, n_layer=3, n_head=4,
+        activation_function="gelu_new", tie_word_embeddings=True,
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(hf_cfg).eval()
+
+    cfg = load_config([
+        "decoder_block=gpt3", "base_emb_dim=64", "base_mlp_dim=256",
+        "base_num_decoder_layers=3", "base_num_query_heads=4",
+        "base_num_kv_heads=4", "head_dim=16", "vocab_size=256",
+        "max_target_length=32", "normalization_layer_epsilon=1e-5",
+        "dtype=float32", "weight_dtype=float32", "attention=dot_product",
+    ])
+    params = convert_hf_gpt2_to_framework(hf.state_dict(), cfg)
+    params = {"params": jax.tree.map(jnp.asarray, params["params"])}
+
+    from maxtext_indextts2_tpu.models import Transformer
+
+    model = Transformer(cfg=cfg)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 256, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(tokens.astype(np.int64))).logits.numpy()
+    positions = jnp.broadcast_to(jnp.arange(16), (2, 16))
+    segs = jnp.ones((2, 16), jnp.int32)
+    ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
+    np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+    assert np.abs(ref - ours).max() < 2e-3
