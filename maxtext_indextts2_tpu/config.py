@@ -78,6 +78,7 @@ class Config:
     attention_type: str = "global"  # global | local_sliding | chunk
     query_pre_attn_scalar: float = 0.0  # gemma: replace 1/sqrt(d); 0 = off
     attention: str = "autoselected"  # autoselected | dot_product | flash | ragged
+    decode_attention: str = "dot_product"  # dot_product | ragged (pallas decode kernel)
     flash_block_sizes: tuple[int, ...] = (512, 512)  # (block_q, block_kv)
     dropout_rate: float = 0.0
     gradient_clipping_threshold: float = 1.0

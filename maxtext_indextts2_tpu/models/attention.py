@@ -180,6 +180,7 @@ class Attention(nn.Module):
     head_dim: int
     max_target_length: int = 2048
     attention_kernel: str = "autoselected"  # autoselected|dot_product|flash
+    decode_attention: str = "dot_product"  # dot_product | ragged (pallas)
     dtype: jnp.dtype = jnp.bfloat16
     weight_dtype: jnp.dtype = jnp.float32
     float32_qk_product: bool = False
@@ -336,6 +337,24 @@ class Attention(nn.Module):
                 out = dot_product_attention(
                     q, k, v, mask, self.attn_logits_soft_cap, self.float32_qk_product
                 )
+            elif (
+                self.decode_attention == "ragged"
+                and self.sliding_window_size == 0
+                and self.chunk_attn_window_size == 0
+                and self.attn_logits_soft_cap == 0.0
+                and not self.quantize_kvcache
+            ):
+                # Pallas ragged decode: reads only each slot's valid KV
+                # blocks (positions < cidx always hold real tokens — padded
+                # prefill garbage is overwritten before cidx passes it).
+                from maxtext_indextts2_tpu.ops.ragged_decode_attention import (
+                    ragged_decode_attention,
+                )
+
+                out = ragged_decode_attention(
+                    q[:, 0], ck, cv, cidx,
+                    interpret=jax.default_backend() != "tpu",
+                )[:, None]
             else:
                 kv_positions = jnp.broadcast_to(
                     jnp.arange(self.max_target_length, dtype=jnp.int32)[None, :],

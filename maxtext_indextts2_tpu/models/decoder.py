@@ -49,6 +49,7 @@ def _attention_kwargs(cfg: Config, block, mesh, attention_type: str) -> dict[str
         rope_original_max_position=cfg.rope_original_max_position,
         use_qk_norm=block.use_qk_norm,
         qk_norm_scale_plus_one=block.rmsnorm_scale_plus_one,
+        decode_attention=cfg.decode_attention,
         query_pre_attn_scalar=(
             cfg.query_pre_attn_scalar if cfg.query_pre_attn_scalar > 0
             else block.query_pre_attn_scalar

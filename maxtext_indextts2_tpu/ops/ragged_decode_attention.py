@@ -1,0 +1,183 @@
+"""Ragged decode attention: one-token-per-slot GQA over variable lengths.
+
+TPU-native replacement for masked full-length dot-product attention in the
+autoregressive decode step (reference: MaxText/inference/
+paged_attention_kernel_v2.py + jax ragged_paged_attention). Decode is
+HBM-bound: with a [B, S, nkv, d] cache and slot lengths far below S, the
+masked path still streams all S positions. This kernel reads only
+ceil(len/block) KV blocks per slot:
+
+- grid = (B, S // block_kv), lengths in SMEM via scalar prefetch.
+- The K/V BlockSpec index maps clamp the block index to the slot's last
+  valid block; Mosaic skips the HBM->VMEM copy when consecutive grid steps
+  map to the same block, so out-of-range blocks cost no bandwidth.
+- GQA without in-kernel transposes: q [nq, d] is pre-expanded on the host
+  side of the call into [nq, nkv*d] with each head's d-slice placed at its
+  kv-head offset (zeros elsewhere). Scores are then ONE dot_general against
+  the flattened K block [block_kv, nkv*d]; the value product yields
+  [nq, nkv*d] from which each head's d-slice is gathered outside the
+  kernel. The (nkv-1)x extra MACs are noise next to the saved HBM reads.
+- Online softmax with (rows, 128) sublane-aligned m/l scratch (1-D
+  lane-major stats force a relayout per block; see ops/flash_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(
+    lengths_ref,  # SMEM [B]
+    q_ref,  # [1, nq, nkv*d]
+    k_ref,  # [1, block_kv, nkv*d]
+    v_ref,  # [1, block_kv, nkv*d]
+    o_ref,  # [1, nq, nkv*d]
+    m_ref,  # scratch [nq, 128] f32
+    l_ref,  # scratch [nq, 128] f32
+    acc_ref,  # scratch [nq, nkv*d] f32
+    *,
+    block_kv: int,
+    num_blocks: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    length = lengths_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j * block_kv < length)
+    def _compute():
+        q = q_ref[0]  # [nq, nkv*d]
+        k = k_ref[0]  # [block_kv, nkv*d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [nq, block_kv]
+
+        kv_pos = j * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        s = jnp.where(kv_pos < length, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]  # [nq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [nq, block_kv]
+
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(
+            p, axis=1, keepdims=True
+        ) * jnp.ones_like(l_ref)
+        m_ref[...] = m_new * jnp.ones_like(m_ref)
+
+        v = v_ref[0]  # [block_kv, nkv*d]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(j == num_blocks - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_kv", "interpret")
+)
+def ragged_decode_attention(
+    q: jax.Array,  # [B, nq, d]
+    k: jax.Array,  # [B, S, nkv, d]
+    v: jax.Array,  # [B, S, nkv, d]
+    lengths: jax.Array,  # [B] int32 valid positions per slot
+    block_kv: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Softmax(q k^T / sqrt(d)) v over each slot's first `lengths[b]` cache
+    positions. Returns [B, nq, d]."""
+    b_sz, nq, d = q.shape
+    s_len, nkv = k.shape[1], k.shape[2]
+    assert nq % nkv == 0, (nq, nkv)
+    block_kv = min(block_kv, s_len)
+    assert s_len % block_kv == 0, (s_len, block_kv)
+    num_blocks = s_len // block_kv
+    group = nq // nkv
+
+    # GQA pre-expansion: head h -> kv head h // group; place its d-slice at
+    # that kv head's offset in a [nq, nkv*d] row (zeros elsewhere).
+    q_grouped = q.reshape(b_sz, nkv, group, d)
+    q_exp = (
+        q_grouped[:, :, None, :, :]
+        * jnp.eye(nkv, dtype=q.dtype)[None, :, :, None, None]
+    )  # [B, nkv, nkv, group, d]
+    q_exp = q_exp.transpose(0, 2, 3, 1, 4).reshape(b_sz, nq, nkv * d)
+
+    k_flat = k.reshape(b_sz, s_len, nkv * d)
+    v_flat = v.reshape(b_sz, s_len, nkv * d)
+    lengths = lengths.astype(jnp.int32)
+
+    def kv_index_map(b, j, lens):
+        last_valid = jnp.maximum(
+            (jnp.maximum(lens[b], 1) + block_kv - 1) // block_kv - 1, 0
+        )
+        return (b, jnp.minimum(j, last_valid), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_sz, num_blocks),
+        in_specs=[
+            pl.BlockSpec((1, nq, nkv * d), lambda b, j, lens: (b, 0, 0)),
+            pl.BlockSpec((1, block_kv, nkv * d), kv_index_map),
+            pl.BlockSpec((1, block_kv, nkv * d), kv_index_map),
+        ],
+        out_specs=pl.BlockSpec((1, nq, nkv * d), lambda b, j, lens: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((nq, 128), jnp.float32),
+            pltpu.VMEM((nq, 128), jnp.float32),
+            pltpu.VMEM((nq, nkv * d), jnp.float32),
+        ],
+    )
+    out_exp = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            block_kv=block_kv,
+            num_blocks=num_blocks,
+            scale=1.0 / (d ** 0.5),
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_sz, nq, nkv * d), q.dtype),
+        interpret=interpret,
+    )(lengths, q_exp, k_flat, v_flat)
+
+    # gather each head's d-slice from its kv-head offset
+    out = out_exp.reshape(b_sz, nkv, group, nkv, d)
+    idx = jnp.arange(nkv)
+    out = out[:, idx, :, idx, :]  # [nkv, B, group, d]
+    return out.transpose(1, 0, 2, 3).reshape(b_sz, nq, d)
+
+
+def ragged_decode_attention_reference(q, k, v, lengths):
+    """jnp reference for tests: masked full-length attention."""
+    b_sz, nq, d = q.shape
+    s_len, nkv = k.shape[1], k.shape[2]
+    group = nq // nkv
+    qg = q.reshape(b_sz, nkv, group, d)
+    s = jnp.einsum("bhgd,bshd->bhgs", qg, k) / (d ** 0.5)
+    mask = jnp.arange(s_len)[None, :] < lengths[:, None]  # [B, S]
+    s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    o = jnp.einsum("bhgs,bshd->bhgd", p.astype(v.dtype), v)
+    return o.reshape(b_sz, nq, d)
