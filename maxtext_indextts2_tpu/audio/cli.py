@@ -1,0 +1,155 @@
+"""Audio CLIs: wav -> semantic tokens, and text+prompt -> wav synthesis.
+
+Reference: maskgct/inference.py (semantic tokenizer CLI, :8-54) and
+maskgct/full_inference.py (:201 CLI main). IO keeps to stdlib +
+scipy.io.wavfile (soundfile is not in the image); .npy waveforms are
+accepted everywhere for pipeline-to-pipeline use.
+
+Usage:
+  python -m maxtext_indextts2_tpu.audio.cli tokenize input=<wav|npy> \
+      [out=<npy>] [key=value ...]
+  python -m maxtext_indextts2_tpu.audio.cli synthesize text="..." \
+      prompt=<wav|npy 16k> [prompt24k=<wav|npy 24k>] [out=<wav>] \
+      [max_new_tokens=N] [key=value ...]
+
+Without trained checkpoints this runs the tiny random-weight pipeline —
+useful for shape/latency smoke tests; pass checkpoint paths via the usual
+config keys for real synthesis.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+
+def _read_wav(path: str, expect_sr: int) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    if sr != expect_sr:
+        # linear resample via interp — stdlib-only fallback
+        n_out = int(round(len(data) * expect_sr / sr))
+        data = np.interp(
+            np.linspace(0.0, len(data) - 1.0, n_out),
+            np.arange(len(data), dtype=np.float64),
+            data.astype(np.float64),
+        ).astype(np.float32)
+    return data
+
+
+def _write_wav(path: str, wav: np.ndarray, sr: int) -> None:
+    from scipy.io import wavfile
+
+    pcm = np.clip(wav, -1.0, 1.0)
+    wavfile.write(path, sr, (pcm * 32767.0).astype(np.int16))
+
+
+def _parse(argv):
+    kv, keep = {}, []
+    for a in argv:
+        if "=" in a:
+            k, _, v = a.partition("=")
+            if k in ("input", "out", "text", "prompt", "prompt24k",
+                     "max_new_tokens"):
+                kv[k] = v
+            else:
+                keep.append(a)
+        else:
+            keep.append(a)
+    return kv, keep
+
+
+TINY_CFG = [
+    "vocab_size=9344", "audio_codebook_size=8192",
+    "base_emb_dim=64", "base_mlp_dim=128", "base_num_decoder_layers=2",
+    "base_num_query_heads=2", "base_num_kv_heads=2", "head_dim=32",
+    "max_target_length=512", "max_prefill_predict_length=128",
+    "per_device_batch_size=0.125", "dtype=float32", "decoder_block=tts",
+    "s2a_num_quantizers=4", "s2a_hidden_size=64", "s2a_num_layers=2",
+    "s2a_num_heads=4", "s2a_codebook_size=64", "s2a_timesteps=[2,2,2,2]",
+    "semantic_codebook_size=8192",
+]
+
+
+def tokenize(argv):
+    from maxtext_indextts2_tpu.audio.conformer import ConformerConfig
+    from maxtext_indextts2_tpu.audio.semantic_tokenizer import SemanticTokenizer
+
+    kv, _ = _parse(argv)
+    wav = _read_wav(kv["input"], 16000)
+    tok = SemanticTokenizer(
+        encoder_cfg=ConformerConfig(
+            hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=256, output_layer=2,
+        ),
+        repcodec_kwargs=dict(codebook_size=8192, vocos_dim=64,
+                             vocos_intermediate_dim=128, vocos_num_layers=2),
+    )
+    tok.init_params()
+    codes, lengths = tok.tokenize(wav[None])
+    codes = np.asarray(codes)[0, : int(np.asarray(lengths)[0])]
+    if kv.get("out"):
+        np.save(kv["out"], codes)
+    print(json.dumps({
+        "n_tokens": int(codes.shape[0]),
+        "tokens_per_second": round(codes.shape[0] / (len(wav) / 16000.0), 2),
+        "first_tokens": codes[:16].tolist(),
+        "out": kv.get("out", ""),
+    }))
+
+
+def synthesize(argv):
+    from maxtext_indextts2_tpu.audio.pipeline import build_tiny_pipeline
+    from maxtext_indextts2_tpu.config import load_config
+
+    kv, keep = _parse(argv)
+    cfg = load_config(TINY_CFG + keep)
+    wav16 = _read_wav(kv["prompt"], 16000)
+    wav24 = (
+        _read_wav(kv["prompt24k"], 24000)
+        if kv.get("prompt24k")
+        else np.interp(
+            np.linspace(0.0, len(wav16) - 1.0, int(len(wav16) * 1.5)),
+            np.arange(len(wav16), dtype=np.float64),
+            wav16.astype(np.float64),
+        ).astype(np.float32)
+    )
+    pipe = build_tiny_pipeline(cfg)
+    wav, info = pipe.synthesize(
+        kv.get("text", ""), wav16, wav24,
+        max_new_tokens=int(kv.get("max_new_tokens", 64)),
+    )
+    out = kv.get("out", "out.wav")
+    _write_wav(out, np.asarray(wav), 24000)
+    print(json.dumps({
+        "out": out,
+        "samples": int(np.asarray(wav).shape[0]),
+        "seconds": round(np.asarray(wav).shape[0] / 24000.0, 3),
+        **{k: round(v, 4) for k, v in info.items() if isinstance(v, float)},
+    }))
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in ("tokenize", "synthesize"):
+        print(__doc__)
+        raise SystemExit(2)
+    cmd, rest = argv[0], argv[1:]
+    (tokenize if cmd == "tokenize" else synthesize)(rest)
+
+
+if __name__ == "__main__":
+    main()
