@@ -96,7 +96,8 @@ class Config:
     dtype: str = "bfloat16"  # activations
     weight_dtype: str = "float32"  # params
     matmul_precision: str = "default"
-    quantization: str = ""  # "" | int8 | fp8
+    quantization: str = ""  # "" | int8 | fp8 | int8w | int8w_serve
+    checkpoint_is_quantized: bool = False  # load_parameters_path already int8w_serve
     quantize_kvcache: bool = False
     kv_quant_dtype: str = "int8"
 

@@ -59,7 +59,9 @@ class Engine:
         step vs f32 masters; reference quantize_params:318 goes further to
         int8 via AQT conversion)."""
         cfg = self.cfg
-        serve_quant = cfg.quantization == "int8w_serve"
+        serve_quant = (
+            cfg.quantization == "int8w_serve" and not cfg.checkpoint_is_quantized
+        )
         if serve_quant:
             # checkpoints are float: load/init through an unquantized twin,
             # then convert into the int8+scale serving structure.
