@@ -111,7 +111,11 @@ class Config:
     router_z_loss_weight: float = 0.0
     routed_scaling_factor: float = 1.0
     routed_score_func: str = "softmax"  # softmax | sigmoid
-    normalize_topk_weights: bool = False  # mixtral: renormalize selected weights
+    normalize_topk_weights: bool = False  # mixtral/deepseek: renormalize selected weights
+    moe_weight_on_input: bool = False  # llama4: scale expert INPUT by routing weight
+    moe_sublayer_pattern: tuple[int, ...] = ()  # llama4 maverick: which sublayers are MoE
+    attn_temperature_scale: float = 0.1  # llama4 attn_scale (NoPE layers)
+    attn_temperature_floor_scale: float = 8192.0  # llama4 floor_scale
     routed_bias: bool = False
     n_routing_groups: int = -1
     topk_routing_group: int = -1

@@ -188,6 +188,7 @@ class Attention(nn.Module):
     sliding_window_size: int = 0
     chunk_attn_window_size: int = 0
     rope_type: str = "default"
+    rope_interleave: bool = False  # llama4/deepseek complex-pair rotation
     rope_max_timescale: float = 10_000.0
     rope_factor: float = 8.0
     rope_low_freq_factor: float = 1.0
@@ -195,6 +196,10 @@ class Attention(nn.Module):
     rope_original_max_position: int = 8192
     use_qk_norm: bool = False  # qwen3/gemma3-style per-head q/k RMSNorm
     qk_norm_scale_plus_one: bool = False  # gemma convention for the qk norms
+    qk_norm_type: str = "rms"  # rms (learned, pre-rope) | l2 (param-free, post-rope; llama4)
+    use_temperature_tuning: bool = False  # llama4 NoPE-layer q scaling
+    attn_temperature_scale: float = 0.1  # llama4 attn_scale
+    attn_temperature_floor_scale: float = 8192.0  # llama4 floor_scale
     query_pre_attn_scalar: float | None = None  # gemma: scale q by this instead of 1/sqrt(d)
     normalization_layer_epsilon: float = 1e-6
     use_bias: bool = False
@@ -252,7 +257,7 @@ class Attention(nn.Module):
             name="value",
         )(inputs_kv)
 
-        if self.use_qk_norm:
+        if self.use_qk_norm and self.qk_norm_type == "rms":
             qk_norm = RMSNorm(
                 epsilon=self.normalization_layer_epsilon,
                 dtype=self.dtype,
@@ -281,8 +286,31 @@ class Attention(nn.Module):
                 self.rope_high_freq_factor,
                 self.rope_original_max_position,
             )
-            q = rope_lib.apply_rope(q, positions, inv_freq)
-            k = rope_lib.apply_rope(k, positions, inv_freq)
+            q = rope_lib.apply_rope(q, positions, inv_freq, interleave=self.rope_interleave)
+            k = rope_lib.apply_rope(k, positions, inv_freq, interleave=self.rope_interleave)
+
+        if self.use_qk_norm and self.qk_norm_type == "l2":
+            # llama4: parameter-free L2 (rms without scale) applied AFTER
+            # rope (reference HF Llama4TextL2Norm; modeling_llama4.py:97).
+            def _l2(x):
+                x32 = x.astype(jnp.float32)
+                return (x32 * jax.lax.rsqrt(
+                    jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+                    + self.normalization_layer_epsilon)).astype(x.dtype)
+
+            q = _l2(q)
+            k = _l2(k)
+
+        if self.use_temperature_tuning:
+            # llama4 NoPE layers: scale q by log1p(floor((pos+1)/floor)) *
+            # attn_scale + 1 (arXiv:2501.19399; HF modeling_llama4.py:338).
+            scales = (
+                jnp.log1p(
+                    jnp.floor((positions.astype(jnp.float32) + 1.0)
+                              / self.attn_temperature_floor_scale)
+                ) * self.attn_temperature_scale + 1.0
+            )
+            q = q * scales[..., None, None].astype(q.dtype)
 
         if self.query_pre_attn_scalar is not None:
             # gemma semantics: scores = qk / sqrt(query_pre_attn_scalar).

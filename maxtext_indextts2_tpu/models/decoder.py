@@ -29,6 +29,7 @@ from maxtext_indextts2_tpu.parallel.sharding import shard
 def _attention_kwargs(cfg: Config, block, mesh, attention_type: str) -> dict[str, Any]:
     sliding = cfg.sliding_window_size if attention_type == "local_sliding" else 0
     chunk = cfg.chunk_attn_window_size if attention_type == "chunk" else 0
+    nope = attention_type == "global_nope"
     return dict(
         num_query_heads=cfg.num_query_heads,
         num_kv_heads=cfg.num_kv_heads,
@@ -41,14 +42,19 @@ def _attention_kwargs(cfg: Config, block, mesh, attention_type: str) -> dict[str
         attn_logits_soft_cap=cfg.attn_logits_soft_cap,
         sliding_window_size=sliding,
         chunk_attn_window_size=chunk,
-        rope_type=cfg.rope_type,
+        rope_type="none" if nope else cfg.rope_type,
+        rope_interleave=block.rope_interleave,
         rope_max_timescale=cfg.rope_max_timescale,
         rope_factor=cfg.rope_factor,
         rope_low_freq_factor=cfg.rope_low_freq_factor,
         rope_high_freq_factor=cfg.rope_high_freq_factor,
         rope_original_max_position=cfg.rope_original_max_position,
-        use_qk_norm=block.use_qk_norm,
+        use_qk_norm=block.use_qk_norm and not nope,
         qk_norm_scale_plus_one=block.rmsnorm_scale_plus_one,
+        qk_norm_type=block.qk_norm_type,
+        use_temperature_tuning=nope and block.attn_temperature_tuning,
+        attn_temperature_scale=cfg.attn_temperature_scale,
+        attn_temperature_floor_scale=cfg.attn_temperature_floor_scale,
         decode_attention=cfg.decode_attention,
         query_pre_attn_scalar=(
             cfg.query_pre_attn_scalar if cfg.query_pre_attn_scalar > 0
@@ -127,7 +133,9 @@ class DecoderLayer(nn.Module):
 
         # ---- mlp / moe sublayer
         h = norm(name=f"pre_mlp_norm_{idx}")(x) if block.use_pre_norm else x
-        if self.use_moe:
+        moe_subs = tuple(cfg.moe_sublayer_pattern) or block.moe_sublayers
+        is_moe = self.use_moe and (moe_subs is None or idx in moe_subs)
+        if is_moe:
             from maxtext_indextts2_tpu.models.moe import RoutedMoE
 
             mlp_out, lb_loss = RoutedMoE(cfg=cfg, mesh=self.mesh, name=f"moe_{idx}")(

@@ -73,7 +73,7 @@ class RoutedMoE(nn.Module):
         top_scores, top_idx = jax.lax.top_k(select_scores, k)
         # combine weights come from the unbiased scores
         top_w = jnp.take_along_axis(scores, top_idx, axis=-1)
-        if cfg.routed_score_func == "sigmoid" or cfg.normalize_topk_weights:
+        if cfg.normalize_topk_weights:
             top_w = top_w / jnp.maximum(
                 jnp.sum(top_w, axis=-1, keepdims=True), 1e-9
             )
@@ -143,6 +143,25 @@ class RoutedMoE(nn.Module):
         cfg = self.cfg
         acts = cfg.mlp_activations
         x = x.astype(dtype)
+        combine = jnp.sum(
+            jax.nn.one_hot(top_idx, cfg.num_experts, dtype=dtype)
+            * top_w[..., None],
+            axis=2,
+        )  # [B,S,E_experts] routing weight per (token, expert)
+        if cfg.moe_weight_on_input:
+            # llama4: weight the expert INPUT; sum expert outputs masked to
+            # the selected experts.
+            xw = x[:, :, None, :] * combine[..., None]  # [B,S,X,E]
+            h0 = jnp.einsum("bsxe,xem->bsxm", xw, wi_0.astype(dtype),
+                            preferred_element_type=jnp.float32).astype(dtype)
+            h1 = jnp.einsum("bsxe,xem->bsxm", xw, wi_1.astype(dtype),
+                            preferred_element_type=jnp.float32).astype(dtype)
+            h = ACTIVATIONS[acts[0]](h0) * (h1 if len(acts) > 1 else 1.0)
+            o = jnp.einsum("bsxm,xme->bsxe", h, wo.astype(dtype),
+                           preferred_element_type=jnp.float32).astype(dtype)
+            mask = (combine != 0).astype(dtype)
+            return jnp.einsum("bsxe,bsx->bse", o, mask,
+                              preferred_element_type=jnp.float32).astype(dtype)
         h0 = jnp.einsum("bse,xem->bsxm", x, wi_0.astype(dtype),
                         preferred_element_type=jnp.float32).astype(dtype)
         h1 = jnp.einsum("bse,xem->bsxm", x, wi_1.astype(dtype),
@@ -150,11 +169,6 @@ class RoutedMoE(nn.Module):
         h = ACTIVATIONS[acts[0]](h0) * (h1 if len(acts) > 1 else 1.0)
         o = jnp.einsum("bsxm,xme->bsxe", h, wo.astype(dtype),
                        preferred_element_type=jnp.float32).astype(dtype)
-        combine = jnp.sum(
-            jax.nn.one_hot(top_idx, cfg.num_experts, dtype=dtype)
-            * top_w[..., None],
-            axis=2,
-        )  # [B,S,E_experts]
         return jnp.einsum("bsxe,bsx->bse", o, combine,
                           preferred_element_type=jnp.float32).astype(dtype)
 
@@ -174,6 +188,8 @@ class RoutedMoE(nn.Module):
         order = jnp.argsort(expert_flat)  # stable
         token_of = order // k
         x_sorted = jnp.take(x_flat, token_of, axis=0)
+        if cfg.moe_weight_on_input:
+            x_sorted = x_sorted * jnp.take(w_flat, order)[:, None]
         group_sizes = jnp.bincount(expert_flat, length=n_exp)
 
         h0 = jax.lax.ragged_dot(
@@ -191,6 +207,10 @@ class RoutedMoE(nn.Module):
             preferred_element_type=jnp.float32,
         ).astype(dtype)
 
-        o_sorted = o_sorted * jnp.take(w_flat, order)[:, None]
+        # llama4 scales the expert INPUT by the routing weight instead of
+        # the output (nonlinear experts make the two differ); both are a
+        # single row-scale on the sorted token stream.
+        if not cfg.moe_weight_on_input:
+            o_sorted = o_sorted * jnp.take(w_flat, order)[:, None]
         out_flat = jnp.zeros((t, e), dtype=jnp.float32).at[token_of].add(o_sorted)
         return out_flat.astype(dtype).reshape(b, s, e)

@@ -23,6 +23,10 @@ class BlockStyle:
     rmsnorm_scale_plus_one: bool = False  # gemma convention: param stores scale-1
     scale_embedding: bool = False  # gemma: multiply embedding by sqrt(d)
     use_qk_norm: bool = False
+    qk_norm_type: str = "rms"  # rms | l2 (llama4 post-rope, param-free)
+    rope_interleave: bool = False  # llama4: complex-pair rope (HF apply_rotary_emb)
+    attn_temperature_tuning: bool = False  # llama4 NoPE layers
+    moe_sublayers: tuple[int, ...] | None = None  # which sublayers are MoE (None = all)
     query_pre_attn_scalar: float | None = None
     use_attn_bias: bool = False
     use_layer_norm: bool = False  # gpt3: mean-centered norm with bias
@@ -56,6 +60,16 @@ BLOCK_STYLES: dict[str, BlockStyle] = {
         use_qk_norm=True,
     ),
     "deepseek": BlockStyle(use_mla=True),
+    # llama4: chunked-causal rope layers + every-4th NoPE global layer with
+    # temperature-tuned q; L2 qk-norm; MoE interleave set per model preset
+    # (scout: all layers, maverick: moe_sublayers=(1, 3)).
+    "llama4": BlockStyle(
+        attention_pattern=("chunk", "chunk", "chunk", "global_nope"),
+        use_qk_norm=True,
+        qk_norm_type="l2",
+        attn_temperature_tuning=True,
+        rope_interleave=True,
+    ),
     "tts": BlockStyle(use_qk_norm=True),  # flagship audio-LM decoder style
 }
 
@@ -88,6 +102,12 @@ FAMILY_CONFIG_DEFAULTS: dict[str, dict[str, object]] = {
         "mlp_activations": ("gelu", "linear"),
         "logits_via_embedding": True,
         "normalize_embedding_logits": False,
+    },
+    "llama4": {
+        "routed_score_func": "sigmoid",
+        "normalize_topk_weights": False,
+        "moe_weight_on_input": True,
+        "shared_experts": 1,
     },
     "gpt3": {
         "mlp_activations": ("gelu",),

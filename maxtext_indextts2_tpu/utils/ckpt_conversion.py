@@ -479,3 +479,78 @@ def convert_hf_gpt2_to_framework(state_dict: dict, cfg: Config) -> dict:
         "decoder_norm": {"scale": get("transformer.ln_f.weight"),
                          "bias": get("transformer.ln_f.bias")},
     }}
+
+
+def convert_hf_llama4_to_framework(state_dict: dict, cfg: Config) -> dict:
+    """HF Llama4 text state dict -> framework llama4-family params.
+
+    Scan units of 4 sublayers (3 chunked-rope + 1 NoPE global); MoE per
+    sublayer: router -> gate kernel, fused experts gate_up_proj [E, H, 2M]
+    split into wi_0/wi_1, down_proj -> wo (direct arrays), shared expert MLP
+    (reference: MaxText/llama4_ckpt_unscanned.py; HF modeling_llama4.py:46
+    Llama4TextExperts, :147 Llama4TextMoe).
+    """
+    L = cfg.num_decoder_layers
+    E = cfg.emb_dim
+    nq, nkv, hd = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
+    m = cfg.moe_mlp_dim
+    P = 4  # sublayers per scan unit
+    units = L // P
+    sd = state_dict
+
+    def get(name):
+        return _t(sd[name])
+
+    def stack(sub, fmt, transform):
+        return np.stack(
+            [transform(get(fmt.format(P * u + sub))) for u in range(units)], axis=0
+        )
+
+    layers = {}
+    for sub in range(P):
+        layers[f"self_attention_{sub}"] = {
+            "query": {"kernel": stack(sub, "model.layers.{}.self_attn.q_proj.weight",
+                                      lambda w: w.T.reshape(E, nq, hd))},
+            "key": {"kernel": stack(sub, "model.layers.{}.self_attn.k_proj.weight",
+                                    lambda w: w.T.reshape(E, nkv, hd))},
+            "value": {"kernel": stack(sub, "model.layers.{}.self_attn.v_proj.weight",
+                                      lambda w: w.T.reshape(E, nkv, hd))},
+            "out": {"kernel": stack(sub, "model.layers.{}.self_attn.o_proj.weight",
+                                    lambda w: w.T.reshape(nq, hd, E))},
+        }
+        layers[f"moe_{sub}"] = {
+            "gate": {"kernel": stack(sub, "model.layers.{}.feed_forward.router.weight",
+                                     lambda w: w.T)},
+            "wi_0": stack(sub, "model.layers.{}.feed_forward.experts.gate_up_proj",
+                          lambda w: w[:, :, :m]),
+            "wi_1": stack(sub, "model.layers.{}.feed_forward.experts.gate_up_proj",
+                          lambda w: w[:, :, m:]),
+            "wo": stack(sub, "model.layers.{}.feed_forward.experts.down_proj",
+                        lambda w: w),
+            "shared_experts": {
+                "wi_0": {"kernel": stack(
+                    sub, "model.layers.{}.feed_forward.shared_expert.gate_proj.weight",
+                    lambda w: w.T)},
+                "wi_1": {"kernel": stack(
+                    sub, "model.layers.{}.feed_forward.shared_expert.up_proj.weight",
+                    lambda w: w.T)},
+                "wo": {"kernel": stack(
+                    sub, "model.layers.{}.feed_forward.shared_expert.down_proj.weight",
+                    lambda w: w.T)},
+            },
+        }
+        layers[f"pre_self_attention_norm_{sub}"] = {
+            "scale": stack(sub, "model.layers.{}.input_layernorm.weight", lambda w: w)}
+        layers[f"pre_mlp_norm_{sub}"] = {
+            "scale": stack(sub, "model.layers.{}.post_attention_layernorm.weight",
+                           lambda w: w)}
+
+    params = {
+        "token_embedder": {"embedding": _pad_vocab(get("model.embed_tokens.weight"), cfg.vocab_size)},
+        "decoder": {"layers": layers},
+        "decoder_norm": {"scale": get("model.norm.weight")},
+    }
+    if not cfg.logits_via_embedding:
+        params["logits_dense"] = {
+            "kernel": _pad_vocab(get("lm_head.weight"), cfg.vocab_size).T.copy()}
+    return {"params": params}

@@ -388,3 +388,52 @@ def test_gpt2_logits_parity():
     ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
     np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
     assert np.abs(ref - ours).max() < 2e-3
+
+
+def test_llama4_logits_parity():
+    """Llama4 text: chunked+NoPE attention pattern, post-rope L2 qk-norm,
+    temperature-tuned NoPE q, sigmoid top-1 MoE with input weighting +
+    shared expert."""
+    from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_hf_llama4_to_framework,
+    )
+
+    hf_cfg = Llama4TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        intermediate_size_mlp=160, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=1, attention_chunk_size=8,
+        rope_theta=10000.0, use_qk_norm=True, attn_temperature_tuning=True,
+        attention_bias=False, tie_word_embeddings=False, rope_scaling=None,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    hf = Llama4ForCausalLM(hf_cfg).eval()
+
+    cfg = load_config([
+        "decoder_block=llama4", "base_emb_dim=64", "base_mlp_dim=160",
+        "moe_mlp_dim=128", "base_num_decoder_layers=4",
+        "base_num_query_heads=4", "base_num_kv_heads=2", "head_dim=16",
+        "vocab_size=256", "max_target_length=32", "chunk_attn_window_size=8",
+        "num_experts=4", "num_experts_per_tok=1", "sparse_matmul=false",
+        "rope_max_timescale=10000", "normalization_layer_epsilon=1e-5",
+        "dtype=float32", "weight_dtype=float32", "attention=dot_product",
+    ])
+    params = convert_hf_llama4_to_framework(hf.state_dict(), cfg)
+    params = {"params": jax.tree.map(jnp.asarray, params["params"])}
+
+    from maxtext_indextts2_tpu.models import Transformer
+
+    model = Transformer(cfg=cfg)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 256, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(tokens.astype(np.int64))).logits.numpy()
+    positions = jnp.broadcast_to(jnp.arange(16), (2, 16))
+    segs = jnp.ones((2, 16), jnp.int32)
+    ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
+    np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+    assert np.abs(ref - ours).max() < 2e-3
