@@ -192,6 +192,53 @@ class Engine:
                 self.params, jnp.asarray(padded), jnp.asarray([true_length], jnp.int32), rng
             )
 
+    def prefill_multisampling(self, tokens: np.ndarray, true_length: int,
+                              num_samples: int):
+        """One prefill, N independently-sampled first tokens (reference:
+        maxengine.py:595 prefill_multisampling). The cache prefix is shared;
+        each sample can then be inserted into its own slot."""
+        prefix, _ = self.prefill(tokens, true_length)
+        self.rng, rng = jax.random.split(self.rng)
+        cfg = self.cfg
+        logits = jnp.broadcast_to(
+            prefix["logits"], (num_samples,) + prefix["logits"].shape[1:]
+        )
+        toks = sample_tokens(
+            logits, rng, cfg.decode_sampling_strategy,
+            cfg.decode_sampling_temperature, cfg.decode_sampling_top_k,
+            cfg.decode_sampling_nucleus_p,
+        )
+        return prefix, np.asarray(toks)
+
+    def load_lora_adapter(self, lora_params, alpha: float = 16.0):
+        """Merge a LoRA adapter into the loaded base params (reference:
+        maxengine.py:282-317 LoRA adapter loading). Adapter leaves mirror the
+        params tree with `lora_a` [in, r] / `lora_b` [r, out] under the same
+        module path as each adapted kernel; merged as
+        w += (a @ b) * alpha / r reshaped to the kernel's shape."""
+        assert self.params is not None, "load_params first"
+
+        def merge(node, lora):
+            if not isinstance(node, dict):
+                return node
+            has_adapter = (
+                isinstance(lora, dict) and "lora_a" in lora and "lora_b" in lora
+            )
+            out = {}
+            for k, v in node.items():
+                if k == "kernel" and has_adapter:
+                    a, b = lora["lora_a"], lora["lora_b"]
+                    r = a.shape[-1]
+                    delta = (a @ b) * (alpha / r)
+                    out[k] = v + delta.reshape(v.shape).astype(v.dtype)
+                else:
+                    sub = lora.get(k, {}) if isinstance(lora, dict) else {}
+                    out[k] = merge(v, sub)
+            return out
+
+        self.params = merge(self.params, lora_params)
+        return self.params
+
     def prefill_concat(self, prompts: list[np.ndarray]):
         """Packed multi-prompt prefill: several short prompts share ONE
         prefill call via sequence packing (segment ids + restarted

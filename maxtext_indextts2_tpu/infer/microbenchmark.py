@@ -66,6 +66,25 @@ def run_microbenchmark(cfg: Config, engine: Engine | None = None, iters: int = 8
         "tokens_per_s": round(engine.num_slots / dt, 1),
         "per_stream_tokens_per_s": round(1.0 / dt, 1),
     }
+
+    # ---- chunked prefill: long prompt split into bucket-sized chunks
+    # (reference: MaxText/benchmark_chunked_prefill.py)
+    chunk = cfg.max_prefill_predict_length
+    long_len = min(chunk * 2, cfg.max_target_length - 8)
+    if long_len > chunk:
+        prompt = rng.integers(1, cfg.vocab_size, size=long_len).astype(np.int32)
+        prefix, first = engine.prefill_chunked(prompt, long_len, chunk)  # compile
+        _sync(first)
+        t0 = time.perf_counter()
+        for _ in range(max(iters // 2, 1)):
+            prefix, first = engine.prefill_chunked(prompt, long_len, chunk)
+        _sync(first)
+        dt = (time.perf_counter() - t0) / max(iters // 2, 1)
+        results["chunked_prefill_ms"] = {
+            "prompt_len": int(long_len),
+            "chunk": int(chunk),
+            "total_ms": round(dt * 1e3, 3),
+        }
     return results
 
 

@@ -42,6 +42,29 @@ class ByteTokenizer:
         return bytes(i - 3 for i in ids if i >= 3).decode("utf-8", errors="replace")
 
 
+class TikTokenTokenizer:
+    """OpenAI tiktoken wrapper (reference: MaxText/tokenizer.py:33). Gated:
+    the `tiktoken` package is not in the default image."""
+
+    def __init__(self, encoding_name: str = "cl100k_base",
+                 add_bos: bool = False, add_eos: bool = False):
+        import tiktoken  # gated import
+
+        self._enc = tiktoken.get_encoding(encoding_name)
+        self.add_bos = add_bos
+        self.add_eos = add_eos
+
+    @property
+    def vocab_size(self) -> int:
+        return self._enc.n_vocab
+
+    def encode(self, text: str) -> list[int]:
+        return self._enc.encode(text)
+
+    def decode(self, ids) -> str:
+        return self._enc.decode(list(ids))
+
+
 class HFTokenizer:
     def __init__(self, path: str, add_bos: bool = True, add_eos: bool = True):
         from transformers import AutoTokenizer

@@ -214,3 +214,41 @@ def test_int8_weight_only_serving():
     logits = eng_q.model.apply({"params": eng_q.params}, tokens, positions, segs)
     preds = np.asarray(jnp.argmax(logits[0], axis=-1))
     assert out_q == preds[len(prompt) - 1 :].tolist()
+
+
+def test_prefill_multisampling(engine):
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+    cfg_strategy = engine.cfg.decode_sampling_strategy
+    prefix, toks = engine.prefill_multisampling(prompt, 5, num_samples=4)
+    assert toks.shape == (4,)
+    if cfg_strategy == "greedy":
+        assert len(set(toks.tolist())) == 1  # greedy: all samples identical
+    assert "cache" in prefix
+
+
+def test_lora_adapter_merge(engine):
+    """Merging a zero adapter is identity; nonzero adapter changes logits."""
+    import copy
+
+    base = jax.tree.map(lambda x: x, engine.params)
+    q_kernel = base["decoder"]["layers"]["self_attention_0"]["query"]["kernel"]
+    r = 2
+    flat_in = q_kernel.shape[1]
+    flat_out = int(np.prod(q_kernel.shape[2:]))
+    zeros = {
+        "decoder": {"layers": {"self_attention_0": {"query": {
+            "lora_a": jnp.zeros((q_kernel.shape[0], flat_in, r), jnp.float32),
+            "lora_b": jnp.zeros((q_kernel.shape[0], r, flat_out), jnp.float32),
+        }}}}
+    }
+    merged = Engine(engine.cfg, params=base).load_lora_adapter(zeros)
+    np.testing.assert_allclose(
+        merged["decoder"]["layers"]["self_attention_0"]["query"]["kernel"],
+        q_kernel,
+    )
+    nonzero = jax.tree.map(lambda x: jnp.ones_like(x) * 0.01, zeros)
+    merged2 = Engine(engine.cfg, params=base).load_lora_adapter(nonzero)
+    assert not np.allclose(
+        merged2["decoder"]["layers"]["self_attention_0"]["query"]["kernel"],
+        q_kernel,
+    )
