@@ -1,0 +1,77 @@
+"""MLPerf-style offline inference benchmark: samples/sec over a query pool.
+
+Reference: MaxText/inference_mlperf/ (loadgen offline_mode.py:541 +
+offline_inference.py:399). The loadgen protocol boils down to: issue the
+whole query pool at once, the SUT batches freely, report completed
+samples/sec and per-sample token counts. This harness reproduces that
+contract against the OfflineEngine (continuous batching over slots) without
+the loadgen dependency (not in the image).
+
+Usage:  python benchmarks/mlperf_offline.py [num_queries=N] [max_new=N] [key=value ...]
+Prints one JSON line with samples_per_second and tokens_per_second.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run(argv=None) -> dict:
+    from maxtext_indextts2_tpu.config import load_config
+    from maxtext_indextts2_tpu.infer.offline_engine import OfflineEngine
+
+    argv = list(argv or [])
+    num_queries, max_new = 16, 8
+    keep = []
+    for a in argv:
+        if a.startswith("num_queries="):
+            num_queries = int(a.split("=", 1)[1])
+        elif a.startswith("max_new="):
+            max_new = int(a.split("=", 1)[1])
+        else:
+            keep.append(a)
+
+    cfg = load_config([
+        "base_emb_dim=128", "base_mlp_dim=256", "base_num_decoder_layers=2",
+        "base_num_query_heads=4", "base_num_kv_heads=2", "head_dim=32",
+        "vocab_size=512", "max_target_length=64",
+        "max_prefill_predict_length=16", "per_device_batch_size=0.25",
+        "decode_sampling_strategy=greedy", "dtype=float32",
+    ] + keep)
+
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(4, cfg.max_prefill_predict_length, size=num_queries)
+    pool = [
+        rng.integers(1, cfg.vocab_size, size=int(n)).astype(np.int32)
+        for n in lengths
+    ]
+
+    eng = OfflineEngine(cfg)
+    # warmup compiles prefill + generate
+    eng.generate_batch(pool[:1], max_new)
+
+    t0 = time.perf_counter()
+    outs = eng.generate_batch(pool, max_new)
+    dt = time.perf_counter() - t0
+
+    total_tokens = sum(len(o) for o in outs)
+    return {
+        "metric": "mlperf_offline_samples_per_s",
+        "value": round(num_queries / dt, 3),
+        "unit": "samples/s",
+        "detail": {
+            "num_queries": num_queries,
+            "max_new_tokens": max_new,
+            "generated_tokens": int(total_tokens),
+            "tokens_per_s": round(total_tokens / dt, 1),
+            "wall_s": round(dt, 3),
+        },
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run(sys.argv[1:])))

@@ -110,3 +110,38 @@ def test_mcd_metric():
     c = broadband(2)
     m_small, m_big = mcd(a, b), mcd(a, c)
     assert 0 < m_small < m_big
+
+
+def test_multimodal_preprocess_and_fuse():
+    """Image preprocessing (tiling, normalization) + static-shape token
+    fusion (reference: MaxText/multimodal_utils.py)."""
+    import numpy as np
+
+    from maxtext_indextts2_tpu.utils.multimodal import (
+        ImagePreprocessConfig,
+        fuse_vision_embeddings,
+        insert_image_tokens,
+        preprocess_image,
+    )
+
+    img = (np.arange(48 * 64 * 3).reshape(48, 64, 3) % 255).astype(np.uint8)
+    out = preprocess_image(img, ImagePreprocessConfig(image_size=16))
+    assert out.shape == (1, 16, 16, 3)
+    tiled = preprocess_image(img, ImagePreprocessConfig(image_size=16, num_tiles=2))
+    assert tiled.shape == (5, 16, 16, 3)  # 4 tiles + global
+
+    toks, mask = insert_image_tokens(
+        np.array([5, 99, 7], np.int32), image_placeholder_id=99,
+        tokens_per_image=3, image_token_id=42, max_length=8,
+    )
+    assert toks.tolist() == [5, 42, 42, 42, 7, 0, 0, 0]
+    assert mask.tolist() == [False, True, True, True, False, False, False, False]
+
+    import jax.numpy as jnp
+
+    tok_emb = jnp.zeros((1, 8, 4))
+    vis_emb = jnp.arange(3 * 4, dtype=jnp.float32).reshape(1, 3, 4) + 1.0
+    fused = fuse_vision_embeddings(tok_emb, vis_emb, jnp.asarray(mask)[None])
+    np.testing.assert_allclose(np.asarray(fused[0, 1]), np.asarray(vis_emb[0, 0]))
+    np.testing.assert_allclose(np.asarray(fused[0, 3]), np.asarray(vis_emb[0, 2]))
+    np.testing.assert_allclose(np.asarray(fused[0, 0]), 0.0)
