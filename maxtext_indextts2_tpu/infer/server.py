@@ -48,6 +48,14 @@ class Orchestrator:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.decode_state = None
+        # serving counters surfaced at /metrics (reference: maxengine_server
+        # prometheus integration)
+        self.stats = {
+            "requests_total": 0,
+            "requests_completed": 0,
+            "tokens_generated_total": 0,
+            "prefills_total": 0,
+        }
 
     def start(self):
         if self.engine.params is None:
@@ -63,6 +71,7 @@ class Orchestrator:
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int) -> _Request:
         req = _Request(np.asarray(prompt, np.int32), max_new_tokens)
+        self.stats["requests_total"] += 1
         self.queue.put(req)
         return req
 
@@ -86,10 +95,12 @@ class Orchestrator:
                 except queue.Empty:
                     break
                 try:
+                    self.stats["prefills_total"] += 1
                     prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
                     self.decode_state = self.engine.insert(prefix, self.decode_state, slot)
                     first_tok = int(np.asarray(first)[0])
                     req.tokens.append(first_tok)
+                    self.stats["tokens_generated_total"] += 1
                     self.slots[slot] = req
                     self.remaining[slot] = req.max_new_tokens - 1
                     admitted = True
@@ -121,6 +132,7 @@ class Orchestrator:
                         continue
                     tok = int(step_toks[i])
                     req.tokens.append(tok)
+                    self.stats["tokens_generated_total"] += 1
                     self.remaining[i] -= 1
                     if self.remaining[i] <= 0 or (self.eos_id is not None and tok == self.eos_id):
                         self._finish(i)
@@ -129,7 +141,23 @@ class Orchestrator:
         req = self.slots[slot]
         self.slots[slot] = None
         if req is not None:
+            self.stats["requests_completed"] += 1
             req.done.set()
+
+    def active_slots(self) -> int:
+        return sum(1 for s in self.slots if s is not None)
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition format (stdlib-only)."""
+        lines = []
+        for k, v in self.stats.items():
+            lines.append(f"# TYPE serving_{k} counter")
+            lines.append(f"serving_{k} {v}")
+        lines.append("# TYPE serving_active_slots gauge")
+        lines.append(f"serving_active_slots {self.active_slots()}")
+        lines.append("# TYPE serving_queue_depth gauge")
+        lines.append(f"serving_queue_depth {self.queue.qsize()}")
+        return "\n".join(lines) + "\n"
 
 
 def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
@@ -198,8 +226,16 @@ def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
             self.end_headers()
             self.wfile.write(payload)
 
-        def do_GET(self):  # health check
-            self.send_response(200)
+        def do_GET(self):
+            if self.path == "/metrics":
+                payload = orch.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            self.send_response(200)  # health check
             self.end_headers()
             self.wfile.write(b"ok")
 
