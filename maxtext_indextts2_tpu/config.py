@@ -86,6 +86,7 @@ class Config:
     # rope
     rope_type: str = "default"  # default | llama3.1 | yarn | none
     use_positional_embedding: bool = False  # gpt3-style learned positions
+    image_token_id: int = -1  # multimodal: placeholder id replaced by vision tokens
     rope_max_timescale: float = 10_000.0
     rope_factor: float = 8.0  # llama3.1 scaling
     rope_low_freq_factor: float = 1.0

@@ -97,11 +97,21 @@ class Transformer(nn.Module):
         targets: jax.Array | None = None,  # enables the MTP aux loss
         target_weights: jax.Array | None = None,
         cache_offset=None,  # chunked prefill: global start of this chunk
+        vision_embeddings: jax.Array | None = None,  # [B, T_img, E] soft tokens
     ) -> jax.Array:
         cfg = self.cfg
         emb = self.token_embedder(tokens)
         if self.block.scale_embedding:
             emb = emb * jnp.asarray(cfg.emb_dim**0.5, emb.dtype)
+        if vision_embeddings is not None:
+            # image soft tokens replace the (scaled) text embeddings at
+            # image-token positions (reference: HF Gemma3Model merge;
+            # multimodal_utils token fusion)
+            from maxtext_indextts2_tpu.models.vision import merge_vision_embeddings
+
+            emb = merge_vision_embeddings(
+                emb, vision_embeddings, tokens, cfg.image_token_id
+            )
         if cfg.use_positional_embedding:
             emb = emb + self.position_embedder(positions)
 

@@ -26,7 +26,7 @@ class VisionConfig:
     num_layers: int = 12
     num_heads: int = 12
     mlp_dim: int = 3072
-    output_dim: int = 2048  # decoder emb_dim
+    output_dim: int = 2048  # decoder emb_dim (0 = no projector, raw tower output)
     pool_stride: int = 4  # output tokens = (patches/stride^2)
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -84,6 +84,8 @@ class VisionEncoder(nn.Module):
                 b, hp // s, s, wp // s, s, e
             ).mean(axis=(2, 4))
             x = x.reshape(b, -1, e)
+        if cfg.output_dim <= 0:
+            return x  # raw SigLIP tower output (parity-tested vs HF)
         return nn.Dense(cfg.output_dim, dtype=cfg.dtype, name="projector")(x)
 
 
@@ -104,3 +106,38 @@ def merge_vision_embeddings(
     )
     return jnp.where(is_img[..., None], gathered.astype(token_embeddings.dtype),
                      token_embeddings)
+
+
+class Gemma3MultiModalProjector(nn.Module):
+    """SigLIP patch grid -> mm_tokens_per_image soft tokens.
+
+    Average-pool the patch grid down to tokens_per_side^2, RMS-normalize
+    (gemma (1+w) convention), then project into the text embedding space
+    (reference: HF Gemma3MultiModalProjector, modeling_gemma3.py:693)."""
+
+    vision_hidden: int
+    text_hidden: int
+    patches_per_side: int
+    tokens_per_side: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, vision_outputs: jax.Array) -> jax.Array:
+        from maxtext_indextts2_tpu.models.layers import RMSNorm
+
+        b, s, e = vision_outputs.shape
+        p, t = self.patches_per_side, self.tokens_per_side
+        k = p // t
+        x = vision_outputs.reshape(b, p, p, e)
+        x = x.reshape(b, t, k, t, k, e).mean(axis=(2, 4)).reshape(b, t * t, e)
+        x = RMSNorm(
+            epsilon=self.eps, dtype=x.dtype, weight_dtype=jnp.float32,
+            scale_plus_one=True, name="mm_soft_emb_norm",
+        )(x)
+        w = self.param(
+            "mm_input_projection",
+            nn.initializers.zeros,
+            (self.vision_hidden, self.text_hidden),
+            jnp.float32,
+        )
+        return (x @ w.astype(x.dtype)).astype(vision_outputs.dtype)

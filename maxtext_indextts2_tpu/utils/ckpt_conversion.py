@@ -554,3 +554,77 @@ def convert_hf_llama4_to_framework(state_dict: dict, cfg: Config) -> dict:
         params["logits_dense"] = {
             "kernel": _pad_vocab(get("lm_head.weight"), cfg.vocab_size).T.copy()}
     return {"params": params}
+
+
+def convert_hf_siglip_to_framework(state_dict: dict, num_layers: int) -> dict:
+    """HF SiglipVisionModel state dict -> VisionEncoder params.
+
+    The gemma3 vision tower (reference: MaxText gemma3 vision encoder via
+    layers/encoders.py VisionEncoder; HF SiglipVisionModel). Fused-qkv
+    mapping: flax Dense kernels are [in, out], HF Linear weights [out, in].
+    """
+    sd = {k.removeprefix("vision_model."): v for k, v in state_dict.items()}
+
+    def get(name):
+        return _t(sd[name])
+
+    def lin(name):  # HF Linear -> flax Dense {kernel, bias}
+        return {"kernel": get(f"{name}.weight").T.copy(),
+                "bias": get(f"{name}.bias")}
+
+    def ln(name):
+        return {"scale": get(f"{name}.weight"), "bias": get(f"{name}.bias")}
+
+    params = {
+        "patch_embed": {
+            # Conv2d [E, 3, P, P] -> flax Conv [P, P, 3, E]
+            "kernel": get("embeddings.patch_embedding.weight").transpose(2, 3, 1, 0).copy(),
+            "bias": get("embeddings.patch_embedding.bias"),
+        },
+        "pos_embedding": get("embeddings.position_embedding.weight")[None],
+        "final_ln": ln("post_layernorm"),
+    }
+    for i in range(num_layers):
+        pre = f"encoder.layers.{i}"
+        q, k, v = (lin(f"{pre}.self_attn.{n}_proj") for n in ("q", "k", "v"))
+        params[f"block_{i}"] = {
+            "ln1": ln(f"{pre}.layer_norm1"),
+            "qkv": {
+                "kernel": np.concatenate([q["kernel"], k["kernel"], v["kernel"]], axis=1),
+                "bias": np.concatenate([q["bias"], k["bias"], v["bias"]]),
+            },
+            "proj": lin(f"{pre}.self_attn.out_proj"),
+            "ln2": ln(f"{pre}.layer_norm2"),
+            "fc1": lin(f"{pre}.mlp.fc1"),
+            "fc2": lin(f"{pre}.mlp.fc2"),
+        }
+    return {"params": params}
+
+
+def convert_hf_gemma3_multimodal(state_dict: dict, cfg: Config, vision_num_layers: int):
+    """HF Gemma3ForConditionalGeneration -> (text, vision, projector) params.
+
+    Splits the combined state dict by prefix and reuses the gemma3 text and
+    SigLIP tower converters (reference: HF modeling_gemma3.py Gemma3Model =
+    vision_tower + multi_modal_projector + language_model)."""
+    text_sd = {
+        "model." + k.removeprefix("model.language_model."): v
+        for k, v in state_dict.items()
+        if k.startswith("model.language_model.")
+    }
+    if "lm_head.weight" in state_dict:
+        text_sd["lm_head.weight"] = state_dict["lm_head.weight"]
+    vision_sd = {
+        k.removeprefix("model.vision_tower.vision_model."): v
+        for k, v in state_dict.items()
+        if k.startswith("model.vision_tower.")
+    }
+    text = convert_hf_gemma3_to_framework(text_sd, cfg)
+    vision = convert_hf_siglip_to_framework(vision_sd, vision_num_layers)
+    projector = {"params": {
+        "mm_soft_emb_norm": {
+            "scale": _t(state_dict["model.multi_modal_projector.mm_soft_emb_norm.weight"])},
+        "mm_input_projection": _t(
+            state_dict["model.multi_modal_projector.mm_input_projection_weight"]),
+    }}
+    return text, vision, projector

@@ -437,3 +437,127 @@ def test_llama4_logits_parity():
     ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
     np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
     assert np.abs(ref - ours).max() < 2e-3
+
+
+def test_siglip_vision_tower_parity():
+    """Gemma3's vision tower: converted SiglipVisionModel must reproduce
+    last_hidden_state through VisionEncoder (pool/projector disabled)."""
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+
+    from maxtext_indextts2_tpu.models.vision import VisionConfig, VisionEncoder
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_hf_siglip_to_framework,
+    )
+
+    hf_cfg = SiglipVisionConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        hidden_act="gelu_pytorch_tanh", layer_norm_eps=1e-6,
+    )
+    torch.manual_seed(0)
+    hf = SiglipVisionModel(hf_cfg).eval()
+
+    vcfg = VisionConfig(
+        image_size=28, patch_size=14, hidden_size=64, num_layers=2,
+        num_heads=4, mlp_dim=128, output_dim=0, pool_stride=1,
+        dtype=jnp.float32,
+    )
+    params = convert_hf_siglip_to_framework(hf.state_dict(), num_layers=2)
+    params = {"params": jax.tree.map(jnp.asarray, params["params"])}
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(
+            pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+        ).last_hidden_state.numpy()
+    ours = np.asarray(VisionEncoder(vcfg).apply(params, jnp.asarray(imgs)))
+    np.testing.assert_allclose(ref, ours, atol=2e-4)
+
+
+def test_gemma3_multimodal_logits_parity():
+    """End-to-end gemma3 multimodal: pixels -> SigLIP tower -> projector ->
+    vision tokens fused into the text stream; logits parity vs HF
+    Gemma3ForConditionalGeneration."""
+    from transformers import (
+        Gemma3Config,
+        Gemma3ForConditionalGeneration,
+        Gemma3TextConfig,
+        SiglipVisionConfig,
+    )
+
+    from maxtext_indextts2_tpu.models.vision import (
+        Gemma3MultiModalProjector,
+        VisionConfig,
+        VisionEncoder,
+    )
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_hf_gemma3_multimodal,
+    )
+
+    tc = Gemma3TextConfig(
+        vocab_size=260, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rope_local_base_freq=10000.0, sliding_window=8,
+        query_pre_attn_scalar=16, attn_logit_softcapping=None,
+        final_logit_softcapping=None, tie_word_embeddings=True,
+    )
+    vc = SiglipVisionConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        layer_norm_eps=1e-6,
+    )
+    hf_cfg = Gemma3Config(
+        text_config=tc, vision_config=vc, mm_tokens_per_image=1,
+        image_token_index=259, boi_token_index=257, eoi_token_index=258,
+    )
+    torch.manual_seed(0)
+    hf = Gemma3ForConditionalGeneration(hf_cfg).eval()
+
+    cfg = load_config([
+        "decoder_block=gemma3", "base_emb_dim=64", "base_mlp_dim=128",
+        "base_num_decoder_layers=6", "base_num_query_heads=4",
+        "base_num_kv_heads=2", "head_dim=16", "vocab_size=260",
+        "max_target_length=32", "sliding_window_size=8",
+        "query_pre_attn_scalar=16", "image_token_id=259",
+        "dtype=float32", "weight_dtype=float32", "attention=dot_product",
+    ])
+    text, vision, projector = convert_hf_gemma3_multimodal(
+        hf.state_dict(), cfg, vision_num_layers=2
+    )
+    asjnp = lambda p: {"params": jax.tree.map(jnp.asarray, p["params"])}
+    text, vision, projector = asjnp(text), asjnp(vision), asjnp(projector)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+    tokens = rng.integers(0, 256, size=(2, 12)).astype(np.int32)
+    tokens[:, 3] = 259  # one image token per row
+
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.from_numpy(tokens.astype(np.int64)),
+            pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+        ).logits.numpy()
+
+    vcfg = VisionConfig(
+        image_size=28, patch_size=14, hidden_size=64, num_layers=2,
+        num_heads=4, mlp_dim=128, output_dim=0, pool_stride=1,
+        dtype=jnp.float32,
+    )
+    tower_out = VisionEncoder(vcfg).apply(vision, jnp.asarray(imgs))
+    soft = Gemma3MultiModalProjector(
+        vision_hidden=64, text_hidden=64, patches_per_side=2,
+        tokens_per_side=1, eps=1e-6,
+    ).apply(projector, tower_out)
+
+    from maxtext_indextts2_tpu.models import Transformer
+
+    model = Transformer(cfg=cfg)
+    positions = jnp.broadcast_to(jnp.arange(12), (2, 12))
+    segs = jnp.ones((2, 12), jnp.int32)
+    ours = np.asarray(model.apply(
+        text, jnp.asarray(tokens), positions, segs, vision_embeddings=soft,
+    ))
+    np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+    assert np.abs(ref - ours).max() < 2e-3
