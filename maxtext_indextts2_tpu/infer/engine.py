@@ -148,8 +148,11 @@ class Engine:
         return compiled
 
     # ------------------------------------------------------------- prefill
-    def _prefill_impl(self, params, tokens, true_length, rng):
-        """tokens: [1, P] padded prompt; true_length: [1]."""
+    def _prefill_impl(self, params, tokens, true_length, rng,
+                      vision_embeddings=None):
+        """tokens: [1, P] padded prompt; true_length: [1];
+        vision_embeddings: [1, T_img, E] soft tokens fused at
+        cfg.image_token_id positions (multimodal serving)."""
         cfg = self.cfg
         p = tokens.shape[1]
         positions = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32)[None, :], tokens.shape)
@@ -161,6 +164,7 @@ class Engine:
             segs,
             mode=MODE_PREFILL,
             mutable=["cache"],
+            vision_embeddings=vision_embeddings,
         )
         last = jnp.take_along_axis(
             logits, (true_length - 1)[:, None, None].astype(jnp.int32), axis=1
@@ -178,7 +182,8 @@ class Engine:
         }
         return prefix, first_token
 
-    def prefill(self, tokens: np.ndarray, true_length: int):
+    def prefill(self, tokens: np.ndarray, true_length: int,
+                vision_embeddings=None):
         """Host API: pad to the prefill bucket and run the jitted prefill."""
         cfg = self.cfg
         if self._p_prefill is None:
@@ -187,6 +192,13 @@ class Engine:
         padded = np.zeros((1, p), np.int32)
         padded[0, :true_length] = tokens[:true_length]
         self.rng, rng = jax.random.split(self.rng)
+        if vision_embeddings is not None:
+            with self.mesh:
+                return self._p_prefill(
+                    self.params, jnp.asarray(padded),
+                    jnp.asarray([true_length], jnp.int32), rng,
+                    jnp.asarray(vision_embeddings),
+                )
         with self.mesh:
             return self._p_prefill(
                 self.params, jnp.asarray(padded), jnp.asarray([true_length], jnp.int32), rng
