@@ -14,6 +14,7 @@ from dataclasses import dataclass
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from maxtext_indextts2_tpu.models.attention import dot_product_attention
 
@@ -141,3 +142,110 @@ class Gemma3MultiModalProjector(nn.Module):
             jnp.float32,
         )
         return (x @ w.astype(x.dtype)).astype(vision_outputs.dtype)
+
+
+class Llama4VisionEncoder(nn.Module):
+    """Llama4 vision tower (reference: HF modeling_llama4.py:1004
+    Llama4VisionModel): unfold patch embed, CLS token appended at the END,
+    learned positions, 2D rope inside bias-MHA pre-LN blocks (exact-erf
+    GELU MLP), then a pixel-shuffle MLP adapter. Output: per-image soft
+    patches [B, (p*ratio)^2, projector_output_dim]."""
+
+    image_size: int
+    patch_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    intermediate_size: int
+    projector_input_dim: int
+    projector_output_dim: int
+    pixel_shuffle_ratio: float = 0.5
+    rope_theta: float = 10000.0
+    dtype: jnp.dtype = jnp.float32
+
+    def _freqs(self):
+        """2D rope angles per (position incl CLS, head_dim/2) — complex
+        rotation as (cos, sin). HF: x/y coords interleaved, CLS zeroed."""
+        idx = self.image_size // self.patch_size
+        n = idx * idx
+        hd = self.hidden_size // self.num_heads
+        freq_dim = hd // 2
+        pos = np.arange(n, dtype=np.int64)
+        fx = (pos % idx).astype(np.float32)
+        fy = (pos // idx).astype(np.float32)
+        rope_freq = 1.0 / (
+            self.rope_theta
+            ** (np.arange(0, freq_dim, 2)[: freq_dim // 2].astype(np.float32) / freq_dim)
+        )
+        freqs_x = np.repeat((fx + 1)[:, None] * rope_freq[None, :], 2, axis=-1)
+        freqs_y = np.repeat((fy + 1)[:, None] * rope_freq[None, :], 2, axis=-1)
+        freqs = np.concatenate([freqs_x, freqs_y], axis=-1)[:, ::2]  # [n, hd/2]
+        freqs = np.concatenate([freqs, np.zeros((1, freqs.shape[1]), np.float32)])
+        return jnp.cos(freqs), jnp.sin(freqs)  # [n+1, hd/2] each
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        b = images.shape[0]
+        p, s = self.patch_size, self.image_size
+        hp = s // p
+        e = self.hidden_size
+        # unfold: per-patch features flattened channel-major (torch Unfold)
+        x = images.astype(self.dtype).reshape(b, hp, p, hp, p, 3)
+        x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, hp * hp, 3 * p * p)
+        x = nn.Dense(e, use_bias=False, dtype=self.dtype, name="patch_embed")(x)
+
+        cls = self.param("class_embedding", nn.initializers.normal(e**-0.5), (e,), jnp.float32)
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(cls.astype(self.dtype), (b, 1, e))], axis=1
+        )
+        pos = self.param(
+            "positional_embedding_vlm", nn.initializers.normal(e**-0.5),
+            (hp * hp + 1, e), jnp.float32,
+        )
+        x = x + pos.astype(self.dtype)
+        x = nn.LayerNorm(name="layernorm_pre")(x)
+
+        cos, sin = self._freqs()
+
+        def rope2d(t):  # [B, S, H, hd] complex-pair rotation
+            tr = t.reshape(t.shape[:-1] + (-1, 2))
+            tre, tim = tr[..., 0], tr[..., 1]
+            c = cos[None, :, None, :]
+            sn = sin[None, :, None, :]
+            out_re = tre * c - tim * sn
+            out_im = tre * sn + tim * c
+            return jnp.stack([out_re, out_im], axis=-1).reshape(t.shape).astype(t.dtype)
+
+        hd = e // self.num_heads
+        for i in range(self.num_layers):
+            h = nn.LayerNorm(name=f"ln1_{i}")(x)
+            q = nn.Dense(e, dtype=self.dtype, name=f"q_{i}")(h).reshape(b, -1, self.num_heads, hd)
+            k = nn.Dense(e, dtype=self.dtype, name=f"k_{i}")(h).reshape(b, -1, self.num_heads, hd)
+            v = nn.Dense(e, dtype=self.dtype, name=f"v_{i}")(h).reshape(b, -1, self.num_heads, hd)
+            q, k = rope2d(q), rope2d(k)
+            attn = dot_product_attention(q, k, v, None).reshape(b, -1, e)
+            x = x + nn.Dense(e, dtype=self.dtype, name=f"o_{i}")(attn)
+            h = nn.LayerNorm(name=f"ln2_{i}")(x)
+            h = nn.Dense(self.intermediate_size, dtype=self.dtype, name=f"fc1_{i}")(h)
+            h = jax.nn.gelu(h, approximate=False)
+            x = x + nn.Dense(e, dtype=self.dtype, name=f"fc2_{i}")(h)
+
+        x = nn.LayerNorm(name="layernorm_post")(x)
+        x = x[:, :-1]  # drop CLS
+
+        # pixel shuffle (HF pixel_shuffle, ratio < 1 trades space for channels)
+        r = self.pixel_shuffle_ratio
+        n = x.shape[1]
+        g = int(np.sqrt(n))
+        c = x.shape[-1]
+        t = x.reshape(b, g, g, c)
+        t = t.reshape(b, g, int(g * r), int(c / r)).transpose(0, 2, 1, 3)
+        t = t.reshape(b, int(g * r), int(g * r), int(c / (r * r))).transpose(0, 2, 1, 3)
+        x = t.reshape(b, -1, int(c / (r * r)))
+
+        h = nn.Dense(self.projector_input_dim, use_bias=False, dtype=self.dtype,
+                     name="adapter_fc1")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(self.projector_output_dim, use_bias=False, dtype=self.dtype,
+                     name="adapter_fc2")(h)
+        return jax.nn.gelu(h, approximate=False)

@@ -628,3 +628,43 @@ def convert_hf_gemma3_multimodal(state_dict: dict, cfg: Config, vision_num_layer
             state_dict["model.multi_modal_projector.mm_input_projection_weight"]),
     }}
     return text, vision, projector
+
+
+def convert_hf_llama4_vision_to_framework(state_dict: dict, num_layers: int) -> dict:
+    """HF Llama4VisionModel -> Llama4VisionEncoder params (reference:
+    modeling_llama4.py:1004; unfold linear, end-appended CLS, 2D rope
+    blocks, pixel-shuffle adapter)."""
+    sd = {k.removeprefix("vision_model."): v for k, v in state_dict.items()}
+
+    def get(name):
+        return _t(sd[name])
+
+    def lin(name, bias=True):
+        out = {"kernel": get(f"{name}.weight").T.copy()}
+        if bias:
+            out["bias"] = get(f"{name}.bias")
+        return out
+
+    def ln(name):
+        return {"scale": get(f"{name}.weight"), "bias": get(f"{name}.bias")}
+
+    params = {
+        "patch_embed": {"kernel": get("patch_embedding.linear.weight").T.copy()},
+        "class_embedding": get("class_embedding"),
+        "positional_embedding_vlm": get("positional_embedding_vlm"),
+        "layernorm_pre": ln("layernorm_pre"),
+        "layernorm_post": ln("layernorm_post"),
+        "adapter_fc1": lin("vision_adapter.mlp.fc1", bias=False),
+        "adapter_fc2": lin("vision_adapter.mlp.fc2", bias=False),
+    }
+    for i in range(num_layers):
+        pre = f"model.layers.{i}"
+        params[f"ln1_{i}"] = ln(f"{pre}.input_layernorm")
+        params[f"ln2_{i}"] = ln(f"{pre}.post_attention_layernorm")
+        params[f"q_{i}"] = lin(f"{pre}.self_attn.q_proj")
+        params[f"k_{i}"] = lin(f"{pre}.self_attn.k_proj")
+        params[f"v_{i}"] = lin(f"{pre}.self_attn.v_proj")
+        params[f"o_{i}"] = lin(f"{pre}.self_attn.o_proj")
+        params[f"fc1_{i}"] = lin(f"{pre}.mlp.fc1")
+        params[f"fc2_{i}"] = lin(f"{pre}.mlp.fc2")
+    return {"params": params}

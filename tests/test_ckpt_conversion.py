@@ -561,3 +561,40 @@ def test_gemma3_multimodal_logits_parity():
     ))
     np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
     assert np.abs(ref - ours).max() < 2e-3
+
+
+def test_llama4_vision_tower_parity():
+    """Llama4 vision tower: unfold patch embed, end-CLS, 2D rope, exact-erf
+    GELU, pixel-shuffle adapter — last_hidden_state parity vs HF."""
+    from transformers import Llama4VisionConfig
+    from transformers.models.llama4.modeling_llama4 import Llama4VisionModel
+
+    from maxtext_indextts2_tpu.models.vision import Llama4VisionEncoder
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_hf_llama4_vision_to_framework,
+    )
+
+    vc = Llama4VisionConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=16, patch_size=8,
+        pixel_shuffle_ratio=0.5, projector_input_dim=64,
+        projector_output_dim=64, vision_output_dim=64, rope_theta=10000,
+        projector_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf = Llama4VisionModel(vc).eval()
+    enc = Llama4VisionEncoder(
+        image_size=16, patch_size=8, hidden_size=32, num_layers=2,
+        num_heads=4, intermediate_size=128, projector_input_dim=64,
+        projector_output_dim=64, pixel_shuffle_ratio=0.5, rope_theta=10000,
+    )
+    params = convert_hf_llama4_vision_to_framework(hf.state_dict(), 2)
+    params = {"params": jax.tree.map(jnp.asarray, params["params"])}
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(
+            pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+        ).last_hidden_state.numpy()
+    ours = np.asarray(enc.apply(params, jnp.asarray(imgs)))
+    np.testing.assert_allclose(ref, ours, atol=2e-5)
