@@ -668,3 +668,23 @@ def convert_hf_llama4_vision_to_framework(state_dict: dict, num_layers: int) -> 
         params[f"fc1_{i}"] = lin(f"{pre}.mlp.fc1")
         params[f"fc2_{i}"] = lin(f"{pre}.mlp.fc2")
     return {"params": params}
+
+
+def convert_hf_llama4_multimodal(state_dict: dict, cfg: Config, vision_num_layers: int):
+    """HF Llama4ForConditionalGeneration -> (text, vision, projector) params."""
+    text_sd = {
+        k.removeprefix("language_model."): v
+        for k, v in state_dict.items()
+        if k.startswith("language_model.")
+    }
+    vision_sd = {
+        k.removeprefix("vision_model."): v
+        for k, v in state_dict.items()
+        if k.startswith("vision_model.")
+    }
+    text = convert_hf_llama4_to_framework(text_sd, cfg)
+    vision = convert_hf_llama4_vision_to_framework(vision_sd, vision_num_layers)
+    projector = {"params": {
+        "kernel": _t(state_dict["multi_modal_projector.linear_1.weight"]).T.copy()
+    }}
+    return text, vision, projector

@@ -598,3 +598,89 @@ def test_llama4_vision_tower_parity():
         ).last_hidden_state.numpy()
     ours = np.asarray(enc.apply(params, jnp.asarray(imgs)))
     np.testing.assert_allclose(ref, ours, atol=2e-5)
+
+
+def test_llama4_multimodal_logits_parity():
+    """End-to-end llama4 multimodal: pixels -> vision tower (2D rope, pixel
+    shuffle) -> linear projector -> fused into the MoE text stream."""
+    from transformers import (
+        Llama4Config,
+        Llama4ForConditionalGeneration,
+        Llama4TextConfig,
+        Llama4VisionConfig,
+    )
+
+    from maxtext_indextts2_tpu.models.vision import Llama4VisionEncoder
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_hf_llama4_multimodal,
+    )
+
+    tc = Llama4TextConfig(
+        vocab_size=260, hidden_size=64, intermediate_size=128,
+        intermediate_size_mlp=160, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=1, attention_chunk_size=8,
+        rope_theta=10000.0, use_qk_norm=True, attn_temperature_tuning=True,
+        attention_bias=False, tie_word_embeddings=False, rope_scaling=None,
+        max_position_embeddings=128,
+    )
+    vc = Llama4VisionConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=16, patch_size=8,
+        pixel_shuffle_ratio=0.5, projector_input_dim=64,
+        projector_output_dim=64, vision_output_dim=64, rope_theta=10000,
+        projector_dropout=0.0,
+    )
+    hf_cfg = Llama4Config(
+        text_config=tc, vision_config=vc, image_token_index=259,
+        boi_token_index=257, eoi_token_index=258,
+    )
+    torch.manual_seed(0)
+    hf = Llama4ForConditionalGeneration(hf_cfg).eval()
+
+    cfg = load_config([
+        "decoder_block=llama4", "base_emb_dim=64", "base_mlp_dim=160",
+        "moe_mlp_dim=128", "base_num_decoder_layers=4",
+        "base_num_query_heads=4", "base_num_kv_heads=2", "head_dim=16",
+        "vocab_size=260", "max_target_length=32", "chunk_attn_window_size=8",
+        "num_experts=4", "num_experts_per_tok=1", "sparse_matmul=false",
+        "rope_max_timescale=10000", "normalization_layer_epsilon=1e-5",
+        "image_token_id=259",
+        "dtype=float32", "weight_dtype=float32", "attention=dot_product",
+    ])
+    text, vision, projector = convert_hf_llama4_multimodal(
+        hf.state_dict(), cfg, vision_num_layers=2
+    )
+    asjnp = lambda p: {"params": jax.tree.map(jnp.asarray, p["params"])}
+    text, vision, projector = asjnp(text), asjnp(vision), asjnp(projector)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    tokens = rng.integers(0, 256, size=(2, 12)).astype(np.int32)
+    tokens[:, 3] = 259  # one image soft token per row (1 patch after shuffle)
+
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.from_numpy(tokens.astype(np.int64)),
+            pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+        ).logits.numpy()
+
+    enc = Llama4VisionEncoder(
+        image_size=16, patch_size=8, hidden_size=32, num_layers=2,
+        num_heads=4, intermediate_size=128, projector_input_dim=64,
+        projector_output_dim=64, pixel_shuffle_ratio=0.5, rope_theta=10000,
+    )
+    tower = enc.apply(vision, jnp.asarray(imgs))
+    soft = tower @ projector["params"]["kernel"]
+
+    from maxtext_indextts2_tpu.models import Transformer
+
+    model = Transformer(cfg=cfg)
+    positions = jnp.broadcast_to(jnp.arange(12), (2, 12))
+    segs = jnp.ones((2, 12), jnp.int32)
+    ours = np.asarray(model.apply(
+        text, jnp.asarray(tokens), positions, segs, vision_embeddings=soft,
+    ))
+    np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+    assert np.abs(ref - ours).max() < 2e-3
