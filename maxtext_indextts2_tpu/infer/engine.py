@@ -374,6 +374,63 @@ class Engine:
         }
         return prefix, first_token
 
+    def prefill_cached(self, tokens: np.ndarray, true_length: int,
+                       prefix_cache):
+        """Chunked prefill that resumes from the longest cached prefix and
+        stores new chunk-aligned snapshots (reference: maxengine prefix
+        caching / insert_partial). `prefix_cache` is an
+        infer.prefix_cache.PrefixCache."""
+        cfg = self.cfg
+        chunk_size = prefix_cache.chunk_size
+        if self._p_prefill_chunk is None:
+            def chunk_impl(variables, chunk, positions, segs, offset):
+                return self.model.apply(
+                    variables, chunk, positions, segs,
+                    mode=MODE_PREFILL, mutable=["cache"],
+                    cache_offset=offset,
+                )
+
+            self._p_prefill_chunk = jax.jit(chunk_impl)
+
+        start, cache = prefix_cache.lookup(tokens, true_length)
+        padded_total = ((true_length + chunk_size - 1) // chunk_size) * chunk_size
+        padded = np.zeros((1, padded_total), np.int32)
+        padded[0, :true_length] = tokens[:true_length]
+
+        logits = None
+        with self.mesh:
+            for off in range(start, padded_total, chunk_size):
+                chunk = jnp.asarray(padded[:, off : off + chunk_size])
+                positions = jnp.arange(off, off + chunk_size, dtype=jnp.int32)[None, :]
+                valid = (
+                    jnp.arange(off, off + chunk_size)[None, :] < true_length
+                ).astype(jnp.int32)
+                variables = {"params": self.params}
+                if cache is not None:
+                    variables["cache"] = cache
+                logits, vars_ = self._p_prefill_chunk(
+                    variables, chunk, positions, valid, jnp.asarray(off, jnp.int32)
+                )
+                cache = vars_["cache"]
+                if off + chunk_size <= true_length - 1:
+                    prefix_cache.insert(tokens, off + chunk_size, cache)
+
+        last_rel = (true_length - 1) % chunk_size
+        last = logits[:, last_rel]
+        self.rng, rng = jax.random.split(self.rng)
+        first_token = sample_tokens(
+            last, rng, cfg.decode_sampling_strategy,
+            cfg.decode_sampling_temperature, cfg.decode_sampling_top_k,
+            cfg.decode_sampling_nucleus_p,
+        )
+        prefix = {
+            "cache": cache,
+            "token": first_token,
+            "pos": jnp.asarray([true_length], jnp.int32),
+            "logits": last,
+        }
+        return prefix, first_token
+
     # ------------------------------------------------------- decode state
     def init_decode_state(self):
         cfg = self.cfg

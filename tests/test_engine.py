@@ -252,3 +252,29 @@ def test_lora_adapter_merge(engine):
         merged2["decoder"]["layers"]["self_attention_0"]["query"]["kernel"],
         q_kernel,
     )
+
+
+def test_prefix_cache_reuse(engine):
+    """Shared-prefix prompts must produce identical results with prefix
+    caching, with the second request hitting the cache."""
+    from maxtext_indextts2_tpu.infer.prefix_cache import PrefixCache
+
+    pc = PrefixCache(chunk_size=8)
+    shared = np.array([3, 5, 7, 11, 13, 17, 19, 23], np.int32)  # one chunk
+    p1 = np.concatenate([shared, np.array([29, 31], np.int32)])
+    p2 = np.concatenate([shared, np.array([37, 41], np.int32)])
+
+    pref1, tok1 = engine.prefill_cached(p1, len(p1), pc)
+    assert pc.stats()["misses"] == 1 and pc.stats()["entries"] == 1
+    pref2, tok2 = engine.prefill_cached(p2, len(p2), pc)
+    assert pc.stats()["hits"] == 1
+
+    # parity: cached-resume result equals the plain full prefill
+    ref1, rtok1 = engine.prefill(p1, len(p1))
+    np.testing.assert_allclose(
+        np.asarray(pref1["logits"]), np.asarray(ref1["logits"]), atol=2e-5
+    )
+    ref2, _ = engine.prefill(p2, len(p2))
+    np.testing.assert_allclose(
+        np.asarray(pref2["logits"]), np.asarray(ref2["logits"]), atol=2e-5
+    )
