@@ -254,6 +254,7 @@ class Config:
     stack_prefill_result_cache: bool = False
     inference_microbenchmark_prefill_lengths: tuple[int, ...] = (64, 128, 256, 512, 1024)
     inference_server_port: int = 9000
+    serving_mode: str = "interleaved"  # interleaved | disaggregated (prefill thread)
 
     # ---------------------------------------------------------------- s2a / codec
     s2a_num_quantizers: int = 12

@@ -35,13 +35,22 @@ class _Request:
 
 
 class Orchestrator:
-    """Slot scheduler: request queue -> prefill -> insert -> shared generate loop."""
+    """Slot scheduler: request queue -> prefill -> insert -> shared generate loop.
+
+    mode="interleaved" (default): one loop alternates prefill and generate —
+    lowest latency at small scale. mode="disaggregated": a dedicated prefill
+    thread feeds a prefix queue while the decode loop only generates/inserts —
+    prefill bursts no longer stall decoding (reference: maxengine_config.py
+    interleaved/disaggregated factories; there the split is across machines,
+    here across threads sharing one chip's two program streams)."""
 
     def __init__(self, engine: Engine, eos_id: int | None = None,
-                 steps_per_dispatch: int = 4):
+                 steps_per_dispatch: int = 4, mode: str = "interleaved"):
         self.engine = engine
         self.eos_id = eos_id
         self.steps_per_dispatch = steps_per_dispatch
+        self.mode = mode
+        self.prefix_queue: queue.Queue = queue.Queue(maxsize=max(engine.num_slots, 2))
         self.queue: queue.Queue[_Request] = queue.Queue()
         self.slots: list[_Request | None] = [None] * engine.num_slots
         self.remaining = np.zeros(engine.num_slots, np.int32)
@@ -63,6 +72,27 @@ class Orchestrator:
         self.decode_state = self.engine.init_decode_state()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        if self.mode == "disaggregated":
+            self._prefill_thread = threading.Thread(
+                target=self._prefill_loop, daemon=True
+            )
+            self._prefill_thread.start()
+
+    def _prefill_loop(self):
+        """Disaggregated mode: drain the request queue into prefilled
+        prefixes independently of the decode loop."""
+        while not self._stop.is_set():
+            try:
+                req = self.queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                self.stats["prefills_total"] += 1
+                prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
+                self.prefix_queue.put((req, prefix, int(np.asarray(first)[0])))
+            except Exception as e:  # noqa: BLE001
+                req.error = repr(e)
+                req.done.set()
 
     def stop(self):
         self._stop.set()
@@ -82,6 +112,15 @@ class Orchestrator:
                 return i
         return None
 
+    def _admit(self, slot, req, prefix, first_tok):
+        self.decode_state = self.engine.insert(prefix, self.decode_state, slot)
+        req.tokens.append(first_tok)
+        self.stats["tokens_generated_total"] += 1
+        self.slots[slot] = req
+        self.remaining[slot] = req.max_new_tokens - 1
+        if self.remaining[slot] <= 0 or first_tok == self.eos_id:
+            self._finish(slot)
+
     def _loop(self):
         while not self._stop.is_set():
             # admit new requests into free slots
@@ -90,6 +129,14 @@ class Orchestrator:
                 slot = self._free_slot()
                 if slot is None:
                     break
+                if self.mode == "disaggregated":
+                    try:
+                        req, prefix, first_tok = self.prefix_queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    self._admit(slot, req, prefix, first_tok)
+                    admitted = True
+                    continue
                 try:
                     req = self.queue.get_nowait()
                 except queue.Empty:
@@ -97,15 +144,8 @@ class Orchestrator:
                 try:
                     self.stats["prefills_total"] += 1
                     prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
-                    self.decode_state = self.engine.insert(prefix, self.decode_state, slot)
-                    first_tok = int(np.asarray(first)[0])
-                    req.tokens.append(first_tok)
-                    self.stats["tokens_generated_total"] += 1
-                    self.slots[slot] = req
-                    self.remaining[slot] = req.max_new_tokens - 1
+                    self._admit(slot, req, prefix, int(np.asarray(first)[0]))
                     admitted = True
-                    if self.remaining[slot] <= 0 or first_tok == self.eos_id:
-                        self._finish(slot)
                 except Exception as e:  # surface engine errors to the caller
                     req.error = repr(e)
                     req.done.set()
@@ -170,7 +210,10 @@ def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    orch = Orchestrator(engine or (tts_pipeline.engine if tts_pipeline else Engine(cfg)))
+    orch = Orchestrator(
+        engine or (tts_pipeline.engine if tts_pipeline else Engine(cfg)),
+        mode=cfg.serving_mode,
+    )
     orch.start()
 
     class Handler(BaseHTTPRequestHandler):
