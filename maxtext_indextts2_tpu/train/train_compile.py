@@ -51,9 +51,11 @@ def get_topology_mesh(cfg: Config, topology: str, num_slices: int = 1) -> Mesh:
     return create_device_mesh(cfg, topo.devices)
 
 
-def aot_compile_train_step(cfg: Config, mesh: Mesh):
+def aot_compile_train_step(cfg: Config, mesh: Mesh, lower_only: bool = False):
     """Lower + compile the train step against an abstract mesh. Returns the
-    compiled executable (inspect .memory_analysis(), serialize, etc.)."""
+    compiled executable (inspect .memory_analysis(), serialize, etc.), or
+    the lowered-but-uncompiled object when lower_only (HLO inspection /
+    determinism checks, reference aot_hlo_identical_test.py)."""
     model = Transformer(cfg=cfg, mesh=mesh)
     import flax.linen as nn
 
@@ -98,6 +100,8 @@ def aot_compile_train_step(cfg: Config, mesh: Mesh):
         donate_argnums=(0,),
     )
     lowered = jitted.lower(state_ab, batch_ab, rng_ab)
+    if lower_only:
+        return lowered
     return lowered.compile()
 
 

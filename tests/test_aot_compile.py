@@ -28,3 +28,28 @@ def test_aot_compile_topology(topo, parallel):
     compiled = aot_compile_train_step(cfg, mesh)
     mem = compiled.memory_analysis()
     assert mem is not None
+
+
+def test_aot_hlo_deterministic():
+    """Lowering the same train step twice must produce identical HLO
+    (reference: aot_hlo_identical_test.py) — catches nondeterministic
+    tracing (dict ordering, fresh rng consts) that breaks compile caching."""
+    from maxtext_indextts2_tpu.config import load_config
+    from maxtext_indextts2_tpu.train.train_compile import (
+        aot_compile_train_step,
+        get_topology_mesh,
+    )
+
+    texts = []
+    for _ in range(2):
+        cfg = load_config([
+            "compile_topology=v5e-8", "base_emb_dim=64", "base_mlp_dim=128",
+            "base_num_decoder_layers=2", "base_num_query_heads=4",
+            "base_num_kv_heads=4", "head_dim=16", "vocab_size=256",
+            "max_target_length=128", "per_device_batch_size=1",
+            "attention=dot_product", "scan_layers=true",
+        ])
+        mesh = get_topology_mesh(cfg, "v5e-8")
+        lowered = aot_compile_train_step(cfg, mesh, lower_only=True)
+        texts.append(lowered.as_text())
+    assert texts[0] == texts[1]
