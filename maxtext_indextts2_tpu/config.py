@@ -283,6 +283,8 @@ class Config:
     enable_tensorboard: bool = False
     enable_goodput_recording: bool = False
     monitor_goodput: bool = False
+    dump_hlo: bool = False  # write the train step's lowered HLO to hlo_dump_dir
+    hlo_dump_dir: str = ""  # default: <run dir>/hlo
     collect_stack_trace: bool = False  # dump stacks if a step hangs
     stack_trace_interval_seconds: float = 600.0
 

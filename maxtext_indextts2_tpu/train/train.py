@@ -279,6 +279,9 @@ def train_loop(cfg: Config, mesh: Mesh | None = None) -> dict:
     p_train_step = jit_train_step(model, cfg, mesh, state_shardings)
     data_shard = batch_sharding(mesh)
 
+    if cfg.dump_hlo:
+        _dump_hlo(cfg, model, mesh, state, state_shardings)
+
     logger = MetricLogger(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     step_tflops = flops_lib.training_tflops_per_step(cfg)
@@ -355,6 +358,34 @@ def train_loop(cfg: Config, mesh: Mesh | None = None) -> dict:
         checkpointer.close()
     logger.close()
     return jax.tree.map(lambda x: np.asarray(x), metrics)
+
+
+def _dump_hlo(cfg: Config, model, mesh, state, state_shardings) -> str:
+    """Write the lowered train-step HLO to hlo_dump_dir (reference:
+    train.py:663-671 HLO dump + gcs_utils upload; here local-dir only —
+    point hlo_dump_dir at a mounted bucket for the same effect)."""
+    import os
+
+    out_dir = cfg.hlo_dump_dir or os.path.join(
+        cfg.base_output_directory or "/tmp", cfg.run_name, "hlo"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    batch = next(SyntheticDataIterator(cfg, cfg.global_batch_size_to_train_on))
+    abstract_batch = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
+    )
+    abstract_state = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+    )
+    with mesh:
+        lowered = jax.jit(
+            functools.partial(train_step, model, cfg),
+        ).lower(abstract_state, abstract_batch, jax.ShapeDtypeStruct((2,), jnp.uint32))
+    path = os.path.join(out_dir, "train_step.hlo.txt")
+    with open(path, "w") as f:
+        f.write(lowered.as_text())
+    print(f"HLO dumped to {path}")
+    return path
 
 
 def run_eval(cfg: Config, model, state, mesh, p_eval=None, num_batches: int | None = None):
