@@ -94,13 +94,19 @@ class Pipeline(nn.Module):
         pos_mb = positions.reshape(M, mb, L)
         seg_mb = segment_ids.reshape(M, mb, L)
 
-        T = M * R + S - 1
+        # pipeline_delay_activation_forwarding: each stage hop costs TWO
+        # iterations — stage s consumes the output stage s-1 produced two
+        # iterations earlier, letting XLA overlap the inter-stage ppermute
+        # with the next microbatch's compute (reference: pipeline.py
+        # delay_activation_forwarding; bubble grows to 2(S-1)).
+        d = 2 if cfg.pipeline_delay_activation_forwarding else 1
+        T = M * R + d * (S - 1)
         stage_ids = jnp.arange(S)
 
         def body(carry, i):
-            shift, circ, outputs = carry
-            # stage s processes microbatch (i-s) % M of repeat (i-s) // M
-            virt = i - stage_ids  # [S]
+            shift, shift_prev, circ, outputs = carry
+            # stage s processes microbatch (i-d*s) % M of repeat (i-d*s) // M
+            virt = i - d * stage_ids  # [S]
             mb_ids = jnp.mod(virt, M)
             r_ids = jnp.clip(virt // M, 0, R - 1)
             u_ids = stage_ids * R + r_ids  # stage-major unit index
@@ -109,7 +115,8 @@ class Pipeline(nn.Module):
             first_in = jnp.where(
                 (i // M) == 0, x_mb[i % M], circ[i % M] if R > 1 else x_mb[i % M]
             )
-            stage_in = jnp.concatenate([first_in[None], shift[:-1]], axis=0)
+            feed = shift_prev if d == 2 else shift
+            stage_in = jnp.concatenate([first_in[None], feed[:-1]], axis=0)
             stage_in = shard(stage_in, "activation_stage", "activation_batch",
                              "activation_length", "activation_embed")
 
@@ -120,7 +127,7 @@ class Pipeline(nn.Module):
             out_stages = stage_apply(gathered, stage_in, pos_s, seg_s)
 
             # last stage bookkeeping
-            v_last = i - (S - 1)
+            v_last = i - d * (S - 1)
             m_last = jnp.mod(v_last, M)
             r_last = v_last // M
             o_last = out_stages[-1]
@@ -133,20 +140,20 @@ class Pipeline(nn.Module):
             if R > 1:
                 circ = circ.at[m_last].set(jnp.where(recirc, o_last, circ[m_last]))
 
-            return (out_stages, circ, outputs), None
+            return (out_stages, shift, circ, outputs), None
 
         shift0 = jnp.zeros((S, mb, L, E), x.dtype)
         circ0 = jnp.zeros((M, mb, L, E), x.dtype) if R > 1 else jnp.zeros((1,), x.dtype)
         out0 = jnp.zeros((M, mb, L, E), x.dtype)
 
         if cfg.scan_pipeline_iterations:
-            (_, _, outputs), _ = jax.lax.scan(
-                body, (shift0, circ0, out0), jnp.arange(T)
+            (_, _, _, outputs), _ = jax.lax.scan(
+                body, (shift0, shift0, circ0, out0), jnp.arange(T)
             )
         else:
-            carry = (shift0, circ0, out0)
+            carry = (shift0, shift0, circ0, out0)
             for i in range(T):
                 carry, _ = body(carry, i)
-            outputs = carry[2]
+            outputs = carry[3]
 
         return outputs.reshape(B, L, E)

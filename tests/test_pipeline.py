@@ -114,3 +114,30 @@ def test_pipeline_matches_scan_output_and_grad(stages, repeats, microbatches):
         np.testing.assert_allclose(
             np.asarray(fs_scan[k_scan]), np.asarray(v_pipe), atol=5e-4, err_msg=str(k_scan)
         )
+
+
+def test_delayed_activation_forwarding_matches():
+    """pipeline_delay_activation_forwarding must not change outputs — only
+    the schedule (reference pipeline_parallelism_test.py equality bar)."""
+    base = [
+        "base_emb_dim=64", "base_mlp_dim=128", "base_num_decoder_layers=4",
+        "base_num_query_heads=4", "base_num_kv_heads=4", "head_dim=16",
+        "vocab_size=256", "max_target_length=32", "per_device_batch_size=1",
+        "ici_stage_parallelism=4", "num_pipeline_microbatches=8",
+        "dtype=float32", "weight_dtype=float32",
+    ]
+    outs = []
+    for delay in ("false", "true"):
+        cfg = load_config(base + [f"pipeline_delay_activation_forwarding={delay}"])
+        mesh = create_device_mesh(cfg)
+        model = Transformer(cfg=cfg, mesh=mesh)
+        rng = jax.random.PRNGKey(0)
+        tokens = jnp.asarray(
+            np.random.default_rng(0).integers(0, 256, size=(8, 32)), jnp.int32
+        )
+        positions = jnp.broadcast_to(jnp.arange(32), (8, 32))
+        segs = jnp.ones((8, 32), jnp.int32)
+        with mesh:
+            variables = model.init(rng, tokens, positions, segs)
+            outs.append(np.asarray(model.apply(variables, tokens, positions, segs)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
