@@ -51,18 +51,27 @@ def time_fn(fn, n1=2, n2=8):
     return max((t2 - t1) / (n2 - n1), 1e-6)
 
 
+TINY = False  # --tiny: shrink all stages for plumbing validation on CPU
+
+
 def bench_lm_decode(slots: int) -> dict:
     from maxtext_indextts2_tpu.config import load_config
     from maxtext_indextts2_tpu.infer.engine import Engine
 
+    dims = (
+        ["base_emb_dim=128", "base_num_query_heads=4", "base_num_kv_heads=2",
+         "base_mlp_dim=256", "base_num_decoder_layers=2", "head_dim=32",
+         "max_target_length=128", "max_prefill_predict_length=64"]
+        if TINY else
+        ["base_emb_dim=2048", "base_num_query_heads=16", "base_num_kv_heads=8",
+         "base_mlp_dim=6144", "base_num_decoder_layers=14", "head_dim=128",
+         "max_target_length=2048", "max_prefill_predict_length=512"]
+    )
     cfg = load_config([
-        "decoder_block=tts", "base_emb_dim=2048", "base_num_query_heads=16",
-        "base_num_kv_heads=8", "base_mlp_dim=6144", "base_num_decoder_layers=14",
-        "head_dim=128", "vocab_size=8704", "max_target_length=2048",
-        "max_prefill_predict_length=512",
+        "decoder_block=tts", "vocab_size=8704",
         f"per_device_batch_size={slots}",
         "attention=dot_product",
-    ])
+    ] + dims)
     eng = Engine(cfg)
     eng.load_params()
     state = eng.init_decode_state()
@@ -113,18 +122,27 @@ def bench_lm_decode(slots: int) -> dict:
 def bench_s2a(batch: int, seconds: float = 10.0) -> dict:
     from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
 
+    if TINY:
+        seconds = 0.5
     t = int(seconds * TOKEN_RATE_HZ)
-    p = 150  # 3s prompt
-    cfg = S2AConfig(num_quantizers=12, hidden_size=1024, num_layers=16,
-                    num_heads=16, codebook_size=1024, cond_codebook_size=8192,
-                    dtype=jnp.bfloat16)
+    p = 10 if TINY else 150  # 3s prompt (tiny: token-scale smoke)
+    if TINY:
+        cfg = S2AConfig(num_quantizers=4, hidden_size=64, num_layers=2,
+                        num_heads=4, codebook_size=64, cond_codebook_size=256,
+                        dtype=jnp.float32)
+        timesteps = (2, 2, 2, 2)
+    else:
+        cfg = S2AConfig(num_quantizers=12, hidden_size=1024, num_layers=16,
+                        num_heads=16, codebook_size=1024, cond_codebook_size=8192,
+                        dtype=jnp.bfloat16)
+        timesteps = (10,) + (4,) * 11
+    nq = cfg.num_quantizers
     model = S2AModel(cfg)
     rng = jax.random.PRNGKey(0)
-    x0 = jax.random.randint(rng, (batch, p + t, 12), 0, 1024)
-    cond = jax.random.randint(rng, (batch, p + t), 0, 8192)
+    x0 = jax.random.randint(rng, (batch, p + t, nq), 0, cfg.codebook_size)
+    cond = jax.random.randint(rng, (batch, p + t), 0, cfg.cond_codebook_size)
     params = model.init(rng, x0, jnp.ones((batch, p + t), jnp.int32), cond, rng)
     prompt = x0[:, :p, :]
-    timesteps = (10,) + (4,) * 11
 
     # pass EVERY device array as an argument: captured constants are fetched
     # host-side during lowering (catastrophic through the relay)
@@ -145,6 +163,8 @@ def bench_s2a(batch: int, seconds: float = 10.0) -> dict:
 def bench_vocoder(batch: int, seconds: float = 10.0) -> dict:
     from maxtext_indextts2_tpu.audio.acoustic import CodecDecoder
 
+    if TINY:
+        seconds = 0.5
     t = int(seconds * TOKEN_RATE_HZ)
     dec = CodecDecoder()
     rng = jax.random.PRNGKey(0)
@@ -160,12 +180,16 @@ def bench_vocoder(batch: int, seconds: float = 10.0) -> dict:
 
 
 def main():
+    global TINY
     ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrink all stages (CPU plumbing validation)")
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--s2a_batch", type=int, default=8)
     ap.add_argument("--voc_batch", type=int, default=8)
     ap.add_argument("--target_chips", type=int, default=8)  # v5e-8
     args = ap.parse_args()
+    TINY = args.tiny
 
     print("benching lm decode...", flush=True)
     lm = bench_lm_decode(args.slots)
