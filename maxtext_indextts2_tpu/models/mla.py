@@ -82,7 +82,9 @@ class MLAttention(nn.Module):
         k_pe = rope_lib.apply_rope(k_pe, positions, inv_freq, interleave=True)
 
         if mode in (MODE_PREFILL, MODE_AUTOREGRESSIVE):
-            c_kv, k_pe, cached_len, valid = self._latent_cache(c_kv, k_pe, mode)
+            c_kv, k_pe, cached_len, valid = self._latent_cache(
+                c_kv, k_pe, mode, segment_ids
+            )
             kv_positions = jnp.broadcast_to(
                 jnp.arange(c_kv.shape[1], dtype=jnp.int32)[None, :],
                 (c_kv.shape[0], c_kv.shape[1]),
@@ -124,8 +126,11 @@ class MLAttention(nn.Module):
             name="out", **common,
         )(out)
 
-    def _latent_cache(self, c_kv, k_pe, mode):
-        """Cache the compressed latent (c_kv, k_pe) — not expanded K/V."""
+    def _latent_cache(self, c_kv, k_pe, mode, segment_ids=None):
+        """Cache the compressed latent (c_kv, k_pe) — not expanded K/V.
+        Prefill prompts arrive PADDED to the bucket width: cache_index must
+        be the true per-row length (from segment_ids), not the padded width,
+        or decode attends garbage latents and overwrites the wrong slot."""
         cfg = self.cfg
         b = c_kv.shape[0]
         max_len = cfg.max_target_length
@@ -140,7 +145,11 @@ class MLAttention(nn.Module):
             ln = c_kv.shape[1]
             cc.value = jax.lax.dynamic_update_slice(cc.value, c_kv, (0, 0, 0))
             cp.value = jax.lax.dynamic_update_slice(cp.value, k_pe, (0, 0, 0))
-            idx.value = jnp.full((b,), ln, jnp.int32)
+            if segment_ids is not None:
+                true_len = jnp.sum((segment_ids != 0).astype(jnp.int32), axis=1)
+            else:
+                true_len = jnp.full((b,), ln, jnp.int32)
+            idx.value = true_len.astype(jnp.int32)
         else:
             pos = idx.value  # [B]
             rows = jnp.arange(b)

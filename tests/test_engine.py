@@ -278,3 +278,51 @@ def test_prefix_cache_reuse(engine):
     np.testing.assert_allclose(
         np.asarray(pref2["logits"]), np.asarray(ref2["logits"]), atol=2e-5
     )
+
+
+@pytest.mark.parametrize(
+    "block,extra",
+    [
+        ("llama2", []),
+        ("mistral", ["sliding_window_size=8"]),
+        ("gemma2", ["sliding_window_size=8", "attn_logits_soft_cap=50.0",
+                    "final_logits_soft_cap=30.0"]),
+        ("gemma3", ["sliding_window_size=8", "query_pre_attn_scalar=32"]),
+        ("qwen3", []),
+        ("gpt3", []),
+        ("llama4", ["chunk_attn_window_size=8", "num_experts=4",
+                    "num_experts_per_tok=1", "sparse_matmul=false",
+                    "moe_mlp_dim=256"]),
+        ("deepseek", ["q_lora_rank=32", "kv_lora_rank=32",
+                      "qk_nope_head_dim=32", "qk_rope_head_dim=16",
+                      "v_head_dim=32", "num_experts=1"]),
+    ],
+)
+def test_engine_decode_matrix(block, extra):
+    """Cached greedy decode must equal teacher-forced argmax for EVERY block
+    style — sliding/chunked/NoPE/softcap/MoE/MLA all hit different decode
+    masking paths (regression net for the single-slot and multi-sublayer
+    cache bugs)."""
+    n_layers = {
+        "gemma2": 2, "gemma3": 6, "llama4": 4,
+    }.get(block, 2)
+    cfg = load_config([
+        f"decoder_block={block}", "base_emb_dim=128", "base_mlp_dim=256",
+        f"base_num_decoder_layers={n_layers}", "base_num_query_heads=4",
+        "base_num_kv_heads=2", "head_dim=32", "vocab_size=512",
+        "max_target_length=64", "max_prefill_predict_length=16",
+        "per_device_batch_size=0.125",  # 1 slot: the regression case
+        "decode_sampling_strategy=greedy", "dtype=float32",
+    ] + extra)
+    eng = Engine(cfg)
+    eng.load_params()
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+    out = eng.generate_stream(prompt, 12)  # crosses window/chunk = 8
+
+    full = np.concatenate([prompt, np.array(out[:-1], np.int32)])
+    tokens = jnp.asarray(full)[None, :]
+    positions = jnp.arange(tokens.shape[1])[None, :]
+    segs = jnp.ones_like(tokens)
+    logits = eng.model.apply({"params": eng.params}, tokens, positions, segs)
+    preds = np.asarray(jnp.argmax(logits[0], axis=-1))
+    assert out == preds[len(prompt) - 1 :].tolist(), block
