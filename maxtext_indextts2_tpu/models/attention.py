@@ -347,6 +347,15 @@ class Attention(nn.Module):
                 mask = (kv_positions[:, None, :] <= positions[:, :, None]) & (
                     cseg[:, None, :] > 0
                 )
+                if self.sliding_window_size > 0:
+                    mask &= kv_positions[:, None, :] > (
+                        positions[:, :, None] - self.sliding_window_size
+                    )
+                if self.chunk_attn_window_size > 0:
+                    mask &= (
+                        kv_positions[:, None, :] // self.chunk_attn_window_size
+                        == positions[:, :, None] // self.chunk_attn_window_size
+                    )
                 out = dot_product_attention(
                     q, ck, cv, mask[:, None, :, :],
                     self.attn_logits_soft_cap, self.float32_qk_product,

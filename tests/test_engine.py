@@ -326,3 +326,33 @@ def test_engine_decode_matrix(block, extra):
     logits = eng.model.apply({"params": eng.params}, tokens, positions, segs)
     preds = np.asarray(jnp.argmax(logits[0], axis=-1))
     assert out == preds[len(prompt) - 1 :].tolist(), block
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        ["decoder_block=mistral", "sliding_window_size=8"],
+        ["decoder_block=llama4", "chunk_attn_window_size=8", "num_experts=4",
+         "num_experts_per_tok=1", "sparse_matmul=false", "moe_mlp_dim=256",
+         "base_num_decoder_layers=4"],
+    ],
+)
+def test_chunked_prefill_windowed_attention(extra):
+    """Chunked prefill must apply sliding/chunked attention constraints —
+    regression: the chunked mask was pure-causal, over-attending on
+    windowed models."""
+    cfg = load_config([
+        "base_emb_dim=128", "base_mlp_dim=256", "base_num_decoder_layers=2",
+        "base_num_query_heads=4", "base_num_kv_heads=2", "head_dim=32",
+        "vocab_size=512", "max_target_length=64",
+        "max_prefill_predict_length=32", "per_device_batch_size=0.125",
+        "decode_sampling_strategy=greedy", "dtype=float32",
+    ] + extra)
+    eng = Engine(cfg)
+    eng.load_params()
+    prompt = np.random.default_rng(0).integers(1, 512, size=24).astype(np.int32)
+    full, _ = eng.prefill(prompt, 24)
+    chnk, _ = eng.prefill_chunked(prompt, 24, chunk_size=8)
+    np.testing.assert_allclose(
+        np.asarray(full["logits"]), np.asarray(chnk["logits"]), atol=2e-4
+    )
