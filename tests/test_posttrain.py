@@ -89,3 +89,67 @@ def test_grpo_loop_improves_reward_signal():
     state, metrics = grpo_train_loop(cfg, reward, num_iterations=2, group_size=2)
     assert np.isfinite(metrics["loss"])
     assert np.isfinite(metrics["kl"])
+
+
+def test_posttrain_golden_values():
+    """DPO/GRPO losses pinned to golden values (reference:
+    test_assets/golden_data_{grpo,sft}_default.jsonl strategy) — catches
+    silent loss-math regressions. Regenerate via the recipe in
+    tests/golden/README."""
+    import json
+    import os
+
+    from maxtext_indextts2_tpu.train.dpo import dpo_loss_fn
+    from maxtext_indextts2_tpu.train.grpo import (
+        group_advantages,
+        grpo_loss_fn,
+        log_probs_from_logits,
+    )
+
+    golden = json.load(open(
+        os.path.join(os.path.dirname(__file__), "golden", "posttrain_golden.json")
+    ))
+    cfg = load_config([
+        "base_emb_dim=64", "base_mlp_dim=128", "base_num_decoder_layers=2",
+        "base_num_query_heads=4", "base_num_kv_heads=4", "head_dim=16",
+        "vocab_size=256", "max_target_length=32", "per_device_batch_size=1",
+        "dtype=float32", "weight_dtype=float32",
+    ])
+    model = Transformer(cfg=cfg)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(1, 256, size=(2, 32)), jnp.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), tokens,
+        jnp.broadcast_to(jnp.arange(32), (2, 32)), jnp.ones((2, 32), jnp.int32),
+    )
+    params = variables["params"]
+    policy = jax.tree.map(lambda x: x * 1.02 + 0.001, params)
+
+    batch = {}
+    for side in ("chosen", "rejected"):
+        t = jnp.asarray(rng.integers(1, 256, size=(2, 32)), jnp.int32)
+        batch[f"{side}_inputs"] = t
+        batch[f"{side}_targets"] = jnp.roll(t, -1, axis=1)
+        batch[f"{side}_position"] = jnp.broadcast_to(jnp.arange(32), (2, 32))
+        batch[f"{side}_segmentation"] = jnp.ones((2, 32), jnp.int32)
+        batch[f"{side}_targets_segmentation"] = jnp.ones((2, 32), jnp.int32)
+    dpo_loss, dpo_metrics = dpo_loss_fn(model, cfg, policy, params, batch)
+    assert abs(float(dpo_loss) - golden["dpo_loss"]) < 1e-4
+    assert abs(float(dpo_metrics["chosen_reward"]) - golden["dpo_chosen_reward"]) < 1e-4
+
+    comp = jnp.asarray(rng.integers(1, 256, size=(4, 32)), jnp.int32)
+    rewards = jnp.asarray(rng.standard_normal(4), jnp.float32)
+    adv = group_advantages(rewards, 2)
+    np.testing.assert_allclose(np.asarray(adv), golden["advantages"], atol=1e-5)
+    gbatch = {
+        "inputs": comp, "targets": jnp.roll(comp, -1, axis=1),
+        "inputs_position": jnp.broadcast_to(jnp.arange(32), (4, 32)),
+        "inputs_segmentation": jnp.ones((4, 32), jnp.int32),
+        "completion_weights": jnp.ones((4, 32), jnp.float32),
+        "advantages": adv,
+    }
+    logits0 = model.apply({"params": params}, gbatch["inputs"],
+                          gbatch["inputs_position"], gbatch["inputs_segmentation"])
+    gbatch["old_logps"] = log_probs_from_logits(logits0, gbatch["targets"])
+    grpo_loss, _ = grpo_loss_fn(model, cfg, policy, params, gbatch)
+    assert abs(float(grpo_loss) - golden["grpo_loss"]) < 1e-4
