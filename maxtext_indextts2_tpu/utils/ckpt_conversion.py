@@ -58,11 +58,6 @@ def convert_hf_llama_to_framework(state_dict: dict, cfg: Config) -> dict:
                 "model.layers.{}.self_attn.o_proj.weight",
                 lambda w: w.T.reshape(nq, hd, E))},
         },
-        "mlp_0": {
-            "wi_0": {"kernel": stack("model.layers.{}.mlp.gate_proj.weight", lambda w: w.T)},
-            "wi_1": {"kernel": stack("model.layers.{}.mlp.up_proj.weight", lambda w: w.T)},
-            "wo": {"kernel": stack("model.layers.{}.mlp.down_proj.weight", lambda w: w.T)},
-        },
         "pre_self_attention_norm_0": {
             "scale": stack("model.layers.{}.input_layernorm.weight", lambda w: w)
         },
@@ -70,6 +65,13 @@ def convert_hf_llama_to_framework(state_dict: dict, cfg: Config) -> dict:
             "scale": stack("model.layers.{}.post_attention_layernorm.weight", lambda w: w)
         },
     }
+    # dense MLP (absent for MoE variants, whose converters add moe_0 instead)
+    if "model.layers.0.mlp.gate_proj.weight" in sd:
+        layers["mlp_0"] = {
+            "wi_0": {"kernel": stack("model.layers.{}.mlp.gate_proj.weight", lambda w: w.T)},
+            "wi_1": {"kernel": stack("model.layers.{}.mlp.up_proj.weight", lambda w: w.T)},
+            "wo": {"kernel": stack("model.layers.{}.mlp.down_proj.weight", lambda w: w.T)},
+        }
     # qwen3 per-head q/k norms
     if "model.layers.0.self_attn.q_norm.weight" in sd:
         layers["self_attention_0"]["query_norm"] = {
@@ -688,3 +690,42 @@ def convert_hf_llama4_multimodal(state_dict: dict, cfg: Config, vision_num_layer
         "kernel": _t(state_dict["multi_modal_projector.linear_1.weight"]).T.copy()
     }}
     return text, vision, projector
+
+
+def convert_hf_qwen3_moe_to_framework(state_dict: dict, cfg: Config) -> dict:
+    """HF Qwen3MoeForCausalLM -> framework params (qwen3 block + RoutedMoE).
+
+    Per-expert Linear weights stack into the framework's [E, in, out] direct
+    arrays; the gate maps to the router kernel; qwen3 per-head q/k norms ride
+    the llama converter path (reference: Qwen3MoeSparseMoeBlock; softmax
+    routing with norm_topk_prob -> normalize_topk_weights=true)."""
+    L = cfg.num_decoder_layers
+    n_exp = cfg.num_experts
+    sd = state_dict
+
+    def get(name):
+        return _t(sd[name])
+
+    def stack_experts(proj, transform):
+        return np.stack([
+            np.stack([
+                transform(get(f"model.layers.{i}.mlp.experts.{e}.{proj}.weight"))
+                for e in range(n_exp)
+            ], axis=0)
+            for i in range(L)
+        ], axis=0)  # [L, E, in, out]
+
+    # attention / norms / embeddings via the llama-family mapping (q/k norms
+    # included); MoE keys are absent there so build the base without MLP.
+    dense_keys = {k: v for k, v in sd.items() if ".mlp." not in k}
+    base = convert_hf_llama_to_framework(dense_keys, cfg)
+    layers = base["params"]["decoder"]["layers"]
+    layers.pop("mlp_0", None)
+    layers["moe_0"] = {
+        "gate": {"kernel": np.stack(
+            [get(f"model.layers.{i}.mlp.gate.weight").T for i in range(L)], axis=0)},
+        "wi_0": stack_experts("gate_proj", lambda w: w.T),
+        "wi_1": stack_experts("up_proj", lambda w: w.T),
+        "wo": stack_experts("down_proj", lambda w: w.T),
+    }
+    return base
