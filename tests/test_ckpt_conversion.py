@@ -730,3 +730,45 @@ def test_qwen3_moe_logits_parity():
     ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
     np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
     assert np.abs(ref - ours).max() < 1e-2  # dense all-expert fp reorder
+
+
+def test_mistral_logits_parity():
+    """Mistral: llama layout + sliding-window attention."""
+    from transformers import MistralConfig, MistralForCausalLM
+
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_hf_llama_to_framework,
+    )
+
+    hf_cfg = MistralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        sliding_window=8, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    hf = MistralForCausalLM(hf_cfg).eval()
+
+    cfg = load_config([
+        "decoder_block=mistral", "base_emb_dim=64", "base_mlp_dim=128",
+        "base_num_decoder_layers=2", "base_num_query_heads=4",
+        "base_num_kv_heads=2", "head_dim=16", "vocab_size=256",
+        "max_target_length=32", "sliding_window_size=8",
+        "rope_max_timescale=10000",
+        "dtype=float32", "weight_dtype=float32", "attention=dot_product",
+    ])
+    params = convert_hf_llama_to_framework(hf.state_dict(), cfg)
+    params = {"params": jax.tree.map(jnp.asarray, params["params"])}
+
+    from maxtext_indextts2_tpu.models import Transformer
+
+    model = Transformer(cfg=cfg)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, 256, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(tokens.astype(np.int64))).logits.numpy()
+    positions = jnp.broadcast_to(jnp.arange(16), (2, 16))
+    segs = jnp.ones((2, 16), jnp.int32)
+    ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
+    np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
+    assert np.abs(ref - ours).max() < 2e-3
