@@ -283,6 +283,7 @@ class Config:
     enable_tensorboard: bool = False
     enable_goodput_recording: bool = False
     monitor_goodput: bool = False
+    optimizer_memory_host_offload: bool = False  # keep opt state in pinned host memory
     dump_hlo: bool = False  # write the train step's lowered HLO to hlo_dump_dir
     hlo_dump_dir: str = ""  # default: <run dir>/hlo
     collect_stack_trace: bool = False  # dump stacks if a step hangs

@@ -80,10 +80,31 @@ def setup_train_state(
     abstract = jax.eval_shape(init_fn, rng)
     logical_specs = nn.get_partition_spec(abstract)
     shardings = tree_logical_to_sharding(logical_specs, mesh)
+    shardings = nn.meta.unbox(shardings)
+    if cfg.optimizer_memory_host_offload and jax.default_backend() != "tpu":
+        # the CPU backend has no annotate_device_placement custom call —
+        # downgrade gracefully so tests/drives run everywhere.
+        print("optimizer_memory_host_offload: unsupported on"
+              f" {jax.default_backend()}; running without offload")
+    elif cfg.optimizer_memory_host_offload:
+        # optimizer state lives in pinned host memory between steps; the
+        # step transfers it in/out (reference: train.py:426-446 host-offload,
+        # base.yml optimizer_memory_host_offload). HBM saved: 2x params
+        # (adam m/v) at the cost of PCIe/host transfers per step. Scalar
+        # leaves (step counts) stay on device: the SPMD partitioner rejects
+        # memory-kind annotations on unsharded side-effect scalars.
+        # NOTE: validated on the CPU backend only as a no-op downgrade; TPU
+        # validation pending (relay outage) — treat as experimental.
+        abstract_opt = nn.meta.unbox(abstract).opt_state
+        shardings = shardings.replace(
+            opt_state=jax.tree.map(
+                lambda s, a: s.with_memory_kind("pinned_host") if a.ndim >= 1 else s,
+                shardings.opt_state, abstract_opt,
+            )
+        )
     with mesh:
         state = jax.jit(init_fn, out_shardings=shardings)(rng)
     state = nn.meta.unbox(state)
-    shardings = nn.meta.unbox(shardings)
     return state, (shardings, schedule)
 
 
@@ -232,11 +253,15 @@ def _clip_by_global_norm(grads, max_norm):
 
 def jit_train_step(model, cfg, mesh, state_shardings):
     data_shard = batch_sharding(mesh)
+    step = functools.partial(
+        train_step, model, cfg,
+        param_shardings=getattr(state_shardings, "params", None),
+    )
+    # optimizer_memory_host_offload needs no in-jit transfers: the pinned
+    # host in/out shardings make XLA stream the opt state in for the update
+    # and back out after (scalar leaves stay on device).
     return jax.jit(
-        functools.partial(
-            train_step, model, cfg,
-            param_shardings=getattr(state_shardings, "params", None),
-        ),
+        step,
         in_shardings=(state_shardings, data_shard, NamedSharding(mesh, PartitionSpec())),
         out_shardings=(state_shardings, NamedSharding(mesh, PartitionSpec())),
         donate_argnums=(0,),
