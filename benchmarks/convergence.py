@@ -11,6 +11,11 @@ Prints one JSON line: initial/final loss, floor, converged flag.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 import json
 import sys

@@ -9,6 +9,11 @@ Usage:  python benchmarks/determinism.py [key=value ...]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import sys
 

@@ -13,6 +13,11 @@ Prints one JSON line with samples_per_second and tokens_per_second.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import sys
 import time

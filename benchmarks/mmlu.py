@@ -14,6 +14,11 @@ Usage:  python benchmarks/mmlu.py [dataset_path=...] [limit=N] [key=value ...]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import sys
 

@@ -372,6 +372,16 @@ def load_config(argv: list[str] | None = None, **kwargs: Any) -> Config:
     kwargs. A ``model_name`` with a matching configs/models/<name>.yml pulls
     in that preset (reference: pyconfig validate_and_update_keys).
     """
+    # Platform escape hatch: the image's sitecustomize force-pins
+    # JAX_PLATFORMS=axon (env overrides don't stick), so CLI entry points
+    # honor MTT_PLATFORM=cpu|tpu via the in-process config switch — must
+    # happen before any backend initialization.
+    plat = os.environ.get("MTT_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     argv = list(argv or [])
     overrides: dict[str, Any] = {}
 
@@ -380,7 +390,7 @@ def load_config(argv: list[str] | None = None, **kwargs: Any) -> Config:
 
     late: dict[str, Any] = {}
     for key, val in os.environ.items():
-        if key.startswith("MTT_"):
+        if key.startswith("MTT_") and key != "MTT_PLATFORM":
             late[key[len("MTT_"):].lower()] = val
 
     for arg in argv:
