@@ -147,5 +147,9 @@ def _probe_device(timeout_s: int = 180) -> bool:
 
 
 if __name__ == "__main__":
+    import os
+
+    if os.environ.get("MTT_PLATFORM"):  # sitecustomize clobbers JAX_PLATFORMS
+        jax.config.update("jax_platforms", os.environ["MTT_PLATFORM"])
     if _probe_device():
         main()
