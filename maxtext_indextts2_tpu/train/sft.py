@@ -99,3 +99,56 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def vision_sft_example_to_row(
+    cfg: Config,
+    image,  # [H, W, 3] uint8/float
+    prompt_ids: list[int],
+    answer_ids: list[int],
+    tokens_per_image: int,
+    image_size: int = 224,
+):
+    """Vision-SFT row (reference: _hf_data_processing.py:145 vision-SFT
+    variant): the prompt carries one image placeholder expanded to
+    `tokens_per_image` slots of cfg.image_token_id; the loss is masked to
+    the answer. Returns (row dict, pixels [tiles, S, S, 3]).
+
+    Training composition: encode `pixels` with models/vision.VisionEncoder
+    (+ family projector), then pass the result as `vision_embeddings` to
+    Transformer.__call__ — the same fusion path the multimodal parity tests
+    drive."""
+    import numpy as np
+
+    from maxtext_indextts2_tpu.utils.multimodal import (
+        ImagePreprocessConfig,
+        insert_image_tokens,
+        preprocess_image,
+    )
+
+    s = cfg.max_target_length
+    placeholder = -7  # internal marker, expanded below
+    seq = list(prompt_ids) + [placeholder] + list(answer_ids)
+    tokens, img_mask = insert_image_tokens(
+        np.asarray(seq, np.int32), placeholder, tokens_per_image,
+        cfg.image_token_id, s,
+    )
+    # answer starts after prompt + image tokens
+    ans_start = min(len(prompt_ids) + tokens_per_image, s)
+    ans_end = min(ans_start + len(answer_ids), s)
+    targets = np.roll(tokens, -1)
+    targets[-1] = 0
+    weights = np.zeros((s,), np.float32)
+    weights[max(ans_start - 1, 0): max(ans_end - 1, 0)] = 1.0  # predict answer tokens
+    row = {
+        "inputs": tokens,
+        "inputs_position": np.arange(s, dtype=np.int32),
+        "inputs_segmentation": (tokens != 0).astype(np.int32),
+        "targets": targets,
+        "targets_segmentation": (weights > 0).astype(np.int32),
+        "image_mask": img_mask,
+    }
+    pixels = np.asarray(preprocess_image(
+        image, ImagePreprocessConfig(image_size=image_size)
+    ))
+    return row, pixels

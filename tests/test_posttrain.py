@@ -153,3 +153,28 @@ def test_posttrain_golden_values():
     gbatch["old_logps"] = log_probs_from_logits(logits0, gbatch["targets"])
     grpo_loss, _ = grpo_loss_fn(model, cfg, policy, params, gbatch)
     assert abs(float(grpo_loss) - golden["grpo_loss"]) < 1e-4
+
+
+def test_vision_sft_row():
+    """Vision-SFT row construction: placeholder expands to image tokens,
+    loss masked to the answer span, pixels preprocessed."""
+    from maxtext_indextts2_tpu.train.sft import vision_sft_example_to_row
+
+    cfg = load_config([
+        "base_emb_dim=64", "base_mlp_dim=128", "base_num_decoder_layers=2",
+        "base_num_query_heads=4", "base_num_kv_heads=4", "head_dim=16",
+        "vocab_size=256", "max_target_length=16", "per_device_batch_size=1",
+        "image_token_id=250",
+    ])
+    img = (np.arange(32 * 32 * 3).reshape(32, 32, 3) % 255).astype(np.uint8)
+    row, pixels = vision_sft_example_to_row(
+        cfg, img, prompt_ids=[5, 6], answer_ids=[7, 8, 9],
+        tokens_per_image=3, image_size=16,
+    )
+    assert row["inputs"][:8].tolist() == [5, 6, 250, 250, 250, 7, 8, 9]
+    assert row["image_mask"][:8].tolist() == [False, False, True, True, True,
+                                              False, False, False]
+    # loss predicts exactly the answer tokens 7,8,9 (targets at pos 4,5,6)
+    assert row["targets_segmentation"].tolist().count(1) == 3
+    assert row["targets"][4:7].tolist() == [7, 8, 9]
+    assert pixels.shape == (1, 16, 16, 3)
