@@ -356,3 +356,39 @@ def test_chunked_prefill_windowed_attention(extra):
     np.testing.assert_allclose(
         np.asarray(full["logits"]), np.asarray(chnk["logits"]), atol=2e-4
     )
+
+
+def test_two_slots_mixed_lengths_gemma3():
+    """Slot isolation on a multi-sublayer block (gemma3, 6 sublayers):
+    two concurrent streams with different prompt lengths must each match
+    their single-stream decode."""
+    cfg = load_config([
+        "decoder_block=gemma3", "sliding_window_size=8",
+        "query_pre_attn_scalar=32", "base_emb_dim=128", "base_mlp_dim=256",
+        "base_num_decoder_layers=6", "base_num_query_heads=4",
+        "base_num_kv_heads=2", "head_dim=32", "vocab_size=512",
+        "max_target_length=64", "max_prefill_predict_length=16",
+        "per_device_batch_size=0.25",  # 2 slots
+        "decode_sampling_strategy=greedy", "dtype=float32",
+    ])
+    eng = Engine(cfg)
+    eng.load_params()
+    p1 = np.array([3, 5, 7, 11, 13, 17, 19], np.int32)
+    p2 = np.array([23, 29, 31], np.int32)
+
+    solo1 = eng.generate_stream(p1, 8)
+    solo2 = eng.generate_stream(p2, 8)
+
+    state = eng.init_decode_state()
+    pref1, t1 = eng.prefill(p1, len(p1))
+    state = eng.insert(pref1, state, 0)
+    pref2, t2 = eng.prefill(p2, len(p2))
+    state = eng.insert(pref2, state, 1)
+    out1 = [int(np.asarray(t1)[0])]
+    out2 = [int(np.asarray(t2)[0])]
+    for _ in range(7):
+        state, toks = eng.generate(state)
+        out1.append(int(np.asarray(toks)[0]))
+        out2.append(int(np.asarray(toks)[1]))
+    assert out1 == solo1
+    assert out2 == solo2
