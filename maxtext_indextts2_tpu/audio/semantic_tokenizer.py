@@ -8,7 +8,6 @@ One jitted function; batched; static shapes via a padded duration bucket.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

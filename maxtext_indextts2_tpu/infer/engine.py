@@ -19,13 +19,9 @@ reference serves with, minus the gRPC scaffolding (see infer/server.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec
 
 from maxtext_indextts2_tpu.config import Config
 from maxtext_indextts2_tpu.infer.sampling import sample_tokens
@@ -34,7 +30,7 @@ from maxtext_indextts2_tpu.models import (
     MODE_PREFILL,
     Transformer,
 )
-from maxtext_indextts2_tpu.parallel import create_device_mesh, resolve, tree_logical_to_sharding
+from maxtext_indextts2_tpu.parallel import create_device_mesh, tree_logical_to_sharding
 
 
 class Engine:

@@ -9,7 +9,7 @@ configurable DecoderLayer — plus a yaml preset under configs/models/.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

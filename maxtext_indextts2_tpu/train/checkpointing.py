@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Any
-
 import jax
 import orbax.checkpoint as ocp
 

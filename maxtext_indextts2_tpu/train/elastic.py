@@ -18,7 +18,6 @@ faults at chosen steps, mirroring reference benchmarks/disruption_management.
 from __future__ import annotations
 
 import logging
-import time
 from collections.abc import Callable
 
 import jax

@@ -11,7 +11,6 @@ Run: ``python -m maxtext_indextts2_tpu.train.s2a_train <cfg.yml> steps=100 ...``
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax

@@ -19,11 +19,7 @@ from jax.sharding import Mesh
 
 from maxtext_indextts2_tpu.config import Config, load_config
 from maxtext_indextts2_tpu.models import Transformer
-from maxtext_indextts2_tpu.train.train import (
-    batch_sharding,
-    setup_train_state,
-    train_step,
-)
+from maxtext_indextts2_tpu.train.train import batch_sharding, train_step
 
 # name -> (topology name, chips per host, num slices attr)
 TOPOLOGIES = {
@@ -42,8 +38,7 @@ TOPOLOGIES = {
 def get_topology_mesh(cfg: Config, topology: str, num_slices: int = 1) -> Mesh:
     """Abstract device mesh for a named topology (CPU-side, no TPUs)."""
     from jax.experimental import topologies
-    from jax.experimental import mesh_utils
-
+    
     from maxtext_indextts2_tpu.parallel.mesh import create_device_mesh
 
     name, num_chips = TOPOLOGIES[topology]
