@@ -256,3 +256,43 @@ def test_reverse_diffusion_scan_matches_unrolled():
     out_unroll = model.apply(params, cond, prompt, jax.random.PRNGKey(7),
                              unroll=True, **kw)
     np.testing.assert_array_equal(np.asarray(out_scan), np.asarray(out_unroll))
+
+
+def test_semantic_tokenizer_batch_matches_single():
+    """Single-wav vs padded-batch tokenization must agree on the valid
+    region (reference: root test_batch_tokenizer.py)."""
+    import numpy as np
+
+    from maxtext_indextts2_tpu.audio.conformer import ConformerConfig
+    from maxtext_indextts2_tpu.audio.semantic_tokenizer import SemanticTokenizer
+
+    tok = SemanticTokenizer(
+        encoder_cfg=ConformerConfig(
+            hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, output_layer=2,
+        ),
+        repcodec_kwargs=dict(codebook_size=256, vocos_dim=32,
+                             vocos_intermediate_dim=64, vocos_num_layers=1),
+    )
+    tok.init_params()
+    rng = np.random.default_rng(0)
+    w1 = rng.standard_normal(16000).astype(np.float32) * 0.1
+    w2 = rng.standard_normal(8000).astype(np.float32) * 0.1
+
+    c1, l1 = tok.tokenize(w1[None])
+    c2, l2 = tok.tokenize(w2[None])
+
+    batch = np.zeros((2, 16000), np.float32)
+    batch[0] = w1
+    batch[1, :8000] = w2
+    cb, lb = tok.tokenize(batch, wav_lengths=np.array([16000, 8000]))
+    n1, n2 = int(np.asarray(l1)[0]), int(np.asarray(l2)[0])
+    assert int(np.asarray(lb)[0]) == n1 and int(np.asarray(lb)[1]) == n2
+    # row 0 fills the bucket exactly -> bit-identical program, exact match
+    np.testing.assert_array_equal(np.asarray(cb)[0, :n1], np.asarray(c1)[0, :n1])
+    # row 1 is padded: masking keeps hiddens within fp noise (verified
+    # ~3e-5), but the random-init 8-d codebook has no decision margins, so
+    # nearest-neighbor ids may flip on ties — require strong agreement
+    # rather than exactness (trained codebooks are stable).
+    agree = np.mean(np.asarray(cb)[1, :n2] == np.asarray(c2)[0, :n2])
+    assert agree >= 0.7, agree
