@@ -175,3 +175,26 @@ def grpo_train_loop(
                 model, cfg, state, ref_params, batch, step_rng
             )
     return state, {k: np.asarray(v) for k, v in metrics.items()}
+
+
+def main(argv=None):
+    """CLI demo: GRPO against a length-preference reward (reference:
+    grpo_trainer.py main; real use passes a task reward_fn to
+    grpo_train_loop)."""
+    import sys
+
+    from maxtext_indextts2_tpu.config import load_config
+
+    cfg = load_config(sys.argv[1:] if argv is None else argv)
+
+    def reward_fn(completion: list[int]) -> float:
+        # demo: prefer long completions without token 0 (pad/eos)
+        return float(len([t for t in completion if t != 0]))
+
+    _, metrics = grpo_train_loop(cfg, reward_fn)
+    print({k: float(v) for k, v in metrics.items()})
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
