@@ -163,13 +163,11 @@ class KVCache(nn.Module):
         ck.value = shard(ck.value, "cache_batch", "cache_sequence", "cache_heads", "cache_kv")
         cv.value = shard(cv.value, "cache_batch", "cache_sequence", "cache_heads", "cache_kv")
         if self.quantize:
-            return (
-                dequantize_kv(ck.value, ck_s.value, self.dtype),
-                dequantize_kv(cv.value, cv_s.value, self.dtype),
-                seg.value,
-                idx.value,
-            )
-        return ck.value, cv.value, seg.value, idx.value
+            # raw int8 + scales: the ragged decode kernel dequantizes
+            # in-kernel so the HBM stream stays int8; other paths
+            # dequantize at the use site.
+            return ck.value, cv.value, seg.value, idx.value, (ck_s.value, cv_s.value)
+        return ck.value, cv.value, seg.value, idx.value, None
 
 
 class Attention(nn.Module):
@@ -336,7 +334,17 @@ class Attention(nn.Module):
             true_lengths = None
             if mode == MODE_PREFILL and segment_ids is not None:
                 true_lengths = jnp.sum((segment_ids != 0).astype(jnp.int32), axis=1)
-            ck, cv, cseg, cidx = cache.update(k, v, mode, true_lengths, cache_offset)
+            ck, cv, cseg, cidx, kv_scales = cache.update(
+                k, v, mode, true_lengths, cache_offset
+            )
+
+            def _dequant_cache():
+                if kv_scales is None:
+                    return ck, cv
+                from maxtext_indextts2_tpu.ops.quantization import dequantize_kv
+
+                return (dequantize_kv(ck, kv_scales[0], self.dtype),
+                        dequantize_kv(cv, kv_scales[1], self.dtype))
             if mode == MODE_PREFILL and cache_offset is not None:
                 # chunked prefill: attend over everything cached so far,
                 # causal against this chunk's GLOBAL positions
@@ -356,8 +364,9 @@ class Attention(nn.Module):
                         kv_positions[:, None, :] // self.chunk_attn_window_size
                         == positions[:, :, None] // self.chunk_attn_window_size
                     )
+                dk, dv = _dequant_cache()
                 out = dot_product_attention(
-                    q, ck, cv, mask[:, None, :, :],
+                    q, dk, dv, mask[:, None, :, :],
                     self.attn_logits_soft_cap, self.float32_qk_product,
                 )
             elif mode == MODE_PREFILL:
@@ -379,11 +388,11 @@ class Attention(nn.Module):
                 and self.sliding_window_size == 0
                 and self.chunk_attn_window_size == 0
                 and self.attn_logits_soft_cap == 0.0
-                and not self.quantize_kvcache
             ):
                 # Pallas ragged decode: reads only each slot's valid KV
                 # blocks (positions < cidx always hold real tokens — padded
                 # prefill garbage is overwritten before cidx passes it).
+                # int8 caches are dequantized in-kernel (stream stays int8).
                 from maxtext_indextts2_tpu.ops.ragged_decode_attention import (
                     ragged_decode_attention,
                 )
@@ -391,7 +400,9 @@ class Attention(nn.Module):
                 out = ragged_decode_attention(
                     q[:, 0], ck, cv, cidx,
                     interpret=jax.default_backend() != "tpu",
-                )[:, None]
+                    k_scale=None if kv_scales is None else kv_scales[0],
+                    v_scale=None if kv_scales is None else kv_scales[1],
+                ).astype(q.dtype)[:, None]
             else:
                 kv_positions = jnp.broadcast_to(
                     jnp.arange(self.max_target_length, dtype=jnp.int32)[None, :],
@@ -407,8 +418,9 @@ class Attention(nn.Module):
                     )
                 valid &= cseg > 0
                 mask = valid[:, None, None, :]
+                dk, dv = _dequant_cache()
                 out = dot_product_attention(
-                    q, ck, cv, mask, self.attn_logits_soft_cap, self.float32_qk_product
+                    q, dk, dv, mask, self.attn_logits_soft_cap, self.float32_qk_product
                 )
 
         out = shard(out, "activation_batch", "activation_length", "activation_heads", "activation_kv_head_dim")

@@ -38,15 +38,17 @@ def _kernel(
     q_ref,  # [1, nq, nkv*d]
     k_ref,  # [1, block_kv, nkv*d]
     v_ref,  # [1, block_kv, nkv*d]
-    o_ref,  # [1, nq, nkv*d]
-    m_ref,  # scratch [nq, 128] f32
-    l_ref,  # scratch [nq, 128] f32
-    acc_ref,  # scratch [nq, nkv*d] f32
-    *,
+    *rest,  # optional (k_scale_ref, v_scale_ref), then o_ref + scratch
     block_kv: int,
     num_blocks: int,
     scale: float,
+    nkv: int,
+    quantized: bool = False,
 ):
+    if quantized:
+        k_scale_ref, v_scale_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     j = pl.program_id(1)
     length = lengths_ref[b]
@@ -57,10 +59,18 @@ def _kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    def _dequant(x, scale_ref):
+        # int8 [block_kv, nkv*d] * f32 per-(pos, head) scales: split the
+        # fused minor dim, broadcast, re-merge (minor-dim reshapes are free)
+        xs = x.astype(jnp.float32).reshape(block_kv, nkv, -1)
+        return (xs * scale_ref[0][..., None]).reshape(block_kv, nkv * xs.shape[-1])
+
     @pl.when(j * block_kv < length)
     def _compute():
         q = q_ref[0]  # [nq, nkv*d]
         k = k_ref[0]  # [block_kv, nkv*d]
+        if quantized:
+            k = _dequant(k_ref[0], k_scale_ref).astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -83,6 +93,8 @@ def _kernel(
         m_ref[...] = m_new * jnp.ones_like(m_ref)
 
         v = v_ref[0]  # [block_kv, nkv*d]
+        if quantized:
+            v = _dequant(v_ref[0], v_scale_ref).astype(q.dtype)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -100,14 +112,18 @@ def _kernel(
 )
 def ragged_decode_attention(
     q: jax.Array,  # [B, nq, d]
-    k: jax.Array,  # [B, S, nkv, d]
+    k: jax.Array,  # [B, S, nkv, d] (float, or int8 with k_scale)
     v: jax.Array,  # [B, S, nkv, d]
     lengths: jax.Array,  # [B] int32 valid positions per slot
     block_kv: int = 256,
     interpret: bool = False,
+    k_scale: jax.Array | None = None,  # [B, S, nkv, 1] f32 (int8 KV cache)
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Softmax(q k^T / sqrt(d)) v over each slot's first `lengths[b]` cache
-    positions. Returns [B, nq, d]."""
+    positions. Returns [B, nq, d]. With k_scale/v_scale the int8 cache is
+    dequantized IN-KERNEL — the HBM stream stays int8 (2x fewer KV bytes on
+    top of the ragged skipping)."""
     b_sz, nq, d = q.shape
     s_len, nkv = k.shape[1], k.shape[2]
     assert nq % nkv == 0, (nq, nkv)
@@ -128,6 +144,7 @@ def ragged_decode_attention(
     k_flat = k.reshape(b_sz, s_len, nkv * d)
     v_flat = v.reshape(b_sz, s_len, nkv * d)
     lengths = lengths.astype(jnp.int32)
+    quantized = k_scale is not None
 
     def kv_index_map(b, j, lens):
         last_valid = jnp.maximum(
@@ -135,14 +152,24 @@ def ragged_decode_attention(
         )
         return (b, jnp.minimum(j, last_valid), 0)
 
+    in_specs = [
+        pl.BlockSpec((1, nq, nkv * d), lambda b, j, lens: (b, 0, 0)),
+        pl.BlockSpec((1, block_kv, nkv * d), kv_index_map),
+        pl.BlockSpec((1, block_kv, nkv * d), kv_index_map),
+    ]
+    args = [lengths, q_exp, k_flat, v_flat]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, block_kv, nkv), kv_index_map),
+            pl.BlockSpec((1, block_kv, nkv), kv_index_map),
+        ]
+        args += [k_scale.reshape(b_sz, s_len, nkv),
+                 v_scale.reshape(b_sz, s_len, nkv)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b_sz, num_blocks),
-        in_specs=[
-            pl.BlockSpec((1, nq, nkv * d), lambda b, j, lens: (b, 0, 0)),
-            pl.BlockSpec((1, block_kv, nkv * d), kv_index_map),
-            pl.BlockSpec((1, block_kv, nkv * d), kv_index_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nq, nkv * d), lambda b, j, lens: (b, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((nq, 128), jnp.float32),
@@ -156,11 +183,15 @@ def ragged_decode_attention(
             block_kv=block_kv,
             num_blocks=num_blocks,
             scale=1.0 / (d ** 0.5),
+            nkv=nkv,
+            quantized=quantized,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b_sz, nq, nkv * d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b_sz, nq, nkv * d), q.dtype if not quantized else jnp.float32
+        ),
         interpret=interpret,
-    )(lengths, q_exp, k_flat, v_flat)
+    )(*args)
 
     # gather each head's d-slice from its kv-head offset
     out = out_exp.reshape(b_sz, nkv, group, nkv, d)

@@ -52,3 +52,54 @@ def test_engine_decode_with_ragged_kernel():
     logits = eng.model.apply({"params": eng.params}, tokens, positions, segs)
     preds = np.asarray(jnp.argmax(logits[0], axis=-1))
     assert out == preds[len(prompt) - 1 :].tolist()
+
+
+def test_kernel_int8_kv_matches_dequantized():
+    """In-kernel int8 dequantization must match dequantize-then-attend."""
+    from maxtext_indextts2_tpu.ops.quantization import dequantize_kv, quantize_kv
+
+    rng = np.random.default_rng(0)
+    B, S, nq, nkv, d = 2, 256, 8, 2, 128
+    lengths = jnp.asarray([100, 256], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, nkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, nkv, d)), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    ref = ragged_decode_attention_reference(
+        q, dequantize_kv(kq, ks, jnp.float32), dequantize_kv(vq, vs, jnp.float32),
+        lengths,
+    )
+    out = ragged_decode_attention(
+        q, kq, vq, lengths, block_kv=128, interpret=True, k_scale=ks, v_scale=vs,
+    )
+    np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+def test_engine_decode_ragged_int8_kv():
+    """Engine greedy decode with decode_attention=ragged + int8 KV cache
+    equals teacher-forced argmax (int8 rounding is identical both ways)."""
+    cfg = load_config([
+        "base_emb_dim=128", "base_mlp_dim=256", "base_num_decoder_layers=2",
+        "base_num_query_heads=4", "base_num_kv_heads=2", "head_dim=32",
+        "vocab_size=512", "max_target_length=64",
+        "max_prefill_predict_length=16", "per_device_batch_size=0.125",
+        "decode_sampling_strategy=greedy", "dtype=float32",
+        "decode_attention=ragged", "quantize_kvcache=true",
+    ])
+    eng = Engine(cfg)
+    eng.load_params()
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+    out = eng.generate_stream(prompt, 8)
+    # consistency vs the masked-dot-product int8 engine
+    cfg2 = load_config([a for a in [
+        "base_emb_dim=128", "base_mlp_dim=256", "base_num_decoder_layers=2",
+        "base_num_query_heads=4", "base_num_kv_heads=2", "head_dim=32",
+        "vocab_size=512", "max_target_length=64",
+        "max_prefill_predict_length=16", "per_device_batch_size=0.125",
+        "decode_sampling_strategy=greedy", "dtype=float32",
+        "quantize_kvcache=true",
+    ]])
+    eng2 = Engine(cfg2, params=eng.params)
+    out2 = eng2.generate_stream(prompt, 8)
+    assert out == out2
