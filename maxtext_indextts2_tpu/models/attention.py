@@ -385,7 +385,6 @@ class Attention(nn.Module):
                 )
             elif (
                 self.decode_attention == "ragged"
-                and self.sliding_window_size == 0
                 and self.chunk_attn_window_size == 0
                 and self.attn_logits_soft_cap == 0.0
             ):
@@ -402,6 +401,7 @@ class Attention(nn.Module):
                     interpret=jax.default_backend() != "tpu",
                     k_scale=None if kv_scales is None else kv_scales[0],
                     v_scale=None if kv_scales is None else kv_scales[1],
+                    sliding_window=self.sliding_window_size,
                 ).astype(q.dtype)[:, None]
             else:
                 kv_positions = jnp.broadcast_to(

@@ -44,6 +44,7 @@ def _kernel(
     scale: float,
     nkv: int,
     quantized: bool = False,
+    sliding_window: int = 0,
 ):
     if quantized:
         k_scale_ref, v_scale_ref, o_ref, m_ref, l_ref, acc_ref = rest
@@ -65,7 +66,11 @@ def _kernel(
         xs = x.astype(jnp.float32).reshape(block_kv, nkv, -1)
         return (xs * scale_ref[0][..., None]).reshape(block_kv, nkv * xs.shape[-1])
 
-    @pl.when(j * block_kv < length)
+    win_start = (
+        jnp.maximum(length - sliding_window, 0) if sliding_window > 0 else 0
+    )
+
+    @pl.when((j * block_kv < length) & ((j + 1) * block_kv > win_start))
     def _compute():
         q = q_ref[0]  # [nq, nkv*d]
         k = k_ref[0]  # [block_kv, nkv*d]
@@ -79,7 +84,7 @@ def _kernel(
         kv_pos = j * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1
         )
-        s = jnp.where(kv_pos < length, s, NEG_INF)
+        s = jnp.where((kv_pos < length) & (kv_pos >= win_start), s, NEG_INF)
 
         m_prev = m_ref[:, :1]  # [nq, 1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -108,7 +113,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_kv", "interpret")
+    jax.jit, static_argnames=("block_kv", "interpret", "sliding_window")
 )
 def ragged_decode_attention(
     q: jax.Array,  # [B, nq, d]
@@ -119,6 +124,7 @@ def ragged_decode_attention(
     interpret: bool = False,
     k_scale: jax.Array | None = None,  # [B, S, nkv, 1] f32 (int8 KV cache)
     v_scale: jax.Array | None = None,
+    sliding_window: int = 0,  # attend only the last `sliding_window` positions
 ) -> jax.Array:
     """Softmax(q k^T / sqrt(d)) v over each slot's first `lengths[b]` cache
     positions. Returns [B, nq, d]. With k_scale/v_scale the int8 cache is
@@ -150,7 +156,13 @@ def ragged_decode_attention(
         last_valid = jnp.maximum(
             (jnp.maximum(lens[b], 1) + block_kv - 1) // block_kv - 1, 0
         )
-        return (b, jnp.minimum(j, last_valid), 0)
+        j = jnp.minimum(j, last_valid)
+        if sliding_window > 0:
+            # out-of-window leading blocks clamp to the window's first
+            # block — repeated indices skip the DMA just like the tail
+            first = jnp.maximum(lens[b] - sliding_window, 0) // block_kv
+            j = jnp.maximum(j, jnp.minimum(first, last_valid))
+        return (b, j, 0)
 
     in_specs = [
         pl.BlockSpec((1, nq, nkv * d), lambda b, j, lens: (b, 0, 0)),
@@ -185,6 +197,7 @@ def ragged_decode_attention(
             scale=1.0 / (d ** 0.5),
             nkv=nkv,
             quantized=quantized,
+            sliding_window=sliding_window,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -200,7 +213,7 @@ def ragged_decode_attention(
     return out.transpose(1, 0, 2, 3).reshape(b_sz, nq, d)
 
 
-def ragged_decode_attention_reference(q, k, v, lengths):
+def ragged_decode_attention_reference(q, k, v, lengths, sliding_window: int = 0):
     """jnp reference for tests: masked full-length attention."""
     b_sz, nq, d = q.shape
     s_len, nkv = k.shape[1], k.shape[2]
@@ -208,6 +221,10 @@ def ragged_decode_attention_reference(q, k, v, lengths):
     qg = q.reshape(b_sz, nkv, group, d)
     s = jnp.einsum("bhgd,bshd->bhgs", qg, k) / (d ** 0.5)
     mask = jnp.arange(s_len)[None, :] < lengths[:, None]  # [B, S]
+    if sliding_window > 0:
+        mask &= jnp.arange(s_len)[None, :] >= jnp.maximum(
+            lengths[:, None] - sliding_window, 0
+        )
     s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
     p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
     o = jnp.einsum("bhgs,bshd->bhgd", p.astype(v.dtype), v)

@@ -103,3 +103,38 @@ def test_engine_decode_ragged_int8_kv():
     eng2 = Engine(cfg2, params=eng.params)
     out2 = eng2.generate_stream(prompt, 8)
     assert out == out2
+
+
+def test_kernel_sliding_window():
+    rng = np.random.default_rng(1)
+    B, S, nq, nkv, d = 3, 512, 8, 2, 128
+    lengths = jnp.asarray([40, 257, 512], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, nkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, nkv, d)), jnp.float32)
+    for w in (64, 130):
+        ref = ragged_decode_attention_reference(q, k, v, lengths, sliding_window=w)
+        out = ragged_decode_attention(
+            q, k, v, lengths, block_kv=128, interpret=True, sliding_window=w
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_engine_decode_ragged_sliding_window():
+    """mistral-style sliding-window decode through the ragged kernel must
+    equal the masked dot-product path."""
+    base = [
+        "decoder_block=mistral", "sliding_window_size=8",
+        "base_emb_dim=128", "base_mlp_dim=256", "base_num_decoder_layers=2",
+        "base_num_query_heads=4", "base_num_kv_heads=2", "head_dim=32",
+        "vocab_size=512", "max_target_length=64",
+        "max_prefill_predict_length=16", "per_device_batch_size=0.125",
+        "decode_sampling_strategy=greedy", "dtype=float32",
+    ]
+    eng_r = Engine(load_config(base + ["decode_attention=ragged"]))
+    eng_r.load_params()
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+    out_r = eng_r.generate_stream(prompt, 12)  # crosses the window
+    eng_m = Engine(load_config(base), params=eng_r.params)
+    out_m = eng_m.generate_stream(prompt, 12)
+    assert out_r == out_m
