@@ -7,6 +7,7 @@ decode); here a dense-cache ragged kernel with clamped-index DMA skipping.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from maxtext_indextts2_tpu.config import load_config
 from maxtext_indextts2_tpu.infer.engine import Engine
@@ -138,3 +139,31 @@ def test_engine_decode_ragged_sliding_window():
     eng_m = Engine(load_config(base), params=eng_r.params)
     out_m = eng_m.generate_stream(prompt, 12)
     assert out_r == out_m
+
+
+@pytest.mark.parametrize("block", ["llama2", "gemma3", "qwen3"])
+def test_engine_decode_matrix_ragged(block):
+    """decode_attention=ragged across block styles (gemma3 exercises the
+    sliding-window kernel path on 5 of 6 sublayers)."""
+    n_layers = {"gemma3": 6}.get(block, 2)
+    extra = (["sliding_window_size=8", "query_pre_attn_scalar=32"]
+             if block == "gemma3" else [])
+    cfg = load_config([
+        f"decoder_block={block}", "base_emb_dim=128", "base_mlp_dim=256",
+        f"base_num_decoder_layers={n_layers}", "base_num_query_heads=4",
+        "base_num_kv_heads=2", "head_dim=32", "vocab_size=512",
+        "max_target_length=64", "max_prefill_predict_length=16",
+        "per_device_batch_size=0.125", "decode_sampling_strategy=greedy",
+        "dtype=float32", "decode_attention=ragged",
+    ] + extra)
+    eng = Engine(cfg)
+    eng.load_params()
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+    out = eng.generate_stream(prompt, 12)
+    full = np.concatenate([prompt, np.array(out[:-1], np.int32)])
+    tokens = jnp.asarray(full)[None, :]
+    positions = jnp.arange(tokens.shape[1])[None, :]
+    segs = jnp.ones_like(tokens)
+    logits = eng.model.apply({"params": eng.params}, tokens, positions, segs)
+    preds = np.asarray(jnp.argmax(logits[0], axis=-1))
+    assert out == preds[len(prompt) - 1 :].tolist(), block
