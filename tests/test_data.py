@@ -131,3 +131,49 @@ def test_grain_pipeline(tmp_path):
     # iterator state roundtrips
     state = it.get_state()
     assert isinstance(state, bytes)
+
+
+def test_c4_mlperf_pipeline(tmp_path):
+    """MLPerf C4 semantics: concat-and-split into full segments, shift-left
+    targets with EOS, loss masked at EOS/pad (reference
+    _tfds_data_processing_c4_mlperf.py format_fn:235)."""
+    import json
+
+    import numpy as np
+
+    from maxtext_indextts2_tpu.train.data.mlperf_pipeline import (
+        concat_and_split,
+        format_mlperf_row,
+        make_c4_mlperf_iterator,
+    )
+
+    # concat_and_split wastes no space: all but the last segment are full
+    docs = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10]]
+    segs = list(concat_and_split(iter(docs), 4, docs_per_concat=2))
+    flat = [t for s in segs for t in s]
+    assert flat == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    assert all(len(s) == 4 for s in segs[:-1])
+
+    # mlperf row format: inputs raw, targets shifted left w/ EOS, mask at eos
+    row = format_mlperf_row([5, 6, 7], max_len=5, eos_id=1, pad_id=0)
+    assert row["inputs"].tolist() == [5, 6, 7, 0, 0]
+    assert row["targets"].tolist() == [6, 7, 1, 0, 0]
+    assert row["inputs_segmentation"].tolist() == [1, 1, 0, 0, 0]
+
+    shard = tmp_path / "c4.jsonl"
+    with open(shard, "w") as f:
+        for i in range(32):
+            f.write(json.dumps({"text": f"mlperf doc {i} " * 4}) + "\n")
+    cfg = load_config([
+        "dataset_type=c4_mlperf", f"dataset_path={shard}",
+        "per_device_batch_size=0.25", "max_target_length=64",
+    ])
+    from maxtext_indextts2_tpu.train.train import create_data_iterator
+
+    it = create_data_iterator(cfg)
+    b = next(it)
+    assert b["inputs"].shape == (cfg.global_batch_size_to_load, 64)
+    # zero-waste: every row in the first batch is a full segment
+    assert (b["inputs"][:, :-1] > 0).all()
+    assert (b["targets_segmentation"] == b["inputs_segmentation"]).all()
+    assert np.all(b["inputs_position"][:, 0] == 0)
