@@ -47,7 +47,7 @@ def main():
             "scan_layers=true",
             "remat_policy=minimal",
             "attention=flash",
-            "flash_block_sizes=[512,512]",
+            "flash_block_sizes=[1024,1024]",  # best measured (PERF.md sweep)
         ]
         + ([] if on_tpu else ["base_num_decoder_layers=2", "max_target_length=256"])
     )

@@ -36,6 +36,12 @@ DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 MODE_TRAIN = "train"
 MODE_PREFILL = "prefill"
 MODE_AUTOREGRESSIVE = "autoregressive"
+# Speculative-decoding verify pass: score K draft tokens per slot in one
+# forward. KV is written at [pos, pos+K) per slot but cache_index is NOT
+# advanced — the engine sets it to pos + accepted + 1 after acceptance
+# (stale entries beyond the index are overwritten by later writes and never
+# read, since all decode masks bound reads by cache_index/positions).
+MODE_VERIFY = "verify"
 
 
 def make_attention_mask(
@@ -149,6 +155,19 @@ class KVCache(nn.Module):
                 jnp.arange(self.max_length, dtype=jnp.int32)[None, :] < end
             ).astype(jnp.int32)
             idx.value = (off + true_lengths).astype(jnp.int32)
+        elif mode == MODE_VERIFY:
+            # k,v are [B, K, N, D]: write the whole draft span at per-slot
+            # offsets WITHOUT advancing cache_index (see MODE_VERIFY note).
+            span = k.shape[1]
+            rows = jnp.arange(b)[:, None]
+            offs = idx.value[:, None] + jnp.arange(span, dtype=jnp.int32)[None, :]
+            offs = jnp.minimum(offs, self.max_length - 1)
+            ck.value = ck.value.at[rows, offs].set(k.astype(store_dtype))
+            cv.value = cv.value.at[rows, offs].set(v.astype(store_dtype))
+            if self.quantize:
+                ck_s.value = ck_s.value.at[rows, offs].set(k_scale)
+                cv_s.value = cv_s.value.at[rows, offs].set(v_scale)
+            seg.value = seg.value.at[rows, offs].set(1)
         else:  # autoregressive: k,v are [B, 1, N, D]; per-slot write position
             pos = idx.value  # [B]
             rows = jnp.arange(b)
@@ -382,6 +401,28 @@ class Attention(nn.Module):
                 )
                 out = dot_product_attention(
                     q, k, v, mask, self.attn_logits_soft_cap, self.float32_qk_product
+                )
+            elif mode == MODE_VERIFY:
+                # score K drafts against the full cache; [0, pos) holds the
+                # committed stream, [pos, q_pos] was just written above.
+                kv_positions = jnp.broadcast_to(
+                    jnp.arange(self.max_target_length, dtype=jnp.int32)[None, :],
+                    (q.shape[0], self.max_target_length),
+                )
+                mask = kv_positions[:, None, :] <= positions[:, :, None]
+                if self.sliding_window_size > 0:
+                    mask &= kv_positions[:, None, :] > (
+                        positions[:, :, None] - self.sliding_window_size
+                    )
+                if self.chunk_attn_window_size > 0:
+                    mask &= (
+                        kv_positions[:, None, :] // self.chunk_attn_window_size
+                        == positions[:, :, None] // self.chunk_attn_window_size
+                    )
+                dk, dv = _dequant_cache()
+                out = dot_product_attention(
+                    q, dk, dv, mask[:, None, :, :],
+                    self.attn_logits_soft_cap, self.float32_qk_product,
                 )
             elif (
                 self.decode_attention == "ragged"
