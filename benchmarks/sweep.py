@@ -60,6 +60,11 @@ def train_trial(overrides: list[str], steps_timed: int = 6) -> dict:
     )
     rng = jax.random.PRNGKey(1)
     with mesh:
+        # two warmup steps: call 2 can recompile when buffer donation
+        # changes layouts (observed: weight_dtype=bfloat16 gave negative
+        # slope timings with a single warmup)
+        state, m = p_step(state, batch, rng)
+        _sync(m["loss"])
         state, m = p_step(state, batch, rng)
         _sync(m["loss"])
         t0 = time.perf_counter()

@@ -78,7 +78,10 @@ class Config:
     attention_type: str = "global"  # global | local_sliding | chunk
     query_pre_attn_scalar: float = 0.0  # gemma: replace 1/sqrt(d); 0 = off
     attention: str = "autoselected"  # autoselected | dot_product | flash | ragged
-    decode_attention: str = "dot_product"  # dot_product | ragged (pallas decode kernel)
+    decode_attention: str = "dot_product"  # dot_product | bucketed (lax.switch KV-prefix) | ragged (pallas)
+    # speculative decoding (infer/speculative.py; beyond-reference feature)
+    spec_num_draft_tokens: int = 0  # K drafts per round; 0 = off
+    spec_draft_parameters_path: str = ""  # draft model params-only checkpoint
     flash_block_sizes: tuple[int, ...] = (512, 512)  # (block_q, block_kv)
     dropout_rate: float = 0.0
     gradient_clipping_threshold: float = 1.0

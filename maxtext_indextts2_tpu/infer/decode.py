@@ -25,13 +25,35 @@ def main(argv=None, prompt_ids=None, max_new_tokens: int = 16):
             prompt_ids = np.array([int(t) for t in v.split(",")], np.int32)
         else:
             max_new_tokens = int(v)
+    spec_args = [a for a in argv if a.startswith("spec_draft=")]
+    argv = [a for a in argv if a not in spec_args]
     cfg = load_config(argv)
     if prompt_ids is None:
         prompt_ids = np.arange(1, 9, dtype=np.int32)
 
-    engine = Engine(cfg)
-    engine.load_params()
-    out = engine.generate_stream(prompt_ids, max_new_tokens)
+    if spec_args and cfg.spec_num_draft_tokens > 0:
+        # speculative decode: spec_draft=<draft.yml> names the draft model
+        # (sampling/lengths/slots are forced to match the target)
+        from maxtext_indextts2_tpu.infer.speculative import SpeculativeEngine
+
+        draft_cfg = load_config([spec_args[-1].partition("=")[2]] + [
+            f"vocab_size={cfg.vocab_size}",
+            f"max_target_length={cfg.max_target_length}",
+            f"max_prefill_predict_length={cfg.max_prefill_predict_length}",
+            f"per_device_batch_size={cfg.per_device_batch_size}",
+            "decode_sampling_strategy=greedy",
+        ])
+        engine = SpeculativeEngine(cfg, draft_cfg,
+                                   num_draft_tokens=cfg.spec_num_draft_tokens)
+        engine.load_params(cfg.load_parameters_path or None,
+                           cfg.spec_draft_parameters_path or None)
+        out, rounds = engine.generate_stream(prompt_ids, max_new_tokens)
+        print(f"speculative: {len(out)} tokens in {rounds} rounds "
+              f"({len(out)/max(rounds,1):.2f} tokens/dispatch)")
+    else:
+        engine = Engine(cfg)
+        engine.load_params()
+        out = engine.generate_stream(prompt_ids, max_new_tokens)
     print("prompt:", prompt_ids.tolist())
     print("completion:", out)
     if cfg.autoregressive_decode_assert:

@@ -52,14 +52,21 @@ def run_microbenchmark(cfg: Config, engine: Engine | None = None, iters: int = 8
     for slot in range(engine.num_slots):
         prefix, _ = engine.prefill(prompt, plen)
         state = engine.insert(prefix, state, slot)
-    state, toks = engine.generate(state)  # compile
+    # device-side scan loop (generate_n) so per-dispatch host overhead is
+    # excluded; slope between n=4 and n=20 cancels the fixed fetch cost.
+    state, toks = engine.generate_n(state, 4)  # compile n=4
     _sync(toks)
-    n = 16
     t0 = time.perf_counter()
-    for _ in range(n):
-        state, toks = engine.generate(state)
+    state, toks = engine.generate_n(state, 4)
     _sync(toks)
-    dt = (time.perf_counter() - t0) / n
+    t_short = time.perf_counter() - t0
+    state, toks = engine.generate_n(state, 20)  # compile n=20
+    _sync(toks)
+    t0 = time.perf_counter()
+    state, toks = engine.generate_n(state, 20)
+    _sync(toks)
+    t_long = time.perf_counter() - t0
+    dt = max((t_long - t_short) / 16, 1e-6)
     results["decode"] = {
         "slots": engine.num_slots,
         "step_ms": round(dt * 1e3, 3),

@@ -197,7 +197,7 @@ class Attention(nn.Module):
     head_dim: int
     max_target_length: int = 2048
     attention_kernel: str = "autoselected"  # autoselected|dot_product|flash
-    decode_attention: str = "dot_product"  # dot_product | ragged (pallas)
+    decode_attention: str = "dot_product"  # dot_product | bucketed | ragged
     dtype: jnp.dtype = jnp.bfloat16
     weight_dtype: jnp.dtype = jnp.float32
     float32_qk_product: bool = False
@@ -444,6 +444,60 @@ class Attention(nn.Module):
                     v_scale=None if kv_scales is None else kv_scales[1],
                     sliding_window=self.sliding_window_size,
                 ).astype(q.dtype)[:, None]
+            elif self.decode_attention == "bucketed":
+                # Read only the smallest power-of-two KV prefix that covers
+                # every slot (lax.switch over static slices). Decode is
+                # KV-bound; XLA's masked attention already streams at
+                # ~960GB/s on v5e but reads ALL max_target_length positions
+                # — this reads ceil(max(cidx)) -> S/max_len x less traffic,
+                # with none of a custom kernel's per-block overhead.
+                def branch(width):
+                    def f():
+                        k_w = jax.lax.slice_in_dim(ck, 0, width, axis=1)
+                        v_w = jax.lax.slice_in_dim(cv, 0, width, axis=1)
+                        if kv_scales is not None:
+                            from maxtext_indextts2_tpu.ops.quantization import (
+                                dequantize_kv,
+                            )
+
+                            k_w = dequantize_kv(
+                                k_w,
+                                jax.lax.slice_in_dim(kv_scales[0], 0, width, axis=1),
+                                self.dtype,
+                            )
+                            v_w = dequantize_kv(
+                                v_w,
+                                jax.lax.slice_in_dim(kv_scales[1], 0, width, axis=1),
+                                self.dtype,
+                            )
+                        kv_positions = jnp.broadcast_to(
+                            jnp.arange(width, dtype=jnp.int32)[None, :],
+                            (q.shape[0], width),
+                        )
+                        nxt = cidx[:, None]
+                        valid = kv_positions < nxt
+                        if self.sliding_window_size > 0:
+                            valid &= kv_positions > (nxt - 1) - self.sliding_window_size
+                        if self.chunk_attn_window_size > 0:
+                            valid &= (
+                                kv_positions // self.chunk_attn_window_size
+                            ) == ((nxt - 1) // self.chunk_attn_window_size)
+                        valid &= jax.lax.slice_in_dim(cseg, 0, width, axis=1) > 0
+                        return dot_product_attention(
+                            q, k_w, v_w, valid[:, None, None, :],
+                            self.attn_logits_soft_cap, self.float32_qk_product,
+                        )
+
+                    return f
+
+                widths = [256]
+                while widths[-1] < self.max_target_length:
+                    widths.append(min(widths[-1] * 2, self.max_target_length))
+                max_len = jnp.max(cidx)
+                which = jnp.searchsorted(
+                    jnp.asarray(widths, jnp.int32), max_len, side="left"
+                )
+                out = jax.lax.switch(which, [branch(w) for w in widths])
             else:
                 kv_positions = jnp.broadcast_to(
                     jnp.arange(self.max_target_length, dtype=jnp.int32)[None, :],

@@ -392,3 +392,46 @@ def test_two_slots_mixed_lengths_gemma3():
         out2.append(int(np.asarray(toks)[1]))
     assert out1 == solo1
     assert out2 == solo2
+
+
+@pytest.mark.parametrize("extra", [[], ["quantize_kvcache=true"]],
+                         ids=["bf16_kv", "int8_kv"])
+def test_bucketed_decode_matches_masked(extra):
+    """decode_attention=bucketed (lax.switch over power-of-two KV prefixes)
+    must emit the same greedy stream as the full masked path — the switch
+    only changes how much of the cache is read, never which positions are
+    attended. max_target_length=640 exercises a non-power-of-two final
+    bucket and at least two switch branches as the stream grows."""
+    base = [
+        "base_emb_dim=128", "base_mlp_dim=256", "base_num_decoder_layers=2",
+        "base_num_query_heads=4", "base_num_kv_heads=2", "head_dim=32",
+        "vocab_size=512", "max_target_length=640",
+        "max_prefill_predict_length=256", "per_device_batch_size=0.125",
+        "decode_sampling_strategy=greedy",
+    ] + extra
+    prompt = (np.arange(1, 301, dtype=np.int32) % 511) + 1
+
+    eng_m = Engine(load_config(base))
+    eng_m.load_params()
+    # prompt longer than the prefill bucket -> chunked prefill start
+    want = []
+    prefix, first = eng_m.prefill_chunked(prompt, len(prompt), 256)
+    state = eng_m.init_decode_state()
+    state = eng_m.insert(prefix, state, 0)
+    want.append(int(np.asarray(first)[0]))
+    for _ in range(40):
+        state, toks = eng_m.generate(state)
+        want.append(int(np.asarray(toks)[0]))
+
+    eng_b = Engine(load_config(base + ["decode_attention=bucketed"]))
+    eng_b.load_params()
+    got = []
+    prefix, first = eng_b.prefill_chunked(prompt, len(prompt), 256)
+    state = eng_b.init_decode_state()
+    state = eng_b.insert(prefix, state, 0)
+    got.append(int(np.asarray(first)[0]))
+    for _ in range(40):
+        state, toks = eng_b.generate(state)
+        got.append(int(np.asarray(toks)[0]))
+
+    assert got == want
