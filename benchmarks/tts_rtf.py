@@ -37,7 +37,8 @@ def _sync(x):
 
 def time_fn(fn, n1=2, n2=8):
     """Slope timing (cancels the relay's fixed host-fetch overhead)."""
-    fn()  # compile/warm
+    _sync(fn())  # compile/warm
+    _sync(fn())  # call 2 can recompile (donation layout); warm it too
     t0 = time.perf_counter()
     for _ in range(n1):
         r = fn()
