@@ -82,6 +82,10 @@ class Config:
     # speculative decoding (infer/speculative.py; beyond-reference feature)
     spec_num_draft_tokens: int = 0  # K drafts per round; 0 = off
     spec_draft_parameters_path: str = ""  # draft model params-only checkpoint
+    # Serving weight dtype: "" keeps checkpoint dtype; "bfloat16" halves the
+    # per-step weight stream AND removes the in-step f32->bf16 convert that
+    # XLA otherwise materializes (measured 9.3 -> 4.9 GB/step; PERF.md).
+    serve_params_dtype: str = ""
     flash_block_sizes: tuple[int, ...] = (512, 512)  # (block_q, block_kv)
     dropout_rate: float = 0.0
     gradient_clipping_threshold: float = 1.0

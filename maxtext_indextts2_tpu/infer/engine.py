@@ -106,12 +106,14 @@ class Engine:
             )
             with self.mesh:
                 self.params = quantize_params_for_serving(self.params, abstract_q)
+        if cast_dtype is None and self.cfg.serve_params_dtype:
+            cast_dtype = jnp.dtype(self.cfg.serve_params_dtype)
         if cast_dtype is not None:
-            import jax.numpy as _jnp
-
-            self.params = jax.tree.map(
-                lambda x: x.astype(cast_dtype)
-                if hasattr(x, "dtype") and x.dtype == _jnp.float32 else x,
+            self.params = jax.tree_util.tree_map_with_path(
+                lambda p, x: x
+                if (not hasattr(x, "dtype") or x.dtype != jnp.float32
+                    or any("scale" in str(k) for k in p))  # keep quant scales f32
+                else x.astype(cast_dtype),
                 self.params,
             )
         return self.params

@@ -99,6 +99,23 @@ def dot_product_attention(
     return out.reshape(b, sq, nq, v.shape[-1]).astype(v.dtype)  # v head dim may differ (MLA)
 
 
+def _row_update(cache, rows, idx):
+    """Write ``rows [B,K,...]`` at ``cache[b, idx[b]:idx[b]+K]`` touching only
+    those rows (Pallas aliased kernel on TPU; jnp scatter elsewhere). The
+    scatter fallback rewrites the whole buffer — fine for tests, ruinous for
+    serving (see ops/inplace_update.py)."""
+    if jax.default_backend() == "tpu":
+        from maxtext_indextts2_tpu.ops.inplace_update import inplace_row_update
+
+        return inplace_row_update(cache, rows, idx)
+    b, span = rows.shape[0], rows.shape[1]
+    offs = jnp.minimum(
+        idx[:, None] + jnp.arange(span, dtype=jnp.int32)[None, :],
+        cache.shape[1] - 1,
+    )
+    return cache.at[jnp.arange(b)[:, None], offs].set(rows.astype(cache.dtype))
+
+
 class KVCache(nn.Module):
     """Decode KV cache as flax "cache" variables: full-length buffers plus a
     scalar write index. Prefill fills [0, prefill_len); each AR step writes
@@ -162,20 +179,20 @@ class KVCache(nn.Module):
             rows = jnp.arange(b)[:, None]
             offs = idx.value[:, None] + jnp.arange(span, dtype=jnp.int32)[None, :]
             offs = jnp.minimum(offs, self.max_length - 1)
-            ck.value = ck.value.at[rows, offs].set(k.astype(store_dtype))
-            cv.value = cv.value.at[rows, offs].set(v.astype(store_dtype))
+            ck.value = _row_update(ck.value, k, idx.value)
+            cv.value = _row_update(cv.value, v, idx.value)
             if self.quantize:
-                ck_s.value = ck_s.value.at[rows, offs].set(k_scale)
-                cv_s.value = cv_s.value.at[rows, offs].set(v_scale)
+                ck_s.value = _row_update(ck_s.value, k_scale, idx.value)
+                cv_s.value = _row_update(cv_s.value, v_scale, idx.value)
             seg.value = seg.value.at[rows, offs].set(1)
         else:  # autoregressive: k,v are [B, 1, N, D]; per-slot write position
             pos = idx.value  # [B]
             rows = jnp.arange(b)
-            ck.value = ck.value.at[rows, pos].set(k[:, 0].astype(store_dtype))
-            cv.value = cv.value.at[rows, pos].set(v[:, 0].astype(store_dtype))
+            ck.value = _row_update(ck.value, k, pos)
+            cv.value = _row_update(cv.value, v, pos)
             if self.quantize:
-                ck_s.value = ck_s.value.at[rows, pos].set(k_scale[:, 0])
-                cv_s.value = cv_s.value.at[rows, pos].set(v_scale[:, 0])
+                ck_s.value = _row_update(ck_s.value, k_scale, pos)
+                cv_s.value = _row_update(cv_s.value, v_scale, pos)
             seg.value = seg.value.at[rows, pos].set(1)
             idx.value = pos + 1
 

@@ -167,3 +167,26 @@ def test_engine_decode_matrix_ragged(block):
     logits = eng.model.apply({"params": eng.params}, tokens, positions, segs)
     preds = np.asarray(jnp.argmax(logits[0], axis=-1))
     assert out == preds[len(prompt) - 1 :].tolist(), block
+
+
+def test_inplace_row_update_kernel():
+    """Pallas in-place row update (interpret mode) == jnp scatter, and only
+    the targeted rows change."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxtext_indextts2_tpu.ops.inplace_update import inplace_row_update
+
+    b, s, n, d = 4, 32, 2, 8
+    cache = jax.random.normal(jax.random.PRNGKey(0), (b, s, n, d), jnp.float32)
+    rows = jax.random.normal(jax.random.PRNGKey(1), (b, 3, n, d), jnp.float32)
+    idx = jnp.asarray([0, 5, 29, 31], jnp.int32)  # incl. clamped overflow
+
+    got = inplace_row_update(cache, rows, idx, interpret=True)
+
+    want = np.asarray(cache).copy()
+    for i in range(b):
+        for j in range(3):
+            want[i, min(int(idx[i]) + j, s - 1)] = np.asarray(rows)[i, j]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=0)
