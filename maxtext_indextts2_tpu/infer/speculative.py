@@ -20,8 +20,9 @@ reads weights once) instead of a+1 single-token passes.
 
 The KV-cache discipline relies on every decode read being bounded by
 cache_index (or by the verify positions themselves), so stale entries from
-rejected drafts are dead until overwritten. Works with quantized KV and
-sliding windows; MLA/paged caches are not wired up yet (asserted).
+rejected drafts are dead until overwritten. Works with quantized KV, sliding
+windows, and MLA latent caches (models/mla.py MODE_VERIFY); paged caches are
+not wired up.
 """
 
 from __future__ import annotations
@@ -60,11 +61,6 @@ class SpeculativeEngine:
         assert cfg.per_device_batch_size == draft_cfg.per_device_batch_size
         self.target = Engine(cfg, mesh=mesh)
         self.draft = Engine(draft_cfg, mesh=self.target.mesh)
-        from maxtext_indextts2_tpu.models import get_block_style
-
-        if (get_block_style(cfg.decoder_block).use_mla
-                or get_block_style(draft_cfg.decoder_block).use_mla):
-            raise NotImplementedError("speculative + MLA cache")
         self.cfg = cfg
         self.K = int(num_draft_tokens)
         self.num_slots = self.target.num_slots

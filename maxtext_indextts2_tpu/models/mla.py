@@ -22,6 +22,8 @@ from maxtext_indextts2_tpu.models.attention import (
     MODE_AUTOREGRESSIVE,
     MODE_PREFILL,
     MODE_TRAIN,
+    MODE_VERIFY,
+    _row_update,
     dot_product_attention,
     make_attention_mask,
 )
@@ -81,7 +83,7 @@ class MLAttention(nn.Module):
         q_pe = rope_lib.apply_rope(q_pe, positions, inv_freq, interleave=True)
         k_pe = rope_lib.apply_rope(k_pe, positions, inv_freq, interleave=True)
 
-        if mode in (MODE_PREFILL, MODE_AUTOREGRESSIVE):
+        if mode in (MODE_PREFILL, MODE_AUTOREGRESSIVE, MODE_VERIFY):
             c_kv, k_pe, cached_len, valid = self._latent_cache(
                 c_kv, k_pe, mode, segment_ids
             )
@@ -150,11 +152,20 @@ class MLAttention(nn.Module):
             else:
                 true_len = jnp.full((b,), ln, jnp.int32)
             idx.value = true_len.astype(jnp.int32)
+            visible = idx.value
+        elif mode == MODE_VERIFY:
+            # speculative verify: write the whole [B, K+1, d] draft span at
+            # per-slot offsets WITHOUT advancing cache_index — the engine
+            # commits the accepted length afterwards (infer/speculative.py).
+            cc.value = _row_update(cc.value, c_kv, idx.value)
+            cp.value = _row_update(cp.value, k_pe, idx.value)
+            visible = idx.value + c_kv.shape[1]
         else:
             pos = idx.value  # [B]
             rows = jnp.arange(b)
             cc.value = cc.value.at[rows, pos].set(c_kv[:, 0])
             cp.value = cp.value.at[rows, pos].set(k_pe[:, 0])
             idx.value = pos + 1
-        valid = jnp.arange(max_len)[None, :] < idx.value[:, None]
+            visible = idx.value
+        valid = jnp.arange(max_len)[None, :] < visible[:, None]
         return cc.value, cp.value, idx.value, valid

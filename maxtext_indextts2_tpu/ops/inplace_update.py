@@ -36,6 +36,15 @@ def inplace_row_update(
     """Returns cache with ``cache[b, idx[b]+j] = kv[b, j]`` (j < K), writing
     only the touched rows. Positions are clamped to S-1 (callers keep
     idx+K <= S; the clamp only guards compiler-visible OOB)."""
+    if cache.ndim == 3:
+        # Mosaic requires the block's last two dims to be (8,128)-divisible
+        # or equal to the array dims; a 3-D cache blocks the span axis to 1,
+        # violating that. A unit axis makes the trailing dims full — the
+        # expand/squeeze is a bitcast, so aliasing is preserved.
+        out = inplace_row_update(
+            cache[:, :, None, :], kv[:, :, None, :], idx, interpret=interpret
+        )
+        return out[:, :, 0, :]
     b_sz, s_len = cache.shape[:2]
     k_span = kv.shape[1]
     inner = cache.shape[2:]

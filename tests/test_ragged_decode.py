@@ -169,18 +169,22 @@ def test_engine_decode_matrix_ragged(block):
     assert out == preds[len(prompt) - 1 :].tolist(), block
 
 
-def test_inplace_row_update_kernel():
+@pytest.mark.parametrize(
+    "inner", [(2, 8), (16,), (2, 1)], ids=["kv", "mla_latent", "kv_scale"]
+)
+def test_inplace_row_update_kernel(inner):
     """Pallas in-place row update (interpret mode) == jnp scatter, and only
-    the targeted rows change."""
+    the targeted rows change. Covers 4-D KV caches, 3-D MLA latent caches
+    (unit-axis bitcast path), and quantization-scale shapes."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from maxtext_indextts2_tpu.ops.inplace_update import inplace_row_update
 
-    b, s, n, d = 4, 32, 2, 8
-    cache = jax.random.normal(jax.random.PRNGKey(0), (b, s, n, d), jnp.float32)
-    rows = jax.random.normal(jax.random.PRNGKey(1), (b, 3, n, d), jnp.float32)
+    b, s = 4, 32
+    cache = jax.random.normal(jax.random.PRNGKey(0), (b, s) + inner, jnp.float32)
+    rows = jax.random.normal(jax.random.PRNGKey(1), (b, 3) + inner, jnp.float32)
     idx = jnp.asarray([0, 5, 29, 31], jnp.int32)  # incl. clamped overflow
 
     got = inplace_row_update(cache, rows, idx, interpret=True)

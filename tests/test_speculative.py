@@ -83,6 +83,30 @@ def test_speculative_sliding_window_exactness():
     assert got == want
 
 
+def test_speculative_mla_exactness():
+    """MLA latent cache supports the verify span (models/mla.py MODE_VERIFY):
+    speculative output is exactly the target's plain greedy decode."""
+    mla_target = [
+        "decoder_block=deepseek", "base_emb_dim=64", "base_mlp_dim=128",
+        "base_num_decoder_layers=2", "base_num_query_heads=4",
+        "base_num_kv_heads=4", "q_lora_rank=32", "kv_lora_rank=32",
+        "qk_nope_head_dim=32", "qk_rope_head_dim=16", "v_head_dim=32",
+        "num_experts=1", "vocab_size=256", "max_target_length=96",
+        "max_prefill_predict_length=32", "per_device_batch_size=0.25",
+        "decode_sampling_strategy=greedy", "scan_layers=false",
+        "dtype=float32",
+    ]
+    prompt = np.arange(3, 15, dtype=np.int32)
+    want = _greedy_reference(mla_target, prompt, 20)
+
+    spec = SpeculativeEngine(load_config(mla_target), load_config(DRAFT),
+                             num_draft_tokens=3)
+    spec.load_params()
+    got, rounds = spec.generate_stream(prompt, 20)
+    assert got == want
+    assert rounds <= 20
+
+
 def test_speculative_multislot_isolation():
     """Two slots with different prompts decode independently and exactly."""
     cfg_t = load_config(TARGET + ["per_device_batch_size=0.5"])
