@@ -55,7 +55,9 @@ def time_fn(fn, n1=2, n2=8):
 TINY = False  # --tiny: shrink all stages for plumbing validation on CPU
 
 
-def bench_lm_decode(slots: int) -> dict:
+def bench_lm_decode(slots: int, decode_attention: str = "dot_product") -> dict:
+    import functools
+
     from maxtext_indextts2_tpu.config import load_config
     from maxtext_indextts2_tpu.infer.engine import Engine
 
@@ -72,22 +74,27 @@ def bench_lm_decode(slots: int) -> dict:
         "decoder_block=tts", "vocab_size=8704",
         f"per_device_batch_size={slots}",
         "attention=dot_product",
+        f"decode_attention={decode_attention}",
+        # bf16 weights: serving never needs the f32 checkpoint copy, and at
+        # 32+ slots the f32 weights + undonated cache OOM a 16GB chip
+        "serve_params_dtype=bfloat16",
     ] + dims)
     eng = Engine(cfg)
     eng.load_params()
     state = eng.init_decode_state()
     prompt = np.arange(1, 65, dtype=np.int32)
-    for s in range(min(slots, 2)):  # activate a couple of slots
+    for s in range(slots):  # activate EVERY slot: honest ragged/masked cost
         prefix, _ = eng.prefill(prompt, len(prompt))
         state = eng.insert(prefix, state, s)
 
     # N decode steps inside ONE jit: measures the device step time the way a
     # locally-attached serving host would see it (the relay adds ~20ms of
-    # per-dispatch overhead that is not the hardware's cost).
+    # per-dispatch overhead that is not the hardware's cost). State is
+    # donated so the KV cache isn't double-buffered (OOM at 32+ slots).
     N = 32
     rng = jax.random.PRNGKey(0)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def loop(params, state):
         def body(carry, _):
             s, r = carry
@@ -98,10 +105,14 @@ def bench_lm_decode(slots: int) -> dict:
         return s, toks
 
     with eng.mesh:
-        s2, toks = loop(eng.params, state)
+        # chain the donated state; warm twice (first re-call can recompile
+        # for the donated-buffer layout)
+        state, toks = loop(eng.params, state)
+        _sync(toks)
+        state, toks = loop(eng.params, state)
         _sync(toks)
         t0 = time.perf_counter()
-        s2, toks = loop(eng.params, state)
+        state, toks = loop(eng.params, state)
         _sync(toks)
         dt = (time.perf_counter() - t0) / N
         # per-dispatch (host-controlled) step for comparison
