@@ -86,6 +86,11 @@ class Config:
     # per-step weight stream AND removes the in-step f32->bf16 convert that
     # XLA otherwise materializes (measured 9.3 -> 4.9 GB/step; PERF.md).
     serve_params_dtype: str = ""
+    # Serve with layers unrolled even for scan-trained checkpoints (params
+    # are unstacked at load). Scanned decode round-trips every layer's KV
+    # cache through dynamic-slice/copy/update-slice each step — measured
+    # 8-11 ms/step of pure cache shuffling at 16 slots (PERF.md).
+    serve_unroll_layers: bool = True
     flash_block_sizes: tuple[int, ...] = (512, 512)  # (block_q, block_kv)
     dropout_rate: float = 0.0
     gradient_clipping_threshold: float = 1.0

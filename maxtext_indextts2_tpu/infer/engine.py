@@ -33,8 +33,47 @@ from maxtext_indextts2_tpu.models import (
 from maxtext_indextts2_tpu.parallel import create_device_mesh, tree_logical_to_sharding
 
 
+def unroll_scanned_params(params):
+    """Split scan-stacked layer params ({"layers": leaves [L, ...]}) into the
+    unrolled module layout ({"layers_0": ...}, inverse of nn.scan's param
+    stacking). Region names match models/decoder.py _run_region."""
+    regions = ("layers", "dense_layers", "moe_layers")
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if k in regions and isinstance(v, dict) and jax.tree.leaves(v):
+                n_layers = jax.tree.leaves(v)[0].shape[0]
+                for i in range(n_layers):
+                    out[f"{k}_{i}"] = jax.tree.map(lambda x, _i=i: x[_i], v)
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(params)
+
+
 class Engine:
     def __init__(self, cfg: Config, mesh=None, model: Transformer | None = None, params=None):
+        # Decode with unrolled layers (each layer's KV cache a separate
+        # in-place buffer): scanned decode spends more on per-layer cache
+        # dynamic-slice/copy/update than on its matmuls (PERF.md anatomy).
+        # Only auto-unroll when we own model+params construction; scanned
+        # checkpoints are unstacked at load_params time.
+        unroll = (
+            model is None and params is None
+            and cfg.scan_layers and cfg.serve_unroll_layers
+        )
+        if unroll:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, scan_layers=False)
+        # scan-stacked on disk: training checkpoints follow cfg.scan_layers;
+        # quantized serving checkpoints (tools/quantize_checkpoint.py) are
+        # written from an engine and already carry the engine's layout
+        self._ckpt_scanned = unroll and not cfg.checkpoint_is_quantized
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else create_device_mesh(cfg)
         self.model = model or Transformer(cfg=cfg, mesh=self.mesh)
@@ -81,6 +120,22 @@ class Engine:
         if path:
             from maxtext_indextts2_tpu.train.checkpointing import load_params_only
 
+            if self._ckpt_scanned:
+                # checkpoint on disk is scan-stacked; restore through a
+                # scanned twin, then unstack into this engine's unrolled
+                # module layout (keeping the unrolled shardings)
+                import dataclasses as _dc
+
+                un_shardings = shardings
+                scan_model = Transformer(
+                    cfg=_dc.replace(cfg, scan_layers=True), mesh=self.mesh
+                )
+                abstract = jax.eval_shape(
+                    lambda r: scan_model.init(r, dummy, dummy, dummy)["params"], rng
+                )
+                shardings = tree_logical_to_sharding(
+                    nn.get_partition_spec(abstract), self.mesh
+                )
             abstract_unboxed = nn.meta.unbox(abstract)
             target = jax.tree.map(
                 lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
@@ -88,6 +143,12 @@ class Engine:
                 nn.meta.unbox(shardings),
             )
             self.params = load_params_only(path, target)
+            if self._ckpt_scanned:
+                with self.mesh:
+                    self.params = jax.jit(
+                        unroll_scanned_params,
+                        out_shardings=nn.meta.unbox(un_shardings),
+                    )(self.params)
         else:
             with self.mesh:
                 self.params = nn.meta.unbox(

@@ -231,25 +231,26 @@ def test_lora_adapter_merge(engine):
     import copy
 
     base = jax.tree.map(lambda x: x, engine.params)
-    q_kernel = base["decoder"]["layers"]["self_attention_0"]["query"]["kernel"]
+    # engine params are in the unrolled serving layout (layers_0, layers_1)
+    q_kernel = base["decoder"]["layers_0"]["self_attention_0"]["query"]["kernel"]
     r = 2
-    flat_in = q_kernel.shape[1]
-    flat_out = int(np.prod(q_kernel.shape[2:]))
+    flat_in = q_kernel.shape[0]
+    flat_out = int(np.prod(q_kernel.shape[1:]))
     zeros = {
-        "decoder": {"layers": {"self_attention_0": {"query": {
-            "lora_a": jnp.zeros((q_kernel.shape[0], flat_in, r), jnp.float32),
-            "lora_b": jnp.zeros((q_kernel.shape[0], r, flat_out), jnp.float32),
+        "decoder": {"layers_0": {"self_attention_0": {"query": {
+            "lora_a": jnp.zeros((flat_in, r), jnp.float32),
+            "lora_b": jnp.zeros((r, flat_out), jnp.float32),
         }}}}
     }
     merged = Engine(engine.cfg, params=base).load_lora_adapter(zeros)
     np.testing.assert_allclose(
-        merged["decoder"]["layers"]["self_attention_0"]["query"]["kernel"],
+        merged["decoder"]["layers_0"]["self_attention_0"]["query"]["kernel"],
         q_kernel,
     )
     nonzero = jax.tree.map(lambda x: jnp.ones_like(x) * 0.01, zeros)
     merged2 = Engine(engine.cfg, params=base).load_lora_adapter(nonzero)
     assert not np.allclose(
-        merged2["decoder"]["layers"]["self_attention_0"]["query"]["kernel"],
+        merged2["decoder"]["layers_0"]["self_attention_0"]["query"]["kernel"],
         q_kernel,
     )
 
@@ -434,4 +435,38 @@ def test_bucketed_decode_matches_masked(extra):
         state, toks = eng_b.generate(state)
         got.append(int(np.asarray(toks)[0]))
 
+    assert got == want
+
+
+def test_serve_unroll_scanned_checkpoint_parity(tmp_path):
+    """A scan-trained checkpoint served with serve_unroll_layers (the
+    default) must decode identically to serving with the scanned module
+    layout. Unrolled decode avoids the per-layer cache dynamic-slice/copy
+    round-trip (2.7x step-time win on-chip; PERF.md)."""
+    import flax.linen as nn
+
+    from maxtext_indextts2_tpu.train.checkpointing import save_params_only
+
+    cfg_args = CFG + ["scan_layers=true"]
+    cfg = load_config(cfg_args)
+    scan_model = Transformer(cfg=cfg)
+    dummy = jnp.zeros((1, cfg.max_prefill_predict_length), jnp.int32)
+    params = nn.meta.unbox(
+        scan_model.init(
+            jax.random.PRNGKey(cfg.init_weights_seed), dummy, dummy, dummy
+        )["params"]
+    )
+    path = str(tmp_path / "ckpt")
+    save_params_only(path, params)
+
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+    eng_scan = Engine(load_config(cfg_args + ["serve_unroll_layers=false"]))
+    assert not eng_scan._ckpt_scanned
+    eng_scan.load_params(path)
+    want = eng_scan.generate_stream(prompt, 8)
+
+    eng_unroll = Engine(load_config(cfg_args))
+    assert eng_unroll._ckpt_scanned  # module layout unrolled, ckpt scanned
+    eng_unroll.load_params(path)
+    got = eng_unroll.generate_stream(prompt, 8)
     assert got == want

@@ -17,6 +17,15 @@ from maxtext_indextts2_tpu.ops.ragged_decode_attention import (
 )
 
 
+def _unrolled(cfg):
+    """Engines auto-unroll scan layers for decode (serve_unroll_layers); a
+    comparison Engine that receives those params directly must build its
+    model unrolled too."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, scan_layers=False)
+
+
 def test_kernel_matches_reference():
     rng = np.random.default_rng(0)
     B, S, d = 4, 512, 128
@@ -101,7 +110,9 @@ def test_engine_decode_ragged_int8_kv():
         "decode_sampling_strategy=greedy", "dtype=float32",
         "quantize_kvcache=true",
     ]])
-    eng2 = Engine(cfg2, params=eng.params)
+    # params are in the engine's (unrolled) layout: build the comparison
+    # engine unrolled too
+    eng2 = Engine(_unrolled(cfg2), params=eng.params)
     out2 = eng2.generate_stream(prompt, 8)
     assert out == out2
 
@@ -136,7 +147,7 @@ def test_engine_decode_ragged_sliding_window():
     eng_r.load_params()
     prompt = np.array([3, 5, 7, 11, 13], np.int32)
     out_r = eng_r.generate_stream(prompt, 12)  # crosses the window
-    eng_m = Engine(load_config(base), params=eng_r.params)
+    eng_m = Engine(_unrolled(load_config(base)), params=eng_r.params)
     out_m = eng_m.generate_stream(prompt, 12)
     assert out_r == out_m
 
