@@ -1,9 +1,12 @@
 """Benchmark entry point — prints ONE JSON line.
 
-Current benchmark: training-step throughput (MFU) of a ~350M-param decoder LM
-on the available chip(s), compared against the reference's published v5e
-training MFU baseline (BASELINE.md: 16B on v5e-256 -> 61.1% MFU; we use that
-as vs_baseline denominator until the TTS RTF bench lands).
+Default benchmark (the driver's north-star metric, BASELINE.json): zero-shot
+TTS serving — effective real-time factor per stream across the three pipeline
+stages (LM decode at 48 slots, S2A reverse diffusion, vocoder decode),
+measured on-chip via benchmarks/tts_rtf.py. vs_baseline = 0.1 / rtf (the
+target is RTF < 0.1/stream; >1 means target beaten). `MTT_BENCH=mfu` runs
+the training-MFU bench instead (220M LM vs the reference's 61.1% MFU for a
+16B on v5e-256 — BASELINE.md; no same-size reference number exists).
 """
 
 from __future__ import annotations
@@ -15,6 +18,47 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_MFU = 0.611  # reference 16B @ v5e-256 (README.md:93)
+BASELINE_RTF = 0.1  # north-star: RTF < 0.1/stream (BASELINE.md)
+
+
+def main_rtf():
+    import benchmarks.tts_rtf as rtf
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        rtf.TINY = True  # plumbing-validation sizes off-chip
+    slots = 48 if on_tpu else 4  # best measured slot count (PERF.md)
+    s2a_b = 8 if on_tpu else 2
+    voc_b = 8 if on_tpu else 2
+
+    lm = rtf.bench_lm_decode(slots)
+    voc = rtf.bench_vocoder(voc_b)
+    s2a = rtf.bench_s2a(s2a_b)
+    eff_rtf = (
+        1.0 / max(lm["streams_capacity"], 1e-9)
+        + 1.0 / max(s2a["streams_capacity"], 1e-9)
+        + 1.0 / max(voc["streams_capacity"], 1e-9)
+    )
+    per_chip = min(lm["streams_capacity"], s2a["streams_capacity"],
+                   voc["streams_capacity"])
+    print(
+        json.dumps(
+            {
+                "metric": "tts_rtf_per_stream",
+                "value": round(eff_rtf, 4),
+                "unit": "rtf",
+                "vs_baseline": round(BASELINE_RTF / max(eff_rtf, 1e-9), 3),
+                "detail": {
+                    "on_tpu": on_tpu,
+                    "lm_decode": lm,
+                    "s2a": s2a,
+                    "vocoder": voc,
+                    "per_chip_streams": round(per_chip, 1),
+                    "v5e8_streams_estimate": round(per_chip * 8, 1),
+                },
+            }
+        )
+    )
 
 
 def main():
@@ -148,8 +192,26 @@ def _probe_device(timeout_s: int = 180) -> bool:
 
 if __name__ == "__main__":
     import os
+    import sys
 
     if os.environ.get("MTT_PLATFORM"):  # sitecustomize clobbers JAX_PLATFORMS
         jax.config.update("jax_platforms", os.environ["MTT_PLATFORM"])
     if _probe_device():
-        main()
+        mode = os.environ.get("MTT_BENCH", "rtf")
+        if mode == "mfu" or "--mfu" in sys.argv:
+            main()
+        else:
+            try:
+                main_rtf()
+            except Exception as e:  # noqa: BLE001 - always emit the JSON line
+                print(
+                    json.dumps(
+                        {
+                            "metric": "tts_rtf_per_stream",
+                            "value": 0.0,
+                            "unit": "rtf",
+                            "vs_baseline": 0.0,
+                            "detail": {"error": repr(e)[:500]},
+                        }
+                    )
+                )
