@@ -102,6 +102,10 @@ def _self_attention(x, pad_mask, cfg: S2AConfig):
     q = apply_rope(q, pos, inv, interleave=True)
     k = apply_rope(k, pos, inv, interleave=True)
 
+    # NOTE: a pad-to-256-and-flash variant was measured SLOWER here (4.58 vs
+    # 3.77 s/pass at s=650, d=64: pallas kernel 0.97 ms/layer + pad/transpose
+    # copies vs 0.75 ms for the materialized path — PERF.md "S2A anatomy").
+    # Flash only pays at the sizes below.
     if jax.default_backend() == "tpu" and s >= 512 and s % 256 == 0:
         from maxtext_indextts2_tpu.ops.flash_attention import flash_attention
 
