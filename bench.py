@@ -157,7 +157,9 @@ def main():
     )
 
 
-def _probe_device(timeout_s: int = 180) -> bool:
+def _probe_device(timeout_s: int = 600) -> bool:
+    # 600s: cold first-connect through the relay has been observed to take
+    # 3-5 min; a tight probe here would false-negative the whole bench.
     """The fabric can wedge (observed: stuck grants after killed clients);
     probe with a trivial op under SIGALRM before committing to the bench."""
     import signal
