@@ -294,6 +294,9 @@ class Config:
     profiler_steps: int = 5
     skip_first_n_steps_for_profiler: int = 1
     metrics_file: str = ""
+    # Mirror the metrics jsonl to a bucket/dir (gs:// via gsutil, else copy);
+    # reference: metric_logger.py GCS writes + profiler gsutil upload.
+    metrics_upload_dir: str = ""
     enable_tensorboard: bool = False
     enable_goodput_recording: bool = False
     monitor_goodput: bool = False

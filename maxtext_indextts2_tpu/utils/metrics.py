@@ -76,12 +76,39 @@ class MetricLogger:
         if self._jsonl:
             self._jsonl.write(json.dumps({"step": step, "ts": time.time(), **scalars}) + "\n")
             self._jsonl.flush()
+            if step % 100 == 0:
+                self._maybe_upload()
         if self._tb and jax.process_index() == 0:
             for k, v in scalars.items():
                 self._tb.scalar(k, v, step)
 
+    def _maybe_upload(self) -> None:
+        """Mirror the jsonl to cfg.metrics_upload_dir (gs:// via gsutil like
+        the reference's profiler upload, plain copy otherwise). Best-effort:
+        metric delivery must never take down a training job."""
+        dest = getattr(self.cfg, "metrics_upload_dir", "")
+        src = self.cfg.metrics_file
+        if not dest or not src or jax.process_index() != 0:
+            return
+        try:
+            if dest.startswith("gs://"):
+                import subprocess
+
+                subprocess.run(
+                    ["gsutil", "-q", "cp", src, dest.rstrip("/") + "/"],
+                    check=False, timeout=60,
+                )
+            else:
+                import shutil
+
+                os.makedirs(dest, exist_ok=True)
+                shutil.copy2(src, dest)
+        except Exception:  # noqa: BLE001
+            pass
+
     def close(self):
         if self._jsonl:
             self._jsonl.close()
+            self._maybe_upload()
         if self._tb:
             self._tb.flush()

@@ -36,6 +36,32 @@ class Profiler:
         if self._active and step >= self.end_step:
             jax.profiler.stop_trace()
             self._active = False
+            self._maybe_upload()
+
+    def _maybe_upload(self) -> None:
+        """Ship the trace dir to cfg.metrics_upload_dir (reference:
+        profiler.py:99 gsutil upload for nsys traces). Best-effort."""
+        dest = getattr(self.cfg, "metrics_upload_dir", "")
+        if not dest or jax.process_index() != 0:
+            return
+        try:
+            if dest.startswith("gs://"):
+                import subprocess
+
+                subprocess.run(
+                    ["gsutil", "-q", "-m", "cp", "-r", self.output_dir, dest],
+                    check=False, timeout=300,
+                )
+            else:
+                import shutil
+
+                shutil.copytree(
+                    self.output_dir,
+                    os.path.join(dest, os.path.basename(self.output_dir)),
+                    dirs_exist_ok=True,
+                )
+        except Exception:  # noqa: BLE001
+            pass
 
     def step_annotation(self, step: int):
         if self.enabled:

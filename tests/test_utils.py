@@ -83,6 +83,20 @@ def test_metric_logger_jsonl(tmp_path):
     assert "per_device_tflops_per_s" in rec
 
 
+def test_metric_logger_upload_mirror(tmp_path):
+    """metrics_upload_dir mirrors the jsonl on close (local-dir flavor; the
+    gs:// flavor shells out to gsutil the way the reference's profiler
+    upload does)."""
+    path = str(tmp_path / "m.jsonl")
+    up = str(tmp_path / "mirror")
+    cfg = load_config([f"metrics_file={path}", f"metrics_upload_dir={up}"])
+    logger = MetricLogger(cfg)
+    logger.write_step(1, {"loss": jnp.asarray(2.0)}, step_time=0.1)
+    logger.close()
+    rec = json.loads(open(f"{up}/m.jsonl").read().strip())
+    assert rec["loss"] == 2.0
+
+
 def test_weight_inspector():
     tree = {"w": jnp.ones((4, 4)), "bad": jnp.array([jnp.nan, 1.0]),
             "z": jnp.zeros(3)}
