@@ -32,6 +32,12 @@ TOPOLOGIES = {
     "v5e-256": ("v5e:16x16", 256),
     "v5p-8": ("v5p:2x2x1", 4),
     "v5p-128": ("v5p:4x4x4", 64),
+    "v5p-256": ("v5p:4x4x8", 128),
+    "v5p-512": ("v5p:4x8x8", 256),
+    # trillium (reference: accelerator_to_spec_map.py v6e entries)
+    "v6e-8": ("v6e:2x4", 8),
+    "v6e-64": ("v6e:8x8", 64),
+    "v6e-256": ("v6e:16x16", 256),
 }
 
 
