@@ -470,3 +470,25 @@ def test_serve_unroll_scanned_checkpoint_parity(tmp_path):
     eng_unroll.load_params(path)
     got = eng_unroll.generate_stream(prompt, 8)
     assert got == want
+
+
+def test_engine_tensor_parallel_decode_parity():
+    """Serving with the weights tensor-sharded over the mesh
+    (ici_tensor_parallelism=2) decodes the same stream as the replicated
+    engine — the multi-chip serving path the v5e-8 capacity estimates
+    assume (plus per-slot batch sharding over the data axis)."""
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+
+    eng_rep = Engine(load_config(CFG))
+    eng_rep.load_params()
+    want = eng_rep.generate_stream(prompt, 8)
+
+    eng_tp = Engine(load_config(CFG + ["ici_tensor_parallelism=2"]))
+    eng_tp.load_params()
+    got = eng_tp.generate_stream(prompt, 8)
+    assert got == want
+
+    # weights really are tensor-sharded (shard shape smaller than global)
+    k = eng_tp.params["decoder"]["layers_0"]["mlp_0"]["wi_0"]["kernel"]
+    assert k.sharding.shard_shape(k.shape) != k.shape, \
+        "mlp kernel should be tensor-sharded"
