@@ -17,13 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sweep import train_trial  # noqa: E402
 
+BEST = ["per_device_batch_size=4", "remat_policy=minimal", "attention=flash",
+        "flash_block_sizes=[1024,1024]"]
 TRIALS = (
-    ["per_device_batch_size=4", "remat_policy=none", "attention=flash"],
-    ["per_device_batch_size=4", "remat_policy=none", "attention=flash",
-     "weight_dtype=bfloat16"],
-    ["per_device_batch_size=2", "remat_policy=none", "attention=flash"],
-    ["per_device_batch_size=4", "remat_policy=minimal", "attention=flash",
-     "flash_block_sizes=[512,1024]"],
+    BEST,  # re-measure the recorded best (45.8% MFU)
+    BEST + ["weight_dtype=bfloat16"],
+    ["per_device_batch_size=8", "remat_policy=minimal", "attention=flash",
+     "flash_block_sizes=[1024,1024]"],
 )
 
 

@@ -19,7 +19,8 @@ PRESETS = sorted(
 @pytest.mark.parametrize("name", PRESETS)
 def test_preset_loads(name):
     cfg = load_config([f"model_name={name}"])
-    assert cfg.emb_dim >= 128
+    # gpt3-52k is a deliberately tiny smoke-test preset (reference has one)
+    assert cfg.emb_dim >= (16 if name == "gpt3-52k" else 128)
     assert cfg.num_decoder_layers >= 1
     assert cfg.num_query_heads % cfg.num_kv_heads == 0
 
