@@ -492,3 +492,42 @@ def test_engine_tensor_parallel_decode_parity():
     k = eng_tp.params["decoder"]["layers_0"]["mlp_0"]["wi_0"]["kernel"]
     assert k.sharding.shard_shape(k.shape) != k.shape, \
         "mlp kernel should be tensor-sharded"
+
+
+def test_serve_params_dtype_bf16_cast():
+    """serve_params_dtype=bfloat16 casts float32 weights at load but keeps
+    quantization scales in f32; decode still matches teacher forcing."""
+    cfg = load_config(CFG + ["serve_params_dtype=bfloat16"])
+    eng = Engine(cfg)
+    eng.load_params()
+    leaves = jax.tree_util.tree_leaves_with_path(eng.params)
+    # every large tensor (the HBM stream) is bf16; "scale"-named leaves
+    # (norm weights / quant scales) deliberately stay f32
+    big_f32 = [jax.tree_util.keystr(p) for p, x in leaves
+               if x.dtype == jnp.float32 and x.size > 4096]
+    assert not big_f32, big_f32
+    assert any(x.dtype == jnp.bfloat16 for _, x in leaves)
+
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+    out = eng.generate_stream(prompt, 6)
+    full = np.concatenate([prompt, np.array(out[:-1], np.int32)])
+    tokens = jnp.asarray(full)[None, :]
+    logits = eng.model.apply(
+        {"params": eng.params}, tokens,
+        jnp.arange(tokens.shape[1])[None, :], jnp.ones_like(tokens),
+    )
+    preds = np.asarray(jnp.argmax(logits[0], axis=-1))
+    assert out == preds[len(prompt) - 1 :].tolist()
+
+
+def test_serve_params_dtype_keeps_quant_scales():
+    """int8w_serve + bf16 cast: int8 kernels untouched, scales stay f32."""
+    cfg = load_config(CFG + ["quantization=int8w_serve",
+                             "serve_params_dtype=bfloat16"])
+    eng = Engine(cfg)
+    eng.load_params()
+    leaves = jax.tree_util.tree_leaves_with_path(eng.params)
+    scales = [x for p, x in leaves
+              if "scale" in jax.tree_util.keystr(p).lower()]
+    assert scales and all(x.dtype == jnp.float32 for x in scales)
+    assert any(x.dtype == jnp.int8 for _, x in leaves)
