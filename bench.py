@@ -27,7 +27,7 @@ def main_rtf():
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu:
         rtf.TINY = True  # plumbing-validation sizes off-chip
-    slots = 48 if on_tpu else 4  # best measured slot count (PERF.md)
+    slots = 64 if on_tpu else 4  # best measured slot count (PERF.md)
     s2a_b = 8 if on_tpu else 2
     voc_b = 8 if on_tpu else 2
 

@@ -55,7 +55,7 @@ def time_fn(fn, n1=2, n2=8):
 TINY = False  # --tiny: shrink all stages for plumbing validation on CPU
 
 
-def bench_lm_decode(slots: int, decode_attention: str = "dot_product") -> dict:
+def bench_lm_decode(slots: int, decode_attention: str = "ragged") -> dict:
     import functools
 
     from maxtext_indextts2_tpu.config import load_config
@@ -82,8 +82,12 @@ def bench_lm_decode(slots: int, decode_attention: str = "dot_product") -> dict:
     eng = Engine(cfg)
     eng.load_params()
     state = eng.init_decode_state()
-    prompt = np.arange(1, 65, dtype=np.int32)
-    for s in range(slots):  # activate EVERY slot: honest ragged/masked cost
+    # every slot active at a mid-stream context (512 of 2048): the ragged
+    # kernel's cost scales with VALID length, so short prompts would flatter
+    # it; 512 ~= a 150-token prompt + mid-utterance position
+    plen = 64 if TINY else 512
+    prompt = np.arange(1, plen + 1, dtype=np.int32)
+    for s in range(slots):
         prefix, _ = eng.prefill(prompt, len(prompt))
         state = eng.insert(prefix, state, s)
 
@@ -196,7 +200,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true",
                     help="shrink all stages (CPU plumbing validation)")
-    ap.add_argument("--slots", type=int, default=48)  # best measured (PERF.md)
+    ap.add_argument("--slots", type=int, default=64)  # best measured (PERF.md)
     ap.add_argument("--s2a_batch", type=int, default=8)
     ap.add_argument("--voc_batch", type=int, default=8)
     ap.add_argument("--target_chips", type=int, default=8)  # v5e-8

@@ -449,18 +449,27 @@ class Attention(nn.Module):
                 # Pallas ragged decode: reads only each slot's valid KV
                 # blocks (positions < cidx always hold real tokens — padded
                 # prefill garbage is overwritten before cidx passes it).
-                # int8 caches are dequantized in-kernel (stream stays int8).
+                # Float caches use the v2 flash-decoding kernel (per-slot
+                # dynamic block loop + manual double-buffered DMAs — cost
+                # independent of max_target_length); int8 caches use v1,
+                # which dequantizes in-kernel (stream stays int8).
                 from maxtext_indextts2_tpu.ops.ragged_decode_attention import (
                     ragged_decode_attention,
+                    ragged_decode_attention_v2,
                 )
 
-                out = ragged_decode_attention(
-                    q[:, 0], ck, cv, cidx,
-                    interpret=jax.default_backend() != "tpu",
-                    k_scale=None if kv_scales is None else kv_scales[0],
-                    v_scale=None if kv_scales is None else kv_scales[1],
-                    sliding_window=self.sliding_window_size,
-                ).astype(q.dtype)[:, None]
+                interp = jax.default_backend() != "tpu"
+                if kv_scales is None:
+                    out = ragged_decode_attention_v2(
+                        q[:, 0], ck, cv, cidx, interpret=interp,
+                        sliding_window=self.sliding_window_size,
+                    ).astype(q.dtype)[:, None]
+                else:
+                    out = ragged_decode_attention(
+                        q[:, 0], ck, cv, cidx, interpret=interp,
+                        k_scale=kv_scales[0], v_scale=kv_scales[1],
+                        sliding_window=self.sliding_window_size,
+                    ).astype(q.dtype)[:, None]
             elif self.decode_attention == "bucketed":
                 # Read only the smallest power-of-two KV prefix that covers
                 # every slot (lax.switch over static slices). Decode is

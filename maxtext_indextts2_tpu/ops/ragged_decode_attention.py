@@ -213,6 +213,161 @@ def ragged_decode_attention(
     return out.transpose(1, 0, 2, 3).reshape(b_sz, nq, d)
 
 
+def _kernel_v2(
+    lengths_ref,  # SMEM [B]
+    q_ref,  # VMEM [1, nq, nkv*d]
+    k_hbm,  # ANY [B, S, nkv, d] — NATIVE cache layout (a host-side reshape
+    v_hbm,  # to [B, S, nkv*d] materializes the whole cache: 79% of step!)
+    o_ref,  # VMEM [1, nq, nkv*d]
+    k_buf,  # VMEM [2, block_kv, nkv, d]
+    v_buf,
+    sem,  # DMA sems [2, 2]
+    *,
+    block_kv: int,
+    scale: float,
+    sliding_window: int,
+):
+    b = pl.program_id(0)
+    length = lengths_ref[b]
+    nb = (jnp.maximum(length, 1) + block_kv - 1) // block_kv
+    if sliding_window > 0:
+        j0 = jnp.minimum(
+            jnp.maximum(length - sliding_window, 0) // block_kv, nb - 1
+        )
+    else:
+        j0 = jnp.int32(0)
+
+    def k_dma(slot, j):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, pl.ds(j * block_kv, block_kv)], k_buf.at[slot],
+            sem.at[0, slot],
+        )
+
+    def v_dma(slot, j):
+        return pltpu.make_async_copy(
+            v_hbm.at[b, pl.ds(j * block_kv, block_kv)], v_buf.at[slot],
+            sem.at[1, slot],
+        )
+
+    k_dma(0, j0).start()
+    v_dma(0, j0).start()
+    q = q_ref[0]  # [nq, nkv*d]
+    nq = q.shape[0]
+
+    def body(j, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(j - j0, 2)
+
+        @pl.when(j + 1 < nb)
+        def _prefetch():
+            k_dma(1 - slot, j + 1).start()
+            v_dma(1 - slot, j + 1).start()
+
+        k_dma(slot, j).wait()
+        v_dma(slot, j).wait()
+
+        # minor-dims merge of a VMEM block is free (no relayout)
+        k = k_buf[slot].reshape(block_kv, -1)  # [block_kv, nkv*d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [nq, block_kv]
+        kv_pos = j * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        valid = kv_pos < length
+        if sliding_window > 0:
+            valid &= kv_pos >= jnp.maximum(length - sliding_window, 0)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [nq, 1]
+        m_new = jnp.maximum(m, m_cur)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        v_blk = v_buf[slot].reshape(block_kv, -1)
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
+        return m_new, l, acc
+
+    d_out = q.shape[1]
+    m0 = jnp.full((nq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((nq, 1), jnp.float32)
+    acc0 = jnp.zeros((nq, d_out), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(j0, nb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_kv", "interpret", "sliding_window")
+)
+def ragged_decode_attention_v2(
+    q: jax.Array,  # [B, nq, d]
+    k: jax.Array,  # [B, S, nkv, d]
+    v: jax.Array,
+    lengths: jax.Array,  # [B] int32
+    block_kv: int = 512,
+    interpret: bool = False,
+    sliding_window: int = 0,
+) -> jax.Array:
+    """Flash-decoding-style ragged attention: ONE grid step per slot with a
+    dynamic fori_loop over only that slot's valid KV blocks, streamed from
+    HBM by manual double-buffered DMAs. Unlike v1 (grid over all S/block
+    blocks, ~4us of grid overhead per skipped block), invalid blocks cost
+    NOTHING — neither bandwidth nor grid steps."""
+    b_sz, nq, d = q.shape
+    s_len, nkv = k.shape[1], k.shape[2]
+    assert nq % nkv == 0, (nq, nkv)
+    block_kv = min(block_kv, s_len)
+    assert s_len % block_kv == 0, (s_len, block_kv)
+    group = nq // nkv
+
+    # GQA pre-expansion as in v1 (one dot per block, no in-kernel transpose)
+    q_grouped = q.reshape(b_sz, nkv, group, d)
+    q_exp = (
+        q_grouped[:, :, None, :, :]
+        * jnp.eye(nkv, dtype=q.dtype)[None, :, :, None, None]
+    )
+    q_exp = q_exp.transpose(0, 2, 3, 1, 4).reshape(b_sz, nq, nkv * d)
+    # k, v stay in their NATIVE [B, S, nkv, d] cache layout — reshaping them
+    # here materializes the whole cache (measured 79% of the decode step)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_sz,),
+        in_specs=[
+            pl.BlockSpec((1, nq, nkv * d), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, nq, nkv * d), lambda b, lens: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_kv, nkv, d), k.dtype),
+            pltpu.VMEM((2, block_kv, nkv, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out_exp = pl.pallas_call(
+        functools.partial(
+            _kernel_v2,
+            block_kv=block_kv,
+            scale=1.0 / (d ** 0.5),
+            sliding_window=sliding_window,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_sz, nq, nkv * d), q.dtype),
+        interpret=interpret,
+        name="ragged_decode_v2",
+    )(lengths.astype(jnp.int32), q_exp, k, v)
+
+    out = out_exp.reshape(b_sz, nkv, group, nkv, d)
+    idx = jnp.arange(nkv)
+    out = out[:, idx, :, idx, :]
+    return out.transpose(1, 0, 2, 3).reshape(b_sz, nq, d)
+
+
 def ragged_decode_attention_reference(q, k, v, lengths, sliding_window: int = 0):
     """jnp reference for tests: masked full-length attention."""
     b_sz, nq, d = q.shape

@@ -205,3 +205,24 @@ def test_inplace_row_update_kernel(inner):
         for j in range(3):
             want[i, min(int(idx[i]) + j, s - 1)] = np.asarray(rows)[i, j]
     np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("window", [0, 64], ids=["full", "sliding"])
+def test_kernel_v2_matches_reference(window):
+    """Flash-decoding v2 kernel (per-slot dynamic block loop, manual DMAs)
+    == masked reference, incl. edge lengths and sliding windows."""
+    from maxtext_indextts2_tpu.ops.ragged_decode_attention import (
+        ragged_decode_attention_v2,
+    )
+
+    rng = np.random.default_rng(3)
+    B, S, nq, nkv, d = 4, 1024, 8, 2, 128
+    lengths = jnp.asarray([1, 40, 513, 1024], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, nkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, nkv, d)), jnp.float32)
+    ref = ragged_decode_attention_reference(q, k, v, lengths, sliding_window=window)
+    out = ragged_decode_attention_v2(
+        q, k, v, lengths, block_kv=256, interpret=True, sliding_window=window
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
