@@ -200,7 +200,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true",
                     help="shrink all stages (CPU plumbing validation)")
-    ap.add_argument("--slots", type=int, default=64)  # best measured (PERF.md)
+    ap.add_argument("--slots", type=int, default=96)  # best measured (PERF.md)
     ap.add_argument("--s2a_batch", type=int, default=8)
     ap.add_argument("--voc_batch", type=int, default=8)
     ap.add_argument("--target_chips", type=int, default=8)  # v5e-8
