@@ -59,14 +59,28 @@ class AdaptiveRMSNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, cond):
-        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
-        normed = x * jax.lax.rsqrt(var + 1e-6).astype(x.dtype)
         weight = nn.Dense(
             self.dim,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.ones,
             name="to_weight",
         )(cond)
+        import os
+
+        if (
+            os.environ.get("MTT_FUSED_ADALN", "0") == "1"
+            and jax.default_backend() == "tpu"
+            and x.ndim == 3
+            and weight.ndim == 2
+            and x.shape[-1] % 128 == 0
+        ):
+            # fused Pallas path: the unfused variance reduce alone is ~17x
+            # off HBM SoL and 22% of the S2A pass (PERF.md "S2A anatomy")
+            from maxtext_indextts2_tpu.ops.ada_rmsnorm import ada_rmsnorm
+
+            return ada_rmsnorm(x, weight)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        normed = x * jax.lax.rsqrt(var + 1e-6).astype(x.dtype)
         if weight.ndim == 2:
             weight = weight[:, None, :]
         return normed * weight.astype(x.dtype)

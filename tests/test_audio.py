@@ -296,3 +296,40 @@ def test_semantic_tokenizer_batch_matches_single():
     # rather than exactness (trained codebooks are stable).
     agree = np.mean(np.asarray(cb)[1, :n2] == np.asarray(c2)[0, :n2])
     assert agree >= 0.7, agree
+
+
+def test_ada_rmsnorm_kernel_matches_unfused():
+    """Fused Pallas AdaRMSNorm == the unfused jnp math, fwd and bwd."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxtext_indextts2_tpu.ops.ada_rmsnorm import ada_rmsnorm
+
+    def ref(x, w):
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        normed = x * jax.lax.rsqrt(var + 1e-6).astype(x.dtype)
+        return normed * w[:, None, :].astype(x.dtype)
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+    for dtype, s, atol in [(jnp.float32, 650, 0), (jnp.bfloat16, 257, 0.02)]:
+        x = jax.random.normal(k0, (3, s, 256), dtype)
+        w = 1.0 + 0.1 * jax.random.normal(k1, (3, 256), dtype)
+        got = ada_rmsnorm(x, w, True)
+        want = ref(x, w)
+        if atol == 0:
+            assert (np.asarray(got) == np.asarray(want)).all()
+        else:
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(want, np.float32), atol=atol
+            )
+
+    # gradient parity (f32; custom-VJP backward vs autodiff of the ref)
+    x = jax.random.normal(k0, (2, 64, 256), jnp.float32)
+    w = 1.0 + 0.1 * jax.random.normal(k1, (2, 256), jnp.float32)
+    loss_fused = lambda x, w: jnp.sum(jnp.sin(ada_rmsnorm(x, w, True)))
+    loss_ref = lambda x, w: jnp.sum(jnp.sin(ref(x, w)))
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), atol=2e-5)
