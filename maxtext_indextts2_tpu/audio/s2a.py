@@ -68,7 +68,7 @@ class AdaptiveRMSNorm(nn.Module):
         import os
 
         if (
-            os.environ.get("MTT_FUSED_ADALN", "0") == "1"
+            os.environ.get("MTT_FUSED_ADALN", "1") == "1"
             and jax.default_backend() == "tpu"
             and x.ndim == 3
             and weight.ndim == 2
