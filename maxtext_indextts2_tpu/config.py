@@ -233,7 +233,7 @@ class Config:
     save_final_checkpoint: bool = True
 
     # ---------------------------------------------------------------- data
-    dataset_type: str = "synthetic"  # synthetic | hf | grain | c4_mlperf | emilia_audio
+    dataset_type: str = "synthetic"  # synthetic | hf | grain | tfds | c4_mlperf | emilia_audio
     dataset_path: str = ""
     dataset_split: str = "train"
     eos_id: int = 2  # loss-mask sentinel for c4_mlperf rows (byte tokenizer eos)

@@ -285,6 +285,10 @@ def create_data_iterator(cfg: Config):
         from maxtext_indextts2_tpu.train.data.grain_pipeline import make_grain_iterator
 
         return make_grain_iterator(cfg)
+    if cfg.dataset_type == "tfds":
+        from maxtext_indextts2_tpu.train.data.tfds_pipeline import make_tfds_iterator
+
+        return make_tfds_iterator(cfg)
     if cfg.dataset_type == "c4_mlperf":
         from maxtext_indextts2_tpu.train.data.mlperf_pipeline import (
             make_c4_mlperf_iterator,

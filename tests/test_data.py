@@ -177,3 +177,30 @@ def test_c4_mlperf_pipeline(tmp_path):
     assert (b["inputs"][:, :-1] > 0).all()
     assert (b["targets_segmentation"] == b["inputs_segmentation"]).all()
     assert np.all(b["inputs_position"][:, 0] == 0)
+
+
+def test_tfds_pipeline_injected_records():
+    """dataset_type=tfds: the preprocessing path (decode bytes -> tokenize ->
+    pack) over an injected record stream; the real tfds import is lazily
+    gated with a clear error when the package is absent."""
+    import pytest
+
+    from maxtext_indextts2_tpu.train.data.tfds_pipeline import make_tfds_iterator
+
+    cfg = load_config([
+        "dataset_type=tfds", "dataset_path=c4/en:3.0.1",
+        "per_device_batch_size=0.25", "max_target_length=32",
+    ])
+    records = [{"text": b"tfds yields bytes %d " % i * 2} for i in range(16)]
+    it = make_tfds_iterator(cfg, examples=records)
+    b = next(it)
+    assert b["inputs"].shape == (cfg.global_batch_size_to_load, 32)
+    assert (b["inputs_segmentation"] > 0).any()
+
+    # without injected records the lazy tfds import must raise helpfully
+    # (tensorflow_datasets is not in this image)
+    try:
+        import tensorflow_datasets  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="dataset_type=tfds"):
+            next(iter(make_tfds_iterator(cfg)))
