@@ -1,0 +1,12 @@
+#!/bin/bash
+# Best measured training-MFU recipe on a single v5e chip (PERF.md):
+# 92.1 TF/s (46.8% MFU) on the 220M bench model.
+# Reference analog: MaxText/configs/v5e/16b.sh etc.
+set -e
+cd "$(dirname "$0")/../../../.."
+python -m maxtext_indextts2_tpu.train.train \
+  maxtext_indextts2_tpu/configs/models/tts-1b.yml \
+  per_device_batch_size=4 remat_policy=minimal attention=flash \
+  "flash_block_sizes=[1024,1024]" weight_dtype=bfloat16 \
+  dataset_type=synthetic steps=30 \
+  "$@"
