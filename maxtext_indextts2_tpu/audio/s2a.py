@@ -129,6 +129,26 @@ def _self_attention(x, pad_mask, cfg: S2AConfig):
             pos, pos, seg, seg, False, 0, 0, 0.0, None, 256, 256,
         )
         o = jnp.swapaxes(o, 1, 2).reshape(b, s, cfg.hidden_size)
+    elif cfg.dtype == jnp.bfloat16:
+        # bf16-stored logits with f32 softmax internals — the reference's
+        # DiffLlama under torch bf16 autocast stores bf16 attention weights
+        # the same way (HF Llama upcasts only the softmax). The f32 logits
+        # buffer is the S2A pass's largest bandwidth item
+        # ([B,N,S,S] x n_layers; PERF.md "S2A anatomy").
+        scale = 1.0 / math.sqrt(d)
+        qb = (q * scale).astype(jnp.bfloat16)
+        kb = k.astype(jnp.bfloat16)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", qb, kb, preferred_element_type=jnp.bfloat16
+        )
+        logits = jnp.where(pad_mask[:, None, None, :] > 0, logits, -1e9)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            jnp.bfloat16
+        )
+        o = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype).reshape(b, s, cfg.hidden_size)
     else:
         from maxtext_indextts2_tpu.models.attention import dot_product_attention
 
