@@ -178,9 +178,9 @@ def _probe_device(timeout_s: int = 600) -> bool:
         print(
             json.dumps(
                 {
-                    "metric": "train_mfu",
+                    "metric": "tts_rtf_per_stream",
                     "value": 0.0,
-                    "unit": "fraction_of_peak",
+                    "unit": "rtf",
                     "vs_baseline": 0.0,
                     "detail": {"error": f"device unavailable: {e!r}"},
                 }
