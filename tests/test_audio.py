@@ -333,3 +333,27 @@ def test_ada_rmsnorm_kernel_matches_unfused():
     gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=2e-5)
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), atol=2e-5)
+
+
+def test_s2a_bf16_loss_parity_with_f32():
+    """The bf16 serving config (bf16 attention logits + bf16 MLP gate/up
+    outputs) must stay numerically close to the f32 path at init."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
+
+    kw = dict(num_quantizers=4, hidden_size=64, num_layers=2, num_heads=4,
+              codebook_size=32, cond_codebook_size=128)
+    m32 = S2AModel(S2AConfig(dtype=jnp.float32, **kw))
+    m16 = S2AModel(S2AConfig(dtype=jnp.bfloat16, **kw))
+    b, t = 2, 24
+    x0 = jax.random.randint(jax.random.PRNGKey(0), (b, t, 4), 0, 32)
+    x_mask = jnp.ones((b, t), jnp.int32)
+    cond = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0, 128)
+    params = m32.init(jax.random.PRNGKey(2), x0, x_mask, cond, jax.random.PRNGKey(3))
+    l32, _ = m32.apply(params, x0, x_mask, cond, jax.random.PRNGKey(4))
+    l16, _ = m16.apply(params, x0, x_mask, cond, jax.random.PRNGKey(4))
+    assert np.isfinite(float(l16))
+    np.testing.assert_allclose(float(l16), float(l32), rtol=2e-2)
