@@ -2,7 +2,7 @@
 
 Default benchmark (the driver's north-star metric, BASELINE.json): zero-shot
 TTS serving — effective real-time factor per stream across the three pipeline
-stages (LM decode at 96 slots, S2A reverse diffusion, vocoder decode),
+stages (LM decode at 128 slots, S2A reverse diffusion, vocoder decode),
 measured on-chip via benchmarks/tts_rtf.py. vs_baseline = 0.1 / rtf (the
 target is RTF < 0.1/stream; >1 means target beaten). `MTT_BENCH=mfu` runs
 the training-MFU bench instead (220M LM vs the reference's 61.1% MFU for a
@@ -27,7 +27,7 @@ def main_rtf():
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu:
         rtf.TINY = True  # plumbing-validation sizes off-chip
-    slots = 96 if on_tpu else 4  # best measured slot count (PERF.md)
+    slots = 128 if on_tpu else 4  # best measured slot count (PERF.md)
     s2a_b = 8 if on_tpu else 2
     voc_b = 8 if on_tpu else 2
 
