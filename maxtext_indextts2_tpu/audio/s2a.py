@@ -188,6 +188,23 @@ class NARDenoiser(nn.Module):
         return AdaptiveRMSNorm(cfg.hidden_size, name="final_norm")(x, t_cond)
 
 
+def _kth_largest(x, k: int):
+    """Exact k-th largest along the last axis, as [..., 1].
+
+    Equivalent to ``lax.top_k(x, k)[0][..., -1:]`` but values-only and
+    hierarchical: every global top-k element is inside its 128-wide chunk's
+    top-k, so two narrow sorts replace one 1024-wide variadic (value, index)
+    sort — the full sort was ~1.4 ms/step of the S2A pass (PERF.md profile).
+    """
+    v = x.shape[-1]
+    c = 128
+    if k >= c or v % c or v <= c:
+        return jax.lax.top_k(x, k)[0][..., -1:]
+    xr = x.reshape(*x.shape[:-1], v // c, c)
+    cand = jnp.sort(xr, axis=-1)[..., c - k:].reshape(*x.shape[:-1], -1)
+    return jnp.sort(cand, axis=-1)[..., -k, None]
+
+
 def mask_prob_schedule(t):
     """sin mask schedule (reference maskgct_s2a.py:139)."""
     return jnp.sin(t * jnp.pi / 2)
@@ -348,7 +365,7 @@ class S2AModel(nn.Module):
             embeds = rescale_cfg * rescaled + (1 - rescale_cfg) * guided
 
         logits = embeds.astype(jnp.float32) @ w_l + b_l
-        kth = jax.lax.top_k(logits, topk_keep)[0][..., -1:]
+        kth = _kth_largest(logits, topk_keep)
         logits = jnp.where(logits < kth, -1e9, logits)
 
         anneal = t_now

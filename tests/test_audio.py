@@ -357,3 +357,27 @@ def test_s2a_bf16_loss_parity_with_f32():
     l16, _ = m16.apply(params, x0, x_mask, cond, jax.random.PRNGKey(4))
     assert np.isfinite(float(l16))
     np.testing.assert_allclose(float(l16), float(l32), rtol=2e-2)
+
+
+def test_kth_largest_matches_top_k():
+    """Hierarchical values-only kth-largest == lax.top_k's kth value."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxtext_indextts2_tpu.audio.s2a import _kth_largest
+
+    for shape, k in [((8, 50, 1024), 20), ((2, 7, 1024), 20), ((3, 1024), 1),
+                     ((2, 5, 256), 20), ((2, 5, 100), 7), ((2, 5, 1024), 200)]:
+        x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+        want = jax.lax.top_k(x, k)[0][..., -1:]
+        np.testing.assert_array_equal(np.asarray(_kth_largest(x, k)), np.asarray(want))
+    # heavy ties + -1e9 fills (the sampler's masked-logit regime)
+    x = jnp.where(
+        jax.random.bernoulli(jax.random.PRNGKey(1), 0.9, (4, 6, 1024)), -1e9,
+        jax.random.randint(jax.random.PRNGKey(2), (4, 6, 1024), 0, 5).astype(jnp.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(_kth_largest(x, 20)),
+        np.asarray(jax.lax.top_k(x, 20)[0][..., -1:]),
+    )
