@@ -32,6 +32,9 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     tokens: list[int] = field(default_factory=list)
     error: str | None = None
+    # When set, every generated token is also pushed here as it is produced
+    # (gRPC streaming Decode); a final None marks end-of-stream.
+    stream_q: queue.Queue | None = None
 
 
 class Orchestrator:
@@ -91,16 +94,17 @@ class Orchestrator:
                 prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
                 self.prefix_queue.put((req, prefix, int(np.asarray(first)[0])))
             except Exception as e:  # noqa: BLE001
-                req.error = repr(e)
-                req.done.set()
+                self._fail(req, e)
 
     def stop(self):
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
 
-    def submit(self, prompt: np.ndarray, max_new_tokens: int) -> _Request:
-        req = _Request(np.asarray(prompt, np.int32), max_new_tokens)
+    def submit(self, prompt: np.ndarray, max_new_tokens: int,
+               stream: bool = False) -> _Request:
+        req = _Request(np.asarray(prompt, np.int32), max_new_tokens,
+                       stream_q=queue.Queue() if stream else None)
         self.stats["requests_total"] += 1
         self.queue.put(req)
         return req
@@ -112,10 +116,21 @@ class Orchestrator:
                 return i
         return None
 
+    def _emit(self, req: _Request, tok: int):
+        req.tokens.append(tok)
+        self.stats["tokens_generated_total"] += 1
+        if req.stream_q is not None:
+            req.stream_q.put(tok)
+
+    def _fail(self, req: _Request, e: Exception):
+        req.error = repr(e)
+        if req.stream_q is not None:
+            req.stream_q.put(None)
+        req.done.set()
+
     def _admit(self, slot, req, prefix, first_tok):
         self.decode_state = self.engine.insert(prefix, self.decode_state, slot)
-        req.tokens.append(first_tok)
-        self.stats["tokens_generated_total"] += 1
+        self._emit(req, first_tok)
         self.slots[slot] = req
         self.remaining[slot] = req.max_new_tokens - 1
         if self.remaining[slot] <= 0 or first_tok == self.eos_id:
@@ -147,8 +162,7 @@ class Orchestrator:
                     self._admit(slot, req, prefix, int(np.asarray(first)[0]))
                     admitted = True
                 except Exception as e:  # surface engine errors to the caller
-                    req.error = repr(e)
-                    req.done.set()
+                    self._fail(req, e)
 
             if not any(r is not None for r in self.slots):
                 if not admitted:
@@ -171,8 +185,7 @@ class Orchestrator:
                     if req is None:
                         continue
                     tok = int(step_toks[i])
-                    req.tokens.append(tok)
-                    self.stats["tokens_generated_total"] += 1
+                    self._emit(req, tok)
                     self.remaining[i] -= 1
                     if self.remaining[i] <= 0 or (self.eos_id is not None and tok == self.eos_id):
                         self._finish(i)
@@ -182,6 +195,8 @@ class Orchestrator:
         self.slots[slot] = None
         if req is not None:
             self.stats["requests_completed"] += 1
+            if req.stream_q is not None:
+                req.stream_q.put(None)
             req.done.set()
 
     def active_slots(self) -> int:

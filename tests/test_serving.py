@@ -103,3 +103,77 @@ def test_http_server_roundtrip(engine):
     finally:
         httpd.shutdown()
         orch.stop()
+
+def test_grpc_server_streaming_decode(engine):
+    """gRPC Decode streams tokens and matches greedy single-stream decode
+    (reference: jetstream Orchestrator.Decode server-streaming rpc)."""
+    grpc = pytest.importorskip("grpc")
+
+    from maxtext_indextts2_tpu.infer.grpc_server import (
+        OrchestratorStub, create_server)
+    from maxtext_indextts2_tpu.infer.proto import orchestrator_pb2 as pb
+
+    orch = Orchestrator(engine)
+    orch.start()
+    server = create_server(orch, port=0)
+    server.start()
+    try:
+        chan = grpc.insecure_channel(f"127.0.0.1:{server._mtt_port}")
+        stub = OrchestratorStub(chan)
+        hc = stub.HealthCheck(pb.HealthCheckRequest(), timeout=30)
+        assert hc.ok
+
+        msgs = list(stub.Decode(
+            pb.DecodeRequest(token_ids=[3, 5, 7], max_tokens=5), timeout=120))
+        toks = [t for m in msgs for t in m.token_ids]
+        assert msgs[-1].done and not msgs[-1].error
+        assert toks == engine.generate_stream(np.array([3, 5, 7], np.int32), 5)
+        # streaming: tokens must not all arrive in one final message
+        assert len(msgs) >= 2
+
+        # empty request surfaces an error without wedging the stream
+        bad = list(stub.Decode(pb.DecodeRequest(), timeout=30))
+        assert bad[-1].done and "empty" in bad[-1].error
+        chan.close()
+    finally:
+        server.stop(grace=0)
+        orch.stop()
+
+def test_grpc_synthesize_chunked_wav(engine):
+    """Synthesize streams the waveform as <4MiB f32 chunks with metadata."""
+    grpc = pytest.importorskip("grpc")
+
+    import maxtext_indextts2_tpu.infer.grpc_server as gs
+    from maxtext_indextts2_tpu.infer.grpc_server import (
+        OrchestratorStub, create_server)
+    from maxtext_indextts2_tpu.infer.proto import orchestrator_pb2 as pb
+
+    class FakePipeline:
+        def synthesize(self, text, w16, w24, max_new_tokens=256):
+            assert text == "hi" and len(w16) == 4 and len(w24) == 6
+            return np.arange(2048, dtype=np.float32), {"sample_rate": 22050,
+                                                       "tokens": 7}
+
+    orch = Orchestrator(engine)
+    orch.start()
+    server = create_server(orch, tts_pipeline=FakePipeline(), port=0)
+    server.start()
+    old_chunk = gs._WAV_CHUNK_SAMPLES
+    gs._WAV_CHUNK_SAMPLES = 1000  # force multi-chunk
+    try:
+        chan = grpc.insecure_channel(f"127.0.0.1:{server._mtt_port}")
+        stub = OrchestratorStub(chan)
+        msgs = list(stub.Synthesize(pb.SynthesizeRequest(
+            text="hi", prompt_wav_16k=[0.0] * 4, prompt_wav_24k=[0.0] * 6),
+            timeout=60))
+        assert len(msgs) == 3 and msgs[-1].done
+        wav = np.concatenate(
+            [np.frombuffer(m.wav_f32le, "<f4") for m in msgs])
+        np.testing.assert_array_equal(wav, np.arange(2048, dtype=np.float32))
+        assert msgs[-1].sample_rate == 22050
+        assert json.loads(msgs[-1].info_json)["tokens"] == 7
+        chan.close()
+    finally:
+        gs._WAV_CHUNK_SAMPLES = old_chunk
+        server.stop(grace=0)
+        orch.stop()
