@@ -90,17 +90,19 @@ class NARBlock(nn.Module):
     cfg: S2AConfig
 
     @nn.compact
-    def __call__(self, x, t_cond, pad_mask):
+    def __call__(self, x, t_cond, pad_mask, all_valid: bool = False):
         cfg = self.cfg
         h = AdaptiveRMSNorm(cfg.hidden_size, name="input_norm")(x, t_cond)
-        h = _self_attention(h, pad_mask, cfg)
+        h = _self_attention(h, pad_mask, cfg, all_valid)
         x = x + h
         h = AdaptiveRMSNorm(cfg.hidden_size, name="post_attn_norm")(x, t_cond)
         h = _swiglu_mlp(h, cfg)
         return x + h
 
 
-def _self_attention(x, pad_mask, cfg: S2AConfig):
+def _self_attention(x, pad_mask, cfg: S2AConfig, all_valid: bool = False):
+    import os
+
     b, s, _ = x.shape
     n, d = cfg.num_heads, cfg.hidden_size // cfg.num_heads
     qkv = nn.Dense(3 * cfg.hidden_size, use_bias=False, name="qkv")(x)
@@ -115,6 +117,25 @@ def _self_attention(x, pad_mask, cfg: S2AConfig):
     inv = rope_frequencies(d)
     q = apply_rope(q, pos, inv, interleave=True)
     k = apply_rope(k, pos, inv, interleave=True)
+
+    if (
+        all_valid
+        and os.environ.get("MTT_S2A_FLASH", "0") == "1"
+        and jax.default_backend() == "tpu"
+    ):
+        # sampler-only fused kernel (opt-in; measured NEUTRAL-to-slower on
+        # v5e — 2.86 vs 2.76 s/pass, see ops/s2a_attention.py docstring):
+        # reverse_diffusion always runs with all-ones pad masks, so only the
+        # static pad tail needs masking and the [B,N,S,S] logits never touch
+        # HBM.
+        from maxtext_indextts2_tpu.ops.s2a_attention import s2a_attention
+
+        scale = 1.0 / math.sqrt(d)
+        ad = jnp.bfloat16 if cfg.dtype == jnp.bfloat16 else x.dtype
+        o = s2a_attention(
+            (q * scale).astype(ad), k.astype(ad), v.astype(ad)
+        ).astype(x.dtype).reshape(b, s, cfg.hidden_size)
+        return nn.Dense(cfg.hidden_size, use_bias=False, name="out")(o)
 
     # NOTE: a pad-to-256-and-flash variant was measured SLOWER here (4.58 vs
     # 3.77 s/pass at s=650, d=64: pallas kernel 0.97 ms/layer + pad/transpose
@@ -170,7 +191,7 @@ class NARDenoiser(nn.Module):
     cfg: S2AConfig
 
     @nn.compact
-    def __call__(self, x, t, cond, pad_mask):
+    def __call__(self, x, t, cond, pad_mask, all_valid: bool = False):
         cfg = self.cfg
         cond_emb = nn.Sequential(
             [nn.Dense(cfg.hidden_size * 4, name="c0"), jax.nn.silu,
@@ -184,7 +205,7 @@ class NARDenoiser(nn.Module):
 
         x = x + cond_emb
         for i in range(cfg.num_layers):
-            x = NARBlock(cfg, name=f"layers_{i}")(x, t_cond, pad_mask)
+            x = NARBlock(cfg, name=f"layers_{i}")(x, t_cond, pad_mask, all_valid)
         return AdaptiveRMSNorm(cfg.hidden_size, name="final_norm")(x, t_cond)
 
 
@@ -353,11 +374,13 @@ class S2AModel(nn.Module):
 
         xt_input = cur if p == 0 else jnp.concatenate([prompt_sum, cur], axis=1)
         embeds = self.denoiser(
-            xt_input.astype(c.dtype), t_vec, layer_cond.astype(c.dtype), full_mask
+            xt_input.astype(c.dtype), t_vec, layer_cond.astype(c.dtype), full_mask,
+            all_valid=True,
         )[:, p:]
         if cfg_scale > 0 and p > 0:
             uncond = self.denoiser(
-                cur.astype(c.dtype), t_vec, layer_cond[:, p:].astype(c.dtype), x_mask
+                cur.astype(c.dtype), t_vec, layer_cond[:, p:].astype(c.dtype), x_mask,
+                all_valid=True,
             )
             std_pos = jnp.std(embeds)
             guided = embeds + cfg_scale * (embeds - uncond)

@@ -381,3 +381,33 @@ def test_kth_largest_matches_top_k():
         np.asarray(_kth_largest(x, 20)),
         np.asarray(jax.lax.top_k(x, 20)[0][..., -1:]),
     )
+
+
+def test_s2a_attention_kernel_matches_einsum():
+    """One-shot sampler attention kernel == softmax(qk^T)v einsum, including
+    the static masking of the pad-to-128 tail."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxtext_indextts2_tpu.ops.s2a_attention import s2a_attention
+
+    def ref(q, k, v):
+        # f32 logits: the kernel's S x S matrix lives in VMEM so it keeps f32
+        # there (unlike the XLA path, where bf16 logits pay for HBM traffic)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum(
+            "bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    for dtype, s, atol in [(jnp.float32, 128, 3e-5), (jnp.float32, 70, 3e-5),
+                           (jnp.bfloat16, 130, 0.03)]:
+        q, k, v = (jax.random.normal(kk, (2, s, 4, 64), dtype) for kk in keys)
+        got = s2a_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref(q, k, v), np.float32),
+            atol=atol)
