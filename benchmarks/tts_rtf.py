@@ -55,7 +55,8 @@ def time_fn(fn, n1=2, n2=8):
 TINY = False  # --tiny: shrink all stages for plumbing validation on CPU
 
 
-def bench_lm_decode(slots: int, decode_attention: str = "ragged") -> dict:
+def bench_lm_decode(slots: int, decode_attention: str = "ragged",
+                    extra: tuple = ()) -> dict:
     import functools
 
     from maxtext_indextts2_tpu.config import load_config
@@ -78,7 +79,7 @@ def bench_lm_decode(slots: int, decode_attention: str = "ragged") -> dict:
         # bf16 weights: serving never needs the f32 checkpoint copy, and at
         # 32+ slots the f32 weights + undonated cache OOM a 16GB chip
         "serve_params_dtype=bfloat16",
-    ] + dims)
+    ] + dims + list(extra))
     eng = Engine(cfg)
     eng.load_params()
     state = eng.init_decode_state()

@@ -148,7 +148,9 @@ class KVCache(nn.Module):
         if self.quantize:
             from maxtext_indextts2_tpu.ops.quantization import dequantize_kv, quantize_kv
 
-            sshape = (b, self.max_length, self.num_kv_heads, 1)
+            # [B, S, nkv] — NO trailing 1: a size-1 lane dim is tile-padded
+            # to 128 lanes (1GB of HBM per scale buffer at 128 slots)
+            sshape = (b, self.max_length, self.num_kv_heads)
             ck_s = self.variable("cache", "key_scale", jnp.ones, sshape, jnp.float32)
             cv_s = self.variable("cache", "value_scale", jnp.ones, sshape, jnp.float32)
             k, k_scale = quantize_kv(k)
@@ -164,8 +166,8 @@ class KVCache(nn.Module):
             cv.value = jax.lax.dynamic_update_slice(
                 cv.value, v.astype(store_dtype), (0, off, 0, 0))
             if self.quantize:
-                ck_s.value = jax.lax.dynamic_update_slice(ck_s.value, k_scale, (0, off, 0, 0))
-                cv_s.value = jax.lax.dynamic_update_slice(cv_s.value, v_scale, (0, off, 0, 0))
+                ck_s.value = jax.lax.dynamic_update_slice(ck_s.value, k_scale, (0, off, 0))
+                cv_s.value = jax.lax.dynamic_update_slice(cv_s.value, v_scale, (0, off, 0))
             end = off + true_lengths[:, None]
             # [0, off) was validated by earlier chunks; arange < end covers it
             seg.value = (
@@ -449,27 +451,22 @@ class Attention(nn.Module):
                 # Pallas ragged decode: reads only each slot's valid KV
                 # blocks (positions < cidx always hold real tokens — padded
                 # prefill garbage is overwritten before cidx passes it).
-                # Float caches use the v2 flash-decoding kernel (per-slot
-                # dynamic block loop + manual double-buffered DMAs — cost
-                # independent of max_target_length); int8 caches use v1,
-                # which dequantizes in-kernel (stream stays int8).
+                # The v2 flash-decoding kernel (per-slot dynamic block loop
+                # + manual double-buffered DMAs — cost independent of
+                # max_target_length) serves float AND int8 caches; int8 is
+                # dequantized in VMEM so the HBM stream stays int8 (2x fewer
+                # KV bytes on the KV-bound decode step).
                 from maxtext_indextts2_tpu.ops.ragged_decode_attention import (
-                    ragged_decode_attention,
                     ragged_decode_attention_v2,
                 )
 
                 interp = jax.default_backend() != "tpu"
-                if kv_scales is None:
-                    out = ragged_decode_attention_v2(
-                        q[:, 0], ck, cv, cidx, interpret=interp,
-                        sliding_window=self.sliding_window_size,
-                    ).astype(q.dtype)[:, None]
-                else:
-                    out = ragged_decode_attention(
-                        q[:, 0], ck, cv, cidx, interpret=interp,
-                        k_scale=kv_scales[0], v_scale=kv_scales[1],
-                        sliding_window=self.sliding_window_size,
-                    ).astype(q.dtype)[:, None]
+                scales = kv_scales or (None, None)
+                out = ragged_decode_attention_v2(
+                    q[:, 0], ck, cv, cidx, interpret=interp,
+                    sliding_window=self.sliding_window_size,
+                    k_scale=scales[0], v_scale=scales[1],
+                ).astype(q.dtype)[:, None]
             elif self.decode_attention == "bucketed":
                 # Read only the smallest power-of-two KV prefix that covers
                 # every slot (lax.switch over static slices). Decode is

@@ -44,15 +44,19 @@ def make_dot_general(quantization: str):
 
 def quantize_kv(kv: jax.Array, axis: int = -1):
     """Symmetric per-(batch,pos,head) int8 quantization of K/V pages.
-    Returns (values int8, scales f32)."""
+    Returns (values int8 [..., d], scales f32 [...]) — the reduced axis is
+    DROPPED from the scales: a trailing size-1 lane dim would be padded to
+    128 lanes by TPU tiling (measured 128x HBM expansion, 8MB -> 1GB per
+    cache scale buffer at 128 slots)."""
     amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=axis, keepdims=True)
     scale = amax / 127.0
     q = jnp.round(kv.astype(jnp.float32) / jnp.maximum(scale, 1e-9))
-    return q.astype(jnp.int8), scale
+    return q.astype(jnp.int8), jnp.squeeze(scale, axis=axis)
 
 
 def dequantize_kv(values: jax.Array, scales: jax.Array, dtype=jnp.bfloat16):
-    return (values.astype(jnp.float32) * scales).astype(dtype)
+    """values [..., d] int8, scales [...] f32 (one per leading-dim row)."""
+    return (values.astype(jnp.float32) * scales[..., None]).astype(dtype)
 
 
 # ------------------------------------------------- serving weight quant

@@ -218,59 +218,110 @@ def _kernel_v2(
     q_ref,  # VMEM [1, nq, nkv*d]
     k_hbm,  # ANY [B, S, nkv, d] — NATIVE cache layout (a host-side reshape
     v_hbm,  # to [B, S, nkv*d] materializes the whole cache: 79% of step!)
-    o_ref,  # VMEM [1, nq, nkv*d]
-    k_buf,  # VMEM [2, block_kv, nkv, d]
-    v_buf,
-    sem,  # DMA sems [2, 2]
-    *,
+    *rest,  # quantized: (ks_hbm, vs_hbm); then o_ref + scratch
     block_kv: int,
     scale: float,
     sliding_window: int,
+    quantized: bool = False,
+    group: int = 1,
 ):
-    b = pl.program_id(0)
-    length = lengths_ref[b]
-    nb = (jnp.maximum(length, 1) + block_kv - 1) // block_kv
-    if sliding_window > 0:
-        j0 = jnp.minimum(
-            jnp.maximum(length - sliding_window, 0) // block_kv, nb - 1
-        )
+    if quantized:
+        # scales ride the regular BlockSpec pipeline as whole-slot blocks
+        # ([S, nkv] f32 = 64KB at S=2048 — negligible next to the int8
+        # values); manual DMA would need a 128-aligned lane dim, nkv isn't
+        ks_ref, vs_ref, o_ref, k_buf, v_buf, par_ref, sem = rest
     else:
-        j0 = jnp.int32(0)
+        o_ref, k_buf, v_buf, par_ref, sem = rest
+    b = pl.program_id(0)
+    n_slots = pl.num_programs(0)
 
-    def k_dma(slot, j):
-        return pltpu.make_async_copy(
-            k_hbm.at[b, pl.ds(j * block_kv, block_kv)], k_buf.at[slot],
-            sem.at[0, slot],
-        )
+    def slot_blocks(bb):
+        length = lengths_ref[bb]
+        nb = (jnp.maximum(length, 1) + block_kv - 1) // block_kv
+        if sliding_window > 0:
+            j0 = jnp.minimum(
+                jnp.maximum(length - sliding_window, 0) // block_kv, nb - 1
+            )
+        else:
+            j0 = jnp.int32(0)
+        return length, nb, j0
 
-    def v_dma(slot, j):
-        return pltpu.make_async_copy(
-            v_hbm.at[b, pl.ds(j * block_kv, block_kv)], v_buf.at[slot],
-            sem.at[1, slot],
-        )
+    length, nb, j0 = slot_blocks(b)
+    c = nb - j0  # valid blocks for this slot
 
-    k_dma(0, j0).start()
-    v_dma(0, j0).start()
+    def dmas(buf, bb, j):
+        return [
+            pltpu.make_async_copy(
+                k_hbm.at[bb, pl.ds(j * block_kv, block_kv)], k_buf.at[buf],
+                sem.at[0, buf],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[bb, pl.ds(j * block_kv, block_kv)], v_buf.at[buf],
+                sem.at[1, buf],
+            ),
+        ]
+
+    # Cross-slot pipelining: each grid step issues the NEXT slot's first DMA
+    # before its own compute, with buffer parity carried across steps in
+    # SMEM. Without this, single-block slots (the common serving case —
+    # contexts <= block_kv) serialize DMA-wait -> compute per slot with zero
+    # overlap: measured 0.975 ms/layer at 128 slots x len 512 vs a 0.33 ms
+    # DMA bound.
+    @pl.when(b == 0)
+    def _first():
+        par_ref[0] = 0
+        for op in dmas(0, 0, j0):
+            op.start()
+
+    p0 = par_ref[0]
     q = q_ref[0]  # [nq, nkv*d]
     nq = q.shape[0]
 
-    def body(j, carry):
+    def body(i, carry):
         m, l, acc = carry
-        slot = jax.lax.rem(j - j0, 2)
+        j = j0 + i
+        buf = jax.lax.rem(p0 + i, 2)
+        nxt = jax.lax.rem(p0 + i + 1, 2)
 
-        @pl.when(j + 1 < nb)
+        @pl.when(i + 1 < c)
         def _prefetch():
-            k_dma(1 - slot, j + 1).start()
-            v_dma(1 - slot, j + 1).start()
+            for op in dmas(nxt, b, j + 1):
+                op.start()
 
-        k_dma(slot, j).wait()
-        v_dma(slot, j).wait()
+        @pl.when((i + 1 == c) & (b + 1 < n_slots))
+        def _prefetch_next_slot():
+            _, _, j0n = slot_blocks(b + 1)
+            for op in dmas(nxt, b + 1, j0n):
+                op.start()
+
+        for op in dmas(buf, b, j):
+            op.wait()
+        slot = buf  # buffer index for the compute below
 
         # minor-dims merge of a VMEM block is free (no relayout)
-        k = k_buf[slot].reshape(block_kv, -1)  # [block_kv, nkv*d]
+        def head_scales(sref):
+            # [block_kv, nkv] f32 -> [nq, block_kv]: row r of the GQA-
+            # expanded q uses kv head r//group, so scales fold into the
+            # SCORE matrix (64x fewer multiplies than dequantizing the
+            # [block_kv, nkv, d] values, and no 8-lane -> 128-lane
+            # broadcast relayout)
+            sc = sref[0, pl.ds(j * block_kv, block_kv), :]
+            sc_t = sc.T  # [nkv, block_kv]
+            return jnp.broadcast_to(
+                sc_t[:, None, :], (sc_t.shape[0], group, block_kv)
+            ).reshape(sc_t.shape[0] * group, block_kv)
+
+        if quantized:
+            # int8 values feed the MXU after a plain cast; the per-(pos,
+            # head) scales are applied to the [nq, block_kv] scores
+            k = k_buf[slot].astype(q.dtype).reshape(block_kv, -1)
+        else:
+            k = k_buf[slot].reshape(block_kv, -1)  # [block_kv, nkv*d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [nq, block_kv]
+        if quantized:
+            s = s * head_scales(ks_ref)
         kv_pos = j * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1
         )
@@ -284,7 +335,12 @@ def _kernel_v2(
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v_blk = v_buf[slot].reshape(block_kv, -1)
+        if quantized:
+            # fold v scales into p (l above already summed the true p)
+            p = p * head_scales(vs_ref)
+            v_blk = v_buf[slot].astype(q.dtype).reshape(block_kv, -1)
+        else:
+            v_blk = v_buf[slot].reshape(block_kv, -1)
         pv = jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -296,7 +352,8 @@ def _kernel_v2(
     m0 = jnp.full((nq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((nq, 1), jnp.float32)
     acc0 = jnp.zeros((nq, d_out), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(j0, nb, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, c, body, (m0, l0, acc0))
+    par_ref[0] = jax.lax.rem(p0 + c, 2)
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -305,24 +362,29 @@ def _kernel_v2(
 )
 def ragged_decode_attention_v2(
     q: jax.Array,  # [B, nq, d]
-    k: jax.Array,  # [B, S, nkv, d]
+    k: jax.Array,  # [B, S, nkv, d] (float, or int8 with k_scale)
     v: jax.Array,
     lengths: jax.Array,  # [B] int32
-    block_kv: int = 512,
+    block_kv: int = 128,
     interpret: bool = False,
     sliding_window: int = 0,
+    k_scale: jax.Array | None = None,  # [B, S, nkv] f32 (int8 KV cache)
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Flash-decoding-style ragged attention: ONE grid step per slot with a
     dynamic fori_loop over only that slot's valid KV blocks, streamed from
     HBM by manual double-buffered DMAs. Unlike v1 (grid over all S/block
     blocks, ~4us of grid overhead per skipped block), invalid blocks cost
-    NOTHING — neither bandwidth nor grid steps."""
+    NOTHING — neither bandwidth nor grid steps. With k_scale/v_scale the
+    int8 cache is dequantized in VMEM after the DMA: decode is KV-bound, so
+    halving the streamed bytes is ~the step time at large slot counts."""
     b_sz, nq, d = q.shape
     s_len, nkv = k.shape[1], k.shape[2]
     assert nq % nkv == 0, (nq, nkv)
     block_kv = min(block_kv, s_len)
     assert s_len % block_kv == 0, (s_len, block_kv)
     group = nq // nkv
+    quantized = k_scale is not None
 
     # GQA pre-expansion as in v1 (one dot per block, no in-kernel transpose)
     q_grouped = q.reshape(b_sz, nkv, group, d)
@@ -334,20 +396,33 @@ def ragged_decode_attention_v2(
     # k, v stay in their NATIVE [B, S, nkv, d] cache layout — reshaping them
     # here materializes the whole cache (measured 79% of the decode step)
 
+    args = [lengths.astype(jnp.int32), q_exp, k, v]
+    kv_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    scratch = [
+        pltpu.VMEM((2, block_kv, nkv, d), k.dtype),
+        pltpu.VMEM((2, block_kv, nkv, d), v.dtype),
+    ]
+    if quantized:
+        # whole-slot scale blocks on the regular pipeline ([S, nkv] f32)
+        args += [
+            k_scale.astype(jnp.float32).reshape(b_sz, s_len, nkv),
+            v_scale.astype(jnp.float32).reshape(b_sz, s_len, nkv),
+        ]
+        kv_specs += [
+            pl.BlockSpec((1, s_len, nkv), lambda b, lens: (b, 0, 0)),
+        ] * 2
+    scratch.append(pltpu.SMEM((1,), jnp.int32))  # DMA buffer parity
+    scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b_sz,),
         in_specs=[
             pl.BlockSpec((1, nq, nkv * d), lambda b, lens: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            *kv_specs,
         ],
         out_specs=pl.BlockSpec((1, nq, nkv * d), lambda b, lens: (b, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, block_kv, nkv, d), k.dtype),
-            pltpu.VMEM((2, block_kv, nkv, d), v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     out_exp = pl.pallas_call(
         functools.partial(
@@ -355,12 +430,14 @@ def ragged_decode_attention_v2(
             block_kv=block_kv,
             scale=1.0 / (d ** 0.5),
             sliding_window=sliding_window,
+            quantized=quantized,
+            group=group,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b_sz, nq, nkv * d), q.dtype),
         interpret=interpret,
         name="ragged_decode_v2",
-    )(lengths.astype(jnp.int32), q_exp, k, v)
+    )(*args)
 
     out = out_exp.reshape(b_sz, nkv, group, nkv, d)
     idx = jnp.arange(nkv)

@@ -226,3 +226,30 @@ def test_kernel_v2_matches_reference(window):
         q, k, v, lengths, block_kv=256, interpret=True, sliding_window=window
     )
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("window", [0, 64], ids=["full", "sliding"])
+def test_kernel_v2_int8_kv_matches_dequantized(window):
+    """v2 in-VMEM int8 dequantization == dequantize-then-attend."""
+    from maxtext_indextts2_tpu.ops.quantization import dequantize_kv, quantize_kv
+    from maxtext_indextts2_tpu.ops.ragged_decode_attention import (
+        ragged_decode_attention_v2,
+    )
+
+    rng = np.random.default_rng(5)
+    B, S, nq, nkv, d = 3, 512, 8, 2, 128
+    lengths = jnp.asarray([1, 100, 512], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, nkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, nkv, d)), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    ref = ragged_decode_attention_reference(
+        q, dequantize_kv(kq, ks, jnp.float32), dequantize_kv(vq, vs, jnp.float32),
+        lengths, sliding_window=window,
+    )
+    out = ragged_decode_attention_v2(
+        q, kq, vq, lengths, block_kv=128, interpret=True,
+        k_scale=ks, v_scale=vs, sliding_window=window,
+    )
+    np.testing.assert_allclose(out, ref, atol=5e-5)
