@@ -136,7 +136,7 @@ def bench_lm_decode(slots: int, decode_attention: str = "ragged",
     }
 
 
-def bench_s2a(batch: int, seconds: float = 10.0) -> dict:
+def bench_s2a(batch: int, seconds: float = 10.0, int8: bool = False) -> dict:
     from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
 
     if TINY:
@@ -146,12 +146,12 @@ def bench_s2a(batch: int, seconds: float = 10.0) -> dict:
     if TINY:
         cfg = S2AConfig(num_quantizers=4, hidden_size=64, num_layers=2,
                         num_heads=4, codebook_size=64, cond_codebook_size=256,
-                        dtype=jnp.float32)
+                        dtype=jnp.float32, int8_matmul=int8)
         timesteps = (2, 2, 2, 2)
     else:
         cfg = S2AConfig(num_quantizers=12, hidden_size=1024, num_layers=16,
                         num_heads=16, codebook_size=1024, cond_codebook_size=8192,
-                        dtype=jnp.bfloat16)
+                        dtype=jnp.bfloat16, int8_matmul=int8)
         timesteps = (10,) + (4,) * 11
     nq = cfg.num_quantizers
     model = S2AModel(cfg)

@@ -41,6 +41,50 @@ class S2AConfig:
     mask_layer_schedule: str = "cosine"
     predict_layer_1: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Serving-only: dynamic int8 x int8 matmuls in the denoiser's qkv/out/MLP
+    # projections (per-token activation scales, per-channel weight scales).
+    # The S2A pass is COMPUTE-bound (~49% of bf16 MXU peak, PERF.md "S2A
+    # anatomy") and the v5e int8 MXU peak is 2x bf16 — this trades numerics
+    # (int8 quantization error) for throughput. Param tree is unchanged.
+    int8_matmul: bool = False
+
+
+class Int8Dense(nn.Module):
+    """Drop-in nn.Dense(use_bias=False) with dynamic symmetric int8 matmul.
+
+    Same param tree as nn.Dense ("kernel", lecun_normal), so an f32-trained
+    checkpoint serves unmodified. Both operands are absmax-quantized on the
+    fly — activations per row (token), weights per output channel — and the
+    dot runs int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        xf = x.astype(jnp.float32)
+        xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        xq = jnp.round(xf / jnp.maximum(xs, 1e-9)).astype(jnp.int8)
+        wf = kernel.astype(jnp.float32)
+        ws = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
+        wq = jnp.round(wf / jnp.maximum(ws, 1e-9)).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * xs * ws).astype(x.dtype)
+
+
+def _dense(cfg: S2AConfig, features: int, name: str):
+    if cfg.int8_matmul:
+        return Int8Dense(features, name=name)
+    return nn.Dense(features, use_bias=False, name=name)
 
 
 def sinusoidal_time_emb(t: jax.Array, dim: int) -> jax.Array:
@@ -105,7 +149,7 @@ def _self_attention(x, pad_mask, cfg: S2AConfig, all_valid: bool = False):
 
     b, s, _ = x.shape
     n, d = cfg.num_heads, cfg.hidden_size // cfg.num_heads
-    qkv = nn.Dense(3 * cfg.hidden_size, use_bias=False, name="qkv")(x)
+    qkv = _dense(cfg, 3 * cfg.hidden_size, "qkv")(x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, s, n, d)
     k = k.reshape(b, s, n, d)
@@ -135,7 +179,7 @@ def _self_attention(x, pad_mask, cfg: S2AConfig, all_valid: bool = False):
         o = s2a_attention(
             (q * scale).astype(ad), k.astype(ad), v.astype(ad)
         ).astype(x.dtype).reshape(b, s, cfg.hidden_size)
-        return nn.Dense(cfg.hidden_size, use_bias=False, name="out")(o)
+        return _dense(cfg, cfg.hidden_size, "out")(o)
 
     # NOTE: a pad-to-256-and-flash variant was measured SLOWER here (4.58 vs
     # 3.77 s/pass at s=650, d=64: pallas kernel 0.97 ms/layer + pad/transpose
@@ -175,14 +219,14 @@ def _self_attention(x, pad_mask, cfg: S2AConfig, all_valid: bool = False):
 
         mask = (pad_mask[:, None, None, :] > 0)
         o = dot_product_attention(q, k, v, mask).reshape(b, s, cfg.hidden_size)
-    return nn.Dense(cfg.hidden_size, use_bias=False, name="out")(o)
+    return _dense(cfg, cfg.hidden_size, "out")(o)
 
 
 def _swiglu_mlp(x, cfg: S2AConfig):
     inner = cfg.hidden_size * 4
-    g = nn.Dense(inner, use_bias=False, name="gate")(x)
-    u = nn.Dense(inner, use_bias=False, name="up")(x)
-    return nn.Dense(cfg.hidden_size, use_bias=False, name="down")(jax.nn.silu(g) * u)
+    g = _dense(cfg, inner, "gate")(x)
+    u = _dense(cfg, inner, "up")(x)
+    return _dense(cfg, cfg.hidden_size, "down")(jax.nn.silu(g) * u)
 
 
 class NARDenoiser(nn.Module):

@@ -359,6 +359,41 @@ def test_s2a_bf16_loss_parity_with_f32():
     np.testing.assert_allclose(float(l16), float(l32), rtol=2e-2)
 
 
+def test_s2a_int8_matmul_loss_parity_and_sampler():
+    """int8_matmul serving mode: same param tree as f32, loss close at init,
+    and the jitted reverse_diffusion sampler still runs."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
+
+    cfg = S2AConfig(num_quantizers=4, hidden_size=64, num_layers=2,
+                    num_heads=4, codebook_size=32, cond_codebook_size=128,
+                    dtype=jnp.float32)
+    m32 = S2AModel(cfg)
+    m8 = S2AModel(dataclasses.replace(cfg, int8_matmul=True))
+    b, t = 2, 24
+    x0 = jax.random.randint(jax.random.PRNGKey(0), (b, t, 4), 0, 32)
+    x_mask = jnp.ones((b, t), jnp.int32)
+    cond = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0, 128)
+    params = m32.init(jax.random.PRNGKey(2), x0, x_mask, cond, jax.random.PRNGKey(3))
+    # identical tree: the int8 model consumes the f32 checkpoint unmodified
+    l32, _ = m32.apply(params, x0, x_mask, cond, jax.random.PRNGKey(4))
+    l8, _ = m8.apply(params, x0, x_mask, cond, jax.random.PRNGKey(4))
+    assert np.isfinite(float(l8))
+    np.testing.assert_allclose(float(l8), float(l32), rtol=2e-2)
+    codes = jax.jit(
+        lambda p, c, pr, r: m8.apply(
+            p, c, pr, r, method=m8.reverse_diffusion, n_timesteps=(2, 2, 2, 2)
+        )
+    )(params, cond, x0[:, :8, :], jax.random.PRNGKey(5))
+    assert codes.shape == (b, t - 8, 4)
+    assert np.all(np.asarray(codes) >= 0) and np.all(np.asarray(codes) < 32)
+
+
 def test_kth_largest_matches_top_k():
     """Hierarchical values-only kth-largest == lax.top_k's kth value."""
     import jax
