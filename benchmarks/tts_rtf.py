@@ -136,8 +136,11 @@ def bench_lm_decode(slots: int, decode_attention: str = "ragged",
     }
 
 
-def bench_s2a(batch: int, seconds: float = 10.0, int8: bool = False) -> dict:
-    from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
+def bench_s2a(batch: int, seconds: float = 10.0, int8=False) -> dict:
+    """int8: False | "dynamic" | "offline" (see S2AConfig.int8_matmul)."""
+    from maxtext_indextts2_tpu.audio.s2a import (
+        S2AConfig, S2AModel, quantize_s2a_params,
+    )
 
     if TINY:
         seconds = 0.5
@@ -158,7 +161,18 @@ def bench_s2a(batch: int, seconds: float = 10.0, int8: bool = False) -> dict:
     rng = jax.random.PRNGKey(0)
     x0 = jax.random.randint(rng, (batch, p + t, nq), 0, cfg.codebook_size)
     cond = jax.random.randint(rng, (batch, p + t), 0, cfg.cond_codebook_size)
-    params = model.init(rng, x0, jnp.ones((batch, p + t), jnp.int32), cond, rng)
+    xm = jnp.ones((batch, p + t), jnp.int32)
+    if int8 == "offline":
+        import dataclasses
+
+        f32_params = S2AModel(
+            dataclasses.replace(cfg, int8_matmul=False)
+        ).init(rng, x0, xm, cond, rng)
+        params = jax.jit(
+            lambda pr: quantize_s2a_params(pr, model, (x0, xm, cond, rng))
+        )(f32_params)
+    else:
+        params = model.init(rng, x0, xm, cond, rng)
     prompt = x0[:, :p, :]
 
     # pass EVERY device array as an argument: captured constants are fetched

@@ -41,39 +41,58 @@ class S2AConfig:
     mask_layer_schedule: str = "cosine"
     predict_layer_1: bool = True
     dtype: jnp.dtype = jnp.float32
-    # Serving-only: dynamic int8 x int8 matmuls in the denoiser's qkv/out/MLP
+    # Serving-only: int8 x int8 matmuls in the denoiser's qkv/out/MLP
     # projections (per-token activation scales, per-channel weight scales).
     # The S2A pass is COMPUTE-bound (~49% of bf16 MXU peak, PERF.md "S2A
     # anatomy") and the v5e int8 MXU peak is 2x bf16 — this trades numerics
-    # (int8 quantization error) for throughput. Param tree is unchanged.
-    int8_matmul: bool = False
+    # (int8 quantization error) for throughput.
+    # "dynamic": weights quantized on the fly per call; param tree unchanged
+    #   (an f32 checkpoint serves unmodified), but the per-step weight
+    #   absmax+round costs ~2.4 GB HBM traffic per denoiser call.
+    # "offline": params hold pre-quantized int8 kernels + kernel_scale —
+    #   convert an f32 tree with ``quantize_s2a_params``; fastest.
+    int8_matmul: str | bool = False  # False | "dynamic" (True) | "offline"
 
 
 class Int8Dense(nn.Module):
-    """Drop-in nn.Dense(use_bias=False) with dynamic symmetric int8 matmul.
+    """Drop-in nn.Dense(use_bias=False) with symmetric int8 matmul.
 
-    Same param tree as nn.Dense ("kernel", lecun_normal), so an f32-trained
-    checkpoint serves unmodified. Both operands are absmax-quantized on the
-    fly — activations per row (token), weights per output channel — and the
-    dot runs int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e).
+    Dynamic mode keeps nn.Dense's param tree ("kernel" f32, lecun_normal) and
+    absmax-quantizes both operands on the fly. Offline mode stores the kernel
+    as int8 with a per-output-channel "kernel_scale" (produced by
+    ``quantize_s2a_params``), so the hot loop only quantizes activations.
+    The dot runs int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e).
     """
 
     features: int
+    offline: bool = False
 
     @nn.compact
     def __call__(self, x):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (x.shape[-1], self.features),
-            jnp.float32,
-        )
+        if self.offline:
+            wq = self.param(
+                "kernel",
+                lambda key, shape, dtype: jnp.zeros(shape, dtype),
+                (x.shape[-1], self.features),
+                jnp.int8,
+            )
+            ws = self.param(
+                "kernel_scale", nn.initializers.ones, (1, self.features),
+                jnp.float32,
+            )
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (x.shape[-1], self.features),
+                jnp.float32,
+            )
+            wf = kernel.astype(jnp.float32)
+            ws = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
+            wq = jnp.round(wf / jnp.maximum(ws, 1e-9)).astype(jnp.int8)
         xf = x.astype(jnp.float32)
         xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
         xq = jnp.round(xf / jnp.maximum(xs, 1e-9)).astype(jnp.int8)
-        wf = kernel.astype(jnp.float32)
-        ws = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
-        wq = jnp.round(wf / jnp.maximum(ws, 1e-9)).astype(jnp.int8)
         acc = jax.lax.dot_general(
             xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -83,8 +102,26 @@ class Int8Dense(nn.Module):
 
 def _dense(cfg: S2AConfig, features: int, name: str):
     if cfg.int8_matmul:
-        return Int8Dense(features, name=name)
+        return Int8Dense(features, offline=cfg.int8_matmul == "offline", name=name)
     return nn.Dense(features, use_bias=False, name=name)
+
+
+def quantize_s2a_params(params, model, example_args):
+    """Convert an f32-trained S2A params tree for int8_matmul="offline".
+
+    ``model`` is an S2AModel built with int8_matmul="offline";
+    ``example_args`` the (x0, x_mask, cond_code, rng) init args. Kernels that
+    the offline model expects as int8 are absmax-quantized per output channel
+    (same convention as ops.quantization.quantize_params_for_serving).
+    """
+    import functools
+
+    from maxtext_indextts2_tpu.ops.quantization import quantize_params_for_serving
+
+    abstract = jax.eval_shape(
+        functools.partial(model.init, jax.random.PRNGKey(0)), *example_args
+    )
+    return quantize_params_for_serving(params, abstract)
 
 
 def sinusoidal_time_emb(t: jax.Array, dim: int) -> jax.Array:
@@ -159,8 +196,12 @@ def _self_attention(x, pad_mask, cfg: S2AConfig, all_valid: bool = False):
 
     pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
     inv = rope_frequencies(d)
-    q = apply_rope(q, pos, inv, interleave=True)
-    k = apply_rope(k, pos, inv, interleave=True)
+    # rotate-half pairing: the reference DiffLlama is built from HF
+    # LlamaDecoderLayer (llama_nar.py:56), whose RoPE is rotate_half — and
+    # the interleaved form costs ~300 ms/pass in stride-2 lane relayouts on
+    # TPU (stack[...,32,2] copies; PERF.md "S2A anatomy").
+    q = apply_rope(q, pos, inv, interleave=False)
+    k = apply_rope(k, pos, inv, interleave=False)
 
     if (
         all_valid

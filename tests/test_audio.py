@@ -393,6 +393,16 @@ def test_s2a_int8_matmul_loss_parity_and_sampler():
     assert codes.shape == (b, t - 8, 4)
     assert np.all(np.asarray(codes) >= 0) and np.all(np.asarray(codes) < 32)
 
+    # offline mode: pre-quantized tree must match the dynamic path exactly
+    from maxtext_indextts2_tpu.audio.s2a import quantize_s2a_params
+
+    moff = S2AModel(dataclasses.replace(cfg, int8_matmul="offline"))
+    pq = quantize_s2a_params(params, moff, (x0, x_mask, cond, jax.random.PRNGKey(3)))
+    loff, _ = moff.apply(pq, x0, x_mask, cond, jax.random.PRNGKey(4))
+    np.testing.assert_allclose(float(loff), float(l8), rtol=1e-6)
+    kq = pq["params"]["denoiser"]["layers_0"]["qkv"]["kernel"]
+    assert kq.dtype == jnp.int8
+
 
 def test_kth_largest_matches_top_k():
     """Hierarchical values-only kth-largest == lax.top_k's kth value."""
