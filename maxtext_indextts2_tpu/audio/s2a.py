@@ -90,9 +90,24 @@ class Int8Dense(nn.Module):
             wf = kernel.astype(jnp.float32)
             ws = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
             wq = jnp.round(wf / jnp.maximum(ws, 1e-9)).astype(jnp.int8)
-        xf = x.astype(jnp.float32)
-        xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-        xq = jnp.round(xf / jnp.maximum(xs, 1e-9)).astype(jnp.int8)
+        import os
+
+        if (
+            os.environ.get("MTT_FUSED_QUANT", "1") == "1"
+            and jax.default_backend() == "tpu"
+            and x.ndim == 3
+            and x.shape[-1] % 128 == 0
+        ):
+            # one-pass absmax+round Pallas kernel with compact [B,S] scales
+            # (the jnp path re-reads x and lane-pads the [rows,1] scale 128x)
+            from maxtext_indextts2_tpu.ops.quant_kernels import row_quantize_int8
+
+            xq, xs2 = row_quantize_int8(x)
+            xs = xs2[..., None]
+        else:
+            xf = x.astype(jnp.float32)
+            xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+            xq = jnp.round(xf / jnp.maximum(xs, 1e-9)).astype(jnp.int8)
         acc = jax.lax.dot_general(
             xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,

@@ -298,6 +298,32 @@ def test_semantic_tokenizer_batch_matches_single():
     assert agree >= 0.7, agree
 
 
+def test_row_quantize_kernel_matches_jnp():
+    """Fused absmax+round Pallas kernel == the Int8Dense jnp quant path
+    (scales to 1 ulp; int8 codes may differ by 1 on exact .5 ties)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxtext_indextts2_tpu.ops.quant_kernels import row_quantize_int8
+
+    for dtype, s in [(jnp.float32, 300), (jnp.bfloat16, 256), (jnp.float32, 257)]:
+        x = (jax.random.normal(jax.random.PRNGKey(0), (2, s, 256), jnp.float32)
+             * 3.0).astype(dtype)
+        xq, xs = row_quantize_int8(x, interpret=True)
+        xf = x.astype(jnp.float32)
+        xs_ref = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+        xq_ref = jnp.round(xf / jnp.maximum(xs_ref[..., None], 1e-9)).astype(jnp.int8)
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref), rtol=1e-6)
+        diff = np.abs(np.asarray(xq, np.int32) - np.asarray(xq_ref, np.int32))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+    # zero rows stay zero (the 1e-9 scale floor)
+    z = jnp.zeros((1, 8, 128), jnp.float32)
+    zq, zs = row_quantize_int8(z, interpret=True)
+    assert np.all(np.asarray(zq) == 0) and np.all(np.asarray(zs) == 0)
+
+
 def test_ada_rmsnorm_kernel_matches_unfused():
     """Fused Pallas AdaRMSNorm == the unfused jnp math, fwd and bwd."""
     import jax
