@@ -154,6 +154,10 @@ def build_tiny_pipeline(cfg: Config, rng: jax.Array | None = None) -> TTSPipelin
     )
     st.init_params()
 
+    from maxtext_indextts2_tpu.audio.s2a import (
+        quantize_s2a_params, serving_s2a_config,
+    )
+
     s2a_cfg = S2AConfig(
         num_quantizers=cfg.s2a_num_quantizers,
         hidden_size=cfg.s2a_hidden_size,
@@ -162,16 +166,22 @@ def build_tiny_pipeline(cfg: Config, rng: jax.Array | None = None) -> TTSPipelin
         codebook_size=cfg.s2a_codebook_size,
         cond_codebook_size=cfg.s2a_cond_codebook_size,
     )
-    s2a = S2AModel(s2a_cfg)
+    serve_cfg = serving_s2a_config(s2a_cfg, cfg.s2a_serving_dtype)
+    s2a = S2AModel(serve_cfg)
     t = 16
     r1, r2 = jax.random.split(rng)
-    s2a_params = s2a.init(
-        r1,
+    init_args = (
         jnp.zeros((1, t, s2a_cfg.num_quantizers), jnp.int32),
         jnp.ones((1, t), jnp.int32),
         jnp.zeros((1, t), jnp.int32),
         r2,
     )
+    # init (or restore) the float tree, then convert for the serving mode
+    s2a_params = S2AModel(dataclasses.replace(serve_cfg, int8_matmul=False)).init(
+        r1, *init_args
+    )
+    if serve_cfg.int8_matmul == "offline":
+        s2a_params = quantize_s2a_params(s2a_params, s2a, init_args)
 
     codec = AcousticCodec(
         d_model=32, latent_dim=64,

@@ -121,6 +121,38 @@ def _dense(cfg: S2AConfig, features: int, name: str):
     return nn.Dense(features, use_bias=False, name=name)
 
 
+def serving_s2a_config(base: S2AConfig, serving_dtype: str) -> S2AConfig:
+    """Apply Config.s2a_serving_dtype to an S2AConfig."""
+    import dataclasses
+
+    if serving_dtype in ("", "float32"):
+        return base
+    if serving_dtype == "bfloat16":
+        return dataclasses.replace(base, dtype=jnp.bfloat16)
+    if serving_dtype == "int8":
+        return dataclasses.replace(base, dtype=jnp.bfloat16, int8_matmul="dynamic")
+    if serving_dtype == "int8_offline":
+        return dataclasses.replace(base, dtype=jnp.bfloat16, int8_matmul="offline")
+    raise ValueError(f"unknown s2a_serving_dtype: {serving_dtype}")
+
+
+def cast_denoiser_params(params, dtype=jnp.bfloat16):
+    """Cast the denoiser subtree's float params to ``dtype`` (serve-time).
+
+    Embeddings/logit heads stay f32 (they feed f32 embedding sums / logits).
+    Pre-casting once avoids flax's per-call weight recast inside the sampler
+    scan (the reason dynamic bf16 activations measured SLOWER, PERF.md).
+    """
+
+    def cast(x):
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    out = jax.tree.map(lambda x: x, params)  # shallow copy
+    p = out["params"] if "params" in out else out
+    p["denoiser"] = jax.tree.map(cast, p["denoiser"])
+    return out
+
+
 def quantize_s2a_params(params, model, example_args):
     """Convert an f32-trained S2A params tree for int8_matmul="offline".
 

@@ -280,6 +280,10 @@ class Config:
     s2a_timesteps: tuple[int, ...] = (10, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4)
     s2a_cfg_scale: float = 2.5
     s2a_mask_schedule: str = "cosine"
+    # serving numerics for the S2A stage: "" (f32), "bfloat16" (bf16 attention
+    # logits + bf16-cast denoiser params), "int8" (dynamic quant matmuls),
+    # "int8_offline" (pre-quantized int8 weights via quantize_s2a_params)
+    s2a_serving_dtype: str = ""
     codec_hidden_size: int = 128
     codec_strides: tuple[int, ...] = (3, 4, 5, 8)
     codec_codebook_dim: int = 8

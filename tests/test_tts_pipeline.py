@@ -55,3 +55,18 @@ def test_generate_semantic_stops_on_non_audio(pipeline):
     out = pipeline.generate_semantic(lm_prompt, max_new_tokens=8)
     assert isinstance(out, list)
     assert all(0 <= a < m.codebook_size for a in out)
+
+
+def test_synthesize_with_int8_offline_s2a():
+    """s2a_serving_dtype=int8_offline builds a pre-quantized S2A stage and
+    still synthesizes end-to-end."""
+    pl = build_tiny_pipeline(load_config(CFG + ["s2a_serving_dtype=int8_offline"]))
+    import jax.numpy as jnp
+
+    kq = pl.s2a_params["params"]["denoiser"]["layers_0"]["qkv"]["kernel"]
+    assert kq.dtype == jnp.int8
+    rng = np.random.default_rng(1)
+    wav16 = rng.standard_normal(16000).astype(np.float32) * 0.1
+    wav24 = rng.standard_normal(24000).astype(np.float32) * 0.1
+    wav, info = pl.synthesize("int8 path", wav16, wav24, max_new_tokens=8)
+    assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
