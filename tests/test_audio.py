@@ -429,6 +429,16 @@ def test_s2a_int8_matmul_loss_parity_and_sampler():
     kq = pq["params"]["denoiser"]["layers_0"]["qkv"]["kernel"]
     assert kq.dtype == jnp.int8
 
+    # bf16 weight pre-cast: loss stays close, embeddings stay f32
+    from maxtext_indextts2_tpu.audio.s2a import cast_denoiser_params
+
+    pc = cast_denoiser_params(params)
+    assert pc["params"]["denoiser"]["layers_0"]["qkv"]["kernel"].dtype == jnp.bfloat16
+    assert pc["params"]["token_emb"].dtype == jnp.float32
+    m16 = S2AModel(dataclasses.replace(cfg, dtype=jnp.bfloat16))
+    lc, _ = m16.apply(pc, x0, x_mask, cond, jax.random.PRNGKey(4))
+    np.testing.assert_allclose(float(lc), float(l32), rtol=3e-2)
+
 
 def test_kth_largest_matches_top_k():
     """Hierarchical values-only kth-largest == lax.top_k's kth value."""
