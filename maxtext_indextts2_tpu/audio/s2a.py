@@ -66,14 +66,18 @@ class Int8Dense(nn.Module):
 
     features: int
     offline: bool = False
+    out_dtype: jnp.dtype | None = None  # required when called pre-quantized
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, xq=None, xs=None):
+        """x: float input, OR (xq int8 [..., K], xs f32 [...]) pre-quantized
+        by a producer-fused kernel (ops/quant_kernels.py)."""
+        in_features = (x if xq is None else xq).shape[-1]
         if self.offline:
             wq = self.param(
                 "kernel",
                 lambda key, shape, dtype: jnp.zeros(shape, dtype),
-                (x.shape[-1], self.features),
+                (in_features, self.features),
                 jnp.int8,
             )
             ws = self.param(
@@ -84,35 +88,45 @@ class Int8Dense(nn.Module):
             kernel = self.param(
                 "kernel",
                 nn.initializers.lecun_normal(),
-                (x.shape[-1], self.features),
+                (in_features, self.features),
                 jnp.float32,
             )
             wf = kernel.astype(jnp.float32)
             ws = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
             wq = jnp.round(wf / jnp.maximum(ws, 1e-9)).astype(jnp.int8)
-        import os
-
-        if (
-            os.environ.get("MTT_FUSED_QUANT", "1") == "1"
-            and jax.default_backend() == "tpu"
-            and x.ndim == 3
-            and x.shape[-1] % 128 == 0
-        ):
-            # one-pass absmax+round Pallas kernel with compact [B,S] scales
-            # (the jnp path re-reads x and lane-pads the [rows,1] scale 128x)
-            from maxtext_indextts2_tpu.ops.quant_kernels import row_quantize_int8
-
-            xq, xs2 = row_quantize_int8(x)
-            xs = xs2[..., None]
+        if xq is not None:
+            out_dtype = self.out_dtype or jnp.float32
+            xs = xs[..., None]
         else:
-            xf = x.astype(jnp.float32)
-            xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-            xq = jnp.round(xf / jnp.maximum(xs, 1e-9)).astype(jnp.int8)
+            out_dtype = x.dtype
+            if _fused_quant_ok(x):
+                # one-pass absmax+round Pallas kernel with compact [B,S]
+                # scales (the jnp path re-reads x and lane-pads the
+                # [rows,1] scale 128x)
+                from maxtext_indextts2_tpu.ops.quant_kernels import row_quantize_int8
+
+                xq, xs2 = row_quantize_int8(x)
+                xs = xs2[..., None]
+            else:
+                xf = x.astype(jnp.float32)
+                xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+                xq = jnp.round(xf / jnp.maximum(xs, 1e-9)).astype(jnp.int8)
         acc = jax.lax.dot_general(
-            xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+            xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        return (acc.astype(jnp.float32) * xs * ws).astype(x.dtype)
+        return (acc.astype(jnp.float32) * xs * ws).astype(out_dtype)
+
+
+def _fused_quant_ok(x) -> bool:
+    import os
+
+    return (
+        os.environ.get("MTT_FUSED_QUANT", "1") == "1"
+        and jax.default_backend() == "tpu"
+        and x.ndim == 3
+        and x.shape[-1] % 128 == 0
+    )
 
 
 def _dense(cfg: S2AConfig, features: int, name: str):
@@ -181,12 +195,17 @@ def sinusoidal_time_emb(t: jax.Array, dim: int) -> jax.Array:
 
 class AdaptiveRMSNorm(nn.Module):
     """RMSNorm with scale predicted from a conditioning vector
-    (reference: llama_nar.py:35 — zero-init weight, ones bias)."""
+    (reference: llama_nar.py:35 — zero-init weight, ones bias).
+
+    ``quantize_out=True`` returns (int8 rows, [B,S] scales) instead of the
+    float output — fused with the quantization of the consuming Int8Dense
+    so the normalized tensor never round-trips HBM (int8 serving only).
+    """
 
     dim: int
 
     @nn.compact
-    def __call__(self, x, cond):
+    def __call__(self, x, cond, quantize_out: bool = False):
         weight = nn.Dense(
             self.dim,
             kernel_init=nn.initializers.zeros,
@@ -195,18 +214,34 @@ class AdaptiveRMSNorm(nn.Module):
         )(cond)
         import os
 
-        if (
-            os.environ.get("MTT_FUSED_ADALN", "1") == "1"
-            and jax.default_backend() == "tpu"
+        on_tpu_3d = (
+            jax.default_backend() == "tpu"
             and x.ndim == 3
             and weight.ndim == 2
             and x.shape[-1] % 128 == 0
-        ):
+        )
+        if quantize_out:
+            if on_tpu_3d and os.environ.get("MTT_FUSED_QUANT", "1") == "1":
+                from maxtext_indextts2_tpu.ops.quant_kernels import (
+                    ada_rmsnorm_quantize,
+                )
+
+                return ada_rmsnorm_quantize(x, weight)
+            y = self._unfused(x, weight)
+            yf = y.astype(jnp.float32)
+            xs = jnp.max(jnp.abs(yf), axis=-1) / 127.0
+            xq = jnp.round(yf / jnp.maximum(xs[..., None], 1e-9)).astype(jnp.int8)
+            return xq, xs
+        if on_tpu_3d and os.environ.get("MTT_FUSED_ADALN", "1") == "1":
             # fused Pallas path: the unfused variance reduce alone is ~17x
             # off HBM SoL and 22% of the S2A pass (PERF.md "S2A anatomy")
             from maxtext_indextts2_tpu.ops.ada_rmsnorm import ada_rmsnorm
 
             return ada_rmsnorm(x, weight)
+        return self._unfused(x, weight)
+
+    @staticmethod
+    def _unfused(x, weight):
         var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
         normed = x * jax.lax.rsqrt(var + 1e-6).astype(x.dtype)
         if weight.ndim == 2:
@@ -220,6 +255,22 @@ class NARBlock(nn.Module):
     @nn.compact
     def __call__(self, x, t_cond, pad_mask, all_valid: bool = False):
         cfg = self.cfg
+        if cfg.int8_matmul:
+            # producer-fused quantization: the AdaLN outputs feed straight
+            # into int8 matmuls as (int8, scales) — the normalized float
+            # tensors never hit HBM (ops/quant_kernels.py).
+            hq, hs = AdaptiveRMSNorm(cfg.hidden_size, name="input_norm")(
+                x, t_cond, quantize_out=True
+            )
+            h = _self_attention(
+                None, pad_mask, cfg, all_valid, xq=hq, xs=hs, out_dtype=x.dtype
+            )
+            x = x + h
+            hq, hs = AdaptiveRMSNorm(cfg.hidden_size, name="post_attn_norm")(
+                x, t_cond, quantize_out=True
+            )
+            h = _swiglu_mlp(None, cfg, xq=hq, xs=hs, out_dtype=x.dtype)
+            return x + h
         h = AdaptiveRMSNorm(cfg.hidden_size, name="input_norm")(x, t_cond)
         h = _self_attention(h, pad_mask, cfg, all_valid)
         x = x + h
@@ -228,12 +279,22 @@ class NARBlock(nn.Module):
         return x + h
 
 
-def _self_attention(x, pad_mask, cfg: S2AConfig, all_valid: bool = False):
+def _self_attention(
+    x, pad_mask, cfg: S2AConfig, all_valid: bool = False,
+    xq=None, xs=None, out_dtype=None,
+):
     import os
 
-    b, s, _ = x.shape
+    b, s, _ = (x if xq is None else xq).shape
     n, d = cfg.num_heads, cfg.hidden_size // cfg.num_heads
-    qkv = _dense(cfg, 3 * cfg.hidden_size, "qkv")(x)
+    if xq is not None:
+        qkv = Int8Dense(
+            3 * cfg.hidden_size, offline=cfg.int8_matmul == "offline",
+            out_dtype=out_dtype, name="qkv",
+        )(None, xq=xq, xs=xs)
+        x = jnp.zeros((b, s, 0), out_dtype)  # only .dtype is used below
+    else:
+        qkv = _dense(cfg, 3 * cfg.hidden_size, "qkv")(x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, s, n, d)
     k = k.reshape(b, s, n, d)
@@ -310,8 +371,27 @@ def _self_attention(x, pad_mask, cfg: S2AConfig, all_valid: bool = False):
     return _dense(cfg, cfg.hidden_size, "out")(o)
 
 
-def _swiglu_mlp(x, cfg: S2AConfig):
+def _swiglu_mlp(x, cfg: S2AConfig, xq=None, xs=None, out_dtype=None):
     inner = cfg.hidden_size * 4
+    if xq is not None:
+        offline = cfg.int8_matmul == "offline"
+        # one quantized input shared by gate and up; silu*up is quantized in
+        # the producer kernel so the [.., 4*H] float product skips HBM
+        g = Int8Dense(inner, offline=offline, out_dtype=out_dtype, name="gate")(
+            None, xq=xq, xs=xs
+        )
+        u = Int8Dense(inner, offline=offline, out_dtype=out_dtype, name="up")(
+            None, xq=xq, xs=xs
+        )
+        down = Int8Dense(
+            cfg.hidden_size, offline=offline, out_dtype=out_dtype, name="down"
+        )
+        if _fused_quant_ok(g):
+            from maxtext_indextts2_tpu.ops.quant_kernels import silu_mul_quantize
+
+            dq, ds = silu_mul_quantize(g, u)
+            return down(None, xq=dq, xs=ds)
+        return down(jax.nn.silu(g) * u)
     g = _dense(cfg, inner, "gate")(x)
     u = _dense(cfg, inner, "up")(x)
     return _dense(cfg, cfg.hidden_size, "down")(jax.nn.silu(g) * u)

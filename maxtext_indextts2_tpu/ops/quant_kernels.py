@@ -22,13 +22,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _kernel(x_ref, q_ref, s_ref):
-    x = x_ref[...].astype(jnp.float32)  # [1, bs, K]
-    amax = jnp.max(jnp.abs(x), axis=-1)  # [1, bs]
+def _quantize_rows(y, q_ref, s_ref):
+    """y: [1, bs, K] f32 -> int8 rows + [1, bs] scales into the out refs."""
+    amax = jnp.max(jnp.abs(y), axis=-1)  # [1, bs]
     scale = amax / 127.0
-    q = jnp.round(x / jnp.maximum(scale, 1e-9)[..., None])
+    q = jnp.round(y / jnp.maximum(scale, 1e-9)[..., None])
     q_ref[...] = q.astype(jnp.int8)
     s_ref[...] = scale
+
+
+def _kernel(x_ref, q_ref, s_ref):
+    _quantize_rows(x_ref[...].astype(jnp.float32), q_ref, s_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -55,3 +59,88 @@ def row_quantize_int8(x: jax.Array, interpret: bool = False):
         ],
         interpret=interpret,
     )(x)
+
+
+# ------------------------------------------------- producer-fused variants
+#
+# The quant sites in the S2A NAR block are all fed by ops this file can
+# absorb, skipping the float round-trip through HBM entirely:
+#   qkv-in      = AdaptiveRMSNorm output        -> ada_rmsnorm_quantize
+#   gate/up-in  = AdaptiveRMSNorm output        -> ada_rmsnorm_quantize
+#   down-in     = silu(gate) * up               -> silu_mul_quantize
+# (out-in, the attention output, stays on row_quantize_int8.)
+
+
+def _ada_quant_kernel(x_ref, w_ref, q_ref, s_ref):
+    x = x_ref[...]  # [1, bs, D]
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    factor = jax.lax.rsqrt(var + 1e-6).astype(x.dtype)
+    y = x * factor * w_ref[...].astype(x.dtype)  # == ops.ada_rmsnorm output
+    _quantize_rows(y.astype(jnp.float32), q_ref, s_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ada_rmsnorm_quantize(x: jax.Array, w: jax.Array, interpret: bool = False):
+    """Fused AdaptiveRMSNorm + row int8 quantization.
+
+    x: [B, S, D]; w: [B, D] conditioning scale. Returns (q int8 [B,S,D],
+    scales f32 [B,S]) of ``ada_rmsnorm(x, w)`` without materializing the
+    normalized float tensor in HBM. Bit-matches ops.ada_rmsnorm followed by
+    row_quantize_int8.
+    """
+    b, s, d = x.shape
+    bs = min(s, 256)
+    grid = (b, pl.cdiv(s, bs))
+    return pl.pallas_call(
+        _ada_quant_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bs), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, d), jnp.int8),
+            jax.ShapeDtypeStruct((b, s), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, w[:, None, :])
+
+
+def _silu_mul_quant_kernel(g_ref, u_ref, q_ref, s_ref):
+    g = g_ref[...]
+    y = jax.nn.silu(g) * u_ref[...]  # in input dtype, like the jnp path
+    _quantize_rows(y.astype(jnp.float32), q_ref, s_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def silu_mul_quantize(g: jax.Array, u: jax.Array, interpret: bool = False):
+    """Fused SwiGLU elementwise + row int8 quantization.
+
+    g, u: [B, S, K]. Returns (q int8 [B,S,K], scales f32 [B,S]) of
+    ``silu(g) * u`` without the float product round-tripping HBM.
+    """
+    b, s, k = g.shape
+    bs = min(s, 256)
+    grid = (b, pl.cdiv(s, bs))
+    return pl.pallas_call(
+        _silu_mul_quant_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bs, k), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bs, k), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bs, k), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bs), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, k), jnp.int8),
+            jax.ShapeDtypeStruct((b, s), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g, u)

@@ -324,6 +324,33 @@ def test_row_quantize_kernel_matches_jnp():
     assert np.all(np.asarray(zq) == 0) and np.all(np.asarray(zs) == 0)
 
 
+def test_producer_fused_quant_kernels_match_two_step():
+    """ada_rmsnorm_quantize == ada_rmsnorm -> row_quantize (exact), and
+    silu_mul_quantize == silu(g)*u -> row_quantize (exact)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxtext_indextts2_tpu.ops.ada_rmsnorm import ada_rmsnorm
+    from maxtext_indextts2_tpu.ops.quant_kernels import (
+        ada_rmsnorm_quantize, row_quantize_int8, silu_mul_quantize,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 300, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (2, 256), jnp.float32)
+    q1, s1 = ada_rmsnorm_quantize(x, w, interpret=True)
+    q2, s2 = row_quantize_int8(ada_rmsnorm(x, w, True), interpret=True)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    g = jax.random.normal(jax.random.PRNGKey(2), (2, 300, 256), jnp.float32)
+    u = jax.random.normal(jax.random.PRNGKey(3), (2, 300, 256), jnp.float32)
+    q3, s3 = silu_mul_quantize(g, u, interpret=True)
+    q4, s4 = row_quantize_int8(jax.nn.silu(g) * u, interpret=True)
+    np.testing.assert_array_equal(np.asarray(q3), np.asarray(q4))
+    np.testing.assert_array_equal(np.asarray(s3), np.asarray(s4))
+
+
 def test_ada_rmsnorm_kernel_matches_unfused():
     """Fused Pallas AdaRMSNorm == the unfused jnp math, fwd and bwd."""
     import jax
