@@ -136,10 +136,12 @@ def bench_lm_decode(slots: int, decode_attention: str = "ragged",
     }
 
 
-def bench_s2a(batch: int, seconds: float = 10.0, int8=False) -> dict:
-    """int8: False | "dynamic" | "offline" (see S2AConfig.int8_matmul)."""
+def bench_s2a(batch: int, seconds: float = 10.0, int8=False,
+              bf16_weights: bool = False) -> dict:
+    """int8: False | "dynamic" | "offline" (see S2AConfig.int8_matmul).
+    bf16_weights: serve-time cast_denoiser_params (bf16 residual stream)."""
     from maxtext_indextts2_tpu.audio.s2a import (
-        S2AConfig, S2AModel, quantize_s2a_params,
+        S2AConfig, S2AModel, cast_denoiser_params, quantize_s2a_params,
     )
 
     if TINY:
@@ -173,6 +175,8 @@ def bench_s2a(batch: int, seconds: float = 10.0, int8=False) -> dict:
         )(f32_params)
     else:
         params = model.init(rng, x0, xm, cond, rng)
+    if bf16_weights:
+        params = jax.jit(cast_denoiser_params)(params)
     prompt = x0[:, :p, :]
 
     # pass EVERY device array as an argument: captured constants are fetched

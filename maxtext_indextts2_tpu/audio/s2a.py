@@ -153,17 +153,21 @@ def serving_s2a_config(base: S2AConfig, serving_dtype: str) -> S2AConfig:
 def cast_denoiser_params(params, dtype=jnp.bfloat16):
     """Cast the denoiser subtree's float params to ``dtype`` (serve-time).
 
-    Embeddings/logit heads stay f32 (they feed f32 embedding sums / logits).
+    Embeddings/logit heads stay f32 (they feed f32 embedding sums / logits),
+    int8 kernels and their f32 ``kernel_scale`` are left untouched.
     Pre-casting once avoids flax's per-call weight recast inside the sampler
-    scan (the reason dynamic bf16 activations measured SLOWER, PERF.md).
+    scan (the reason dynamic bf16 activations measured SLOWER, PERF.md) and
+    keeps the residual stream in ``dtype`` (flax dtype promotion).
     """
 
-    def cast(x):
+    def cast(path, x):
+        if any(getattr(k, "key", None) == "kernel_scale" for k in path):
+            return x
         return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
 
     out = jax.tree.map(lambda x: x, params)  # shallow copy
     p = out["params"] if "params" in out else out
-    p["denoiser"] = jax.tree.map(cast, p["denoiser"])
+    p["denoiser"] = jax.tree_util.tree_map_with_path(cast, p["denoiser"])
     return out
 
 
