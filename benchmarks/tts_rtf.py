@@ -137,9 +137,12 @@ def bench_lm_decode(slots: int, decode_attention: str = "ragged",
 
 
 def bench_s2a(batch: int, seconds: float = 10.0, int8=False,
-              bf16_weights: bool = False) -> dict:
+              bf16_weights: bool = False,
+              timesteps: tuple[int, ...] | None = None) -> dict:
     """int8: False | "dynamic" | "offline" (see S2AConfig.int8_matmul).
-    bf16_weights: serve-time cast_denoiser_params (bf16 residual stream)."""
+    bf16_weights: serve-time cast_denoiser_params (bf16 residual stream).
+    timesteps: per-quantizer-layer step schedule override (quality/speed
+    lever; default is the reference schedule (10, 4*11))."""
     from maxtext_indextts2_tpu.audio.s2a import (
         S2AConfig, S2AModel, cast_denoiser_params, quantize_s2a_params,
     )
@@ -157,7 +160,9 @@ def bench_s2a(batch: int, seconds: float = 10.0, int8=False,
         cfg = S2AConfig(num_quantizers=12, hidden_size=1024, num_layers=16,
                         num_heads=16, codebook_size=1024, cond_codebook_size=8192,
                         dtype=jnp.bfloat16, int8_matmul=int8)
-        timesteps = (10,) + (4,) * 11
+        if timesteps is None:
+            timesteps = (10,) + (4,) * 11
+        assert len(timesteps) == 12, "full-size S2A has 12 quantizer layers"
     nq = cfg.num_quantizers
     model = S2AModel(cfg)
     rng = jax.random.PRNGKey(0)
@@ -189,6 +194,7 @@ def bench_s2a(batch: int, seconds: float = 10.0, int8=False,
     return {
         "batch": batch,
         "utterance_s": seconds,
+        "timesteps": list(timesteps),
         "pass_s": round(dt, 3),
         "streams_capacity": round(batch * seconds / dt, 2),
         "rtf_per_utterance": round(dt / seconds / batch, 4),
@@ -221,6 +227,13 @@ def main():
                     help="shrink all stages (CPU plumbing validation)")
     ap.add_argument("--slots", type=int, default=96)  # best measured (PERF.md)
     ap.add_argument("--s2a_batch", type=int, default=8)
+    ap.add_argument("--s2a_dtype", default="",
+                    choices=["", "int8", "int8_offline"],
+                    help="S2A matmul mode ('' = bf16)")
+    ap.add_argument("--s2a_bf16_weights", action="store_true",
+                    help="pre-cast denoiser params to bf16 (cast_denoiser_params)")
+    ap.add_argument("--s2a_timesteps", default="",
+                    help="comma list, e.g. 8,2,2,2,2,2,2,2,2,2,2,2 (speed/quality lever)")
     ap.add_argument("--voc_batch", type=int, default=8)
     ap.add_argument("--target_chips", type=int, default=8)  # v5e-8
     args = ap.parse_args()
@@ -233,7 +246,11 @@ def main():
     voc = bench_vocoder(args.voc_batch)
     print(json.dumps(voc), flush=True)
     print("benching s2a...", flush=True)
-    s2a = bench_s2a(args.s2a_batch)
+    int8 = {"": False, "int8": "dynamic", "int8_offline": "offline"}[args.s2a_dtype]
+    ts = (tuple(int(x) for x in args.s2a_timesteps.split(","))
+          if args.s2a_timesteps else None)
+    s2a = bench_s2a(args.s2a_batch, int8=int8,
+                    bf16_weights=args.s2a_bf16_weights, timesteps=ts)
     print(json.dumps(s2a), flush=True)
 
     per_chip = min(lm["streams_capacity"], s2a["streams_capacity"],
