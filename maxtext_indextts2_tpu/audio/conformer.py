@@ -147,6 +147,79 @@ class ConformerEncoder(nn.Module):
         return x
 
 
+def params_from_hf(state_dict, cfg: ConformerConfig,
+                   stat_mean=None, stat_std=None):
+    """Convert a HF ``Wav2Vec2BertModel`` state dict (name -> array; torch
+    tensors or numpy both fine) into ``SemanticEncoder`` params.
+
+    Reference: semantic_utils.py:11 loads facebook/w2v-bert-2.0 with torch;
+    here the same weights run on-device. ``stat_mean``/``stat_std`` are the
+    layer-17 normalization stats (reference wav2vec2bert_stats.pt); default
+    identity.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def dense(prefix, bias=True):
+        p = {"kernel": sd[f"{prefix}.weight"].T}
+        if bias:
+            p["bias"] = sd[f"{prefix}.bias"]
+        return p
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    enc = {
+        "fp_layer_norm": ln("feature_projection.layer_norm"),
+        "fp_projection": dense("feature_projection.projection"),
+    }
+    for i in range(cfg.num_layers):
+        hf = f"encoder.layers.{i}"
+        if f"{hf}.final_layer_norm.weight" not in sd:
+            break
+        enc[f"layers_{i}"] = {
+            "ffn1_layer_norm": ln(f"{hf}.ffn1_layer_norm"),
+            "ffn1": {
+                "intermediate_dense": dense(f"{hf}.ffn1.intermediate_dense"),
+                "output_dense": dense(f"{hf}.ffn1.output_dense"),
+            },
+            "self_attn_layer_norm": ln(f"{hf}.self_attn_layer_norm"),
+            "self_attn": {
+                "linear_q": dense(f"{hf}.self_attn.linear_q"),
+                "linear_k": dense(f"{hf}.self_attn.linear_k"),
+                "linear_v": dense(f"{hf}.self_attn.linear_v"),
+                "linear_out": dense(f"{hf}.self_attn.linear_out"),
+                "distance_embedding": sd[f"{hf}.self_attn.distance_embedding.weight"],
+            },
+            "conv_module": {
+                "layer_norm": ln(f"{hf}.conv_module.layer_norm"),
+                # HF Conv1d [out, in, 1] -> flax Dense kernel [in, out]
+                "pointwise_conv1": {
+                    "kernel": sd[f"{hf}.conv_module.pointwise_conv1.weight"][:, :, 0].T
+                },
+                # HF depthwise [C, 1, K] -> flax Conv kernel [K, 1, C]
+                "depthwise_conv": {
+                    "kernel": sd[f"{hf}.conv_module.depthwise_conv.weight"].transpose(2, 1, 0)
+                },
+                "depthwise_layer_norm": ln(f"{hf}.conv_module.depthwise_layer_norm"),
+                "pointwise_conv2": {
+                    "kernel": sd[f"{hf}.conv_module.pointwise_conv2.weight"][:, :, 0].T
+                },
+            },
+            "ffn2_layer_norm": ln(f"{hf}.ffn2_layer_norm"),
+            "ffn2": {
+                "intermediate_dense": dense(f"{hf}.ffn2.intermediate_dense"),
+                "output_dense": dense(f"{hf}.ffn2.output_dense"),
+            },
+            "final_layer_norm": ln(f"{hf}.final_layer_norm"),
+        }
+    h = cfg.hidden_size
+    return {"params": jax.tree.map(jnp.asarray, {
+        "encoder": enc,
+        "stat_mean": np.zeros(h, np.float32) if stat_mean is None else np.asarray(stat_mean),
+        "stat_std": np.ones(h, np.float32) if stat_std is None else np.asarray(stat_std),
+    })}
+
+
 class SemanticEncoder(nn.Module):
     """w2v-bert tap + precomputed mean/std normalization
     (reference: semantic_utils.py:72 extract_semantic_code)."""

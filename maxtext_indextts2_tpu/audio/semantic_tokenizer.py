@@ -49,6 +49,20 @@ class SemanticTokenizer:
         self.params = {"encoder": p_enc, "repcodec": p_rep}
         return self.params
 
+    def load_hf_encoder(self, state_dict, stat_mean=None, stat_std=None):
+        """Load converted HF w2v-BERT weights for the encoder half
+        (reference: semantic_utils.py:11 build_semantic_model + the
+        wav2vec2bert_stats.pt normalization). ``state_dict`` is a HF
+        ``Wav2Vec2BertModel`` state dict (torch tensors or numpy).
+        RepCodec params must still be provided/initialized separately."""
+        from maxtext_indextts2_tpu.audio.conformer import params_from_hf
+
+        p_enc = params_from_hf(state_dict, self.encoder_cfg, stat_mean, stat_std)
+        if self.params is None:
+            self.init_params()
+        self.params = {**self.params, "encoder": p_enc}
+        return self.params
+
     def _tokenize_impl(self, params, wav, wav_lengths):
         feats, feat_lengths = mel.w2vbert_features(wav, wav_lengths)
         pad_mask = (

@@ -55,6 +55,41 @@ def test_conformer_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_conformer_matches_hf_w2vbert():
+    """Layer-output parity with HF Wav2Vec2BertModel under converted weights
+    (reference loads facebook/w2v-bert-2.0 in torch, semantic_utils.py:11;
+    params_from_hf ports the same checkpoint on-device)."""
+    tf = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    from maxtext_indextts2_tpu.audio.conformer import (
+        ConformerConfig, SemanticEncoder, params_from_hf,
+    )
+
+    hf_cfg = tf.Wav2Vec2BertConfig(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=2,
+        intermediate_size=48, feature_projection_input_dim=20,
+        conv_depthwise_kernel_size=31, position_embeddings_type="relative_key",
+        left_max_position_embeddings=64, right_max_position_embeddings=8,
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        conformer_conv_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf = tf.Wav2Vec2BertModel(hf_cfg).eval()
+
+    feats = np.random.default_rng(1).standard_normal((2, 25, 20)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(feats), output_hidden_states=True).hidden_states
+
+    cfg = ConformerConfig(input_dim=20, hidden_size=32, num_layers=3,
+                          num_heads=2, intermediate_size=48, output_layer=3)
+    params = params_from_hf(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg
+    )
+    ours = np.asarray(SemanticEncoder(cfg).apply(params, jnp.asarray(feats)))
+    # identity stats -> SemanticEncoder output == hidden_states[output_layer]
+    np.testing.assert_allclose(ours, ref[3].numpy(), atol=2e-5, rtol=1e-4)
+
+
 def test_fvq_roundtrip_and_gradients():
     from maxtext_indextts2_tpu.audio.quantize import FactorizedVectorQuantize
 
