@@ -55,24 +55,30 @@ class FactorizedVectorQuantize(nn.Module):
         return self.out_proj(z) if self.input_dim != self.codebook_dim else z
 
     def encode_latents(self, x) -> tuple[jax.Array, jax.Array]:
-        """x: [B,T,input_dim] -> (z_e [B,T,cb_dim], indices [B,T])."""
+        """x: [B,T,input_dim] -> (z_e [B,T,cb_dim], indices [B,T]).
+
+        z_e is the UNNORMALIZED projected latent: the reference l2-normalizes
+        only for the nearest-neighbor search (quantize.py:95-113) — losses,
+        the straight-through estimator, and the quantized output all live in
+        raw codebook space.
+        """
         z_e = self._project_in(x)
-        cb = self.codebook
+        zn, cb = z_e, self.codebook
         if self.use_l2_normalize:
-            z_e = _l2norm(z_e)
+            zn = _l2norm(zn)
             cb = _l2norm(cb)
         # nearest neighbor: for l2-normalized vectors argmin ||z-c|| ==
         # argmax z.c — one [B*T, K] matmul on the MXU.
-        sim = jnp.einsum("btd,kd->btk", z_e, cb)
+        sim = jnp.einsum("btd,kd->btk", zn, cb)
         if not self.use_l2_normalize:
             sim = 2 * sim - jnp.sum(jnp.square(cb), axis=-1)[None, None, :]
         indices = jnp.argmax(sim, axis=-1).astype(jnp.int32)
         return z_e, indices
 
     def decode_code(self, indices) -> jax.Array:
-        """indices [B,T] -> codebook vectors [B,T,cb_dim] (normalized space)."""
-        cb = _l2norm(self.codebook) if self.use_l2_normalize else self.codebook
-        return jnp.take(cb, indices, axis=0)
+        """indices [B,T] -> RAW codebook rows [B,T,cb_dim] (reference
+        decode_code is a plain embedding lookup, quantize.py:91-95)."""
+        return jnp.take(self.codebook, indices, axis=0)
 
     def __call__(self, x) -> QuantizeResult:
         z_e, indices = self.encode_latents(x)

@@ -1,0 +1,297 @@
+"""Torch-checkpoint conversion parity tests for the audio stack.
+
+Oracle strategy: the reference's RepCodec / Vocos / acoustic-codec modules
+are pure torch and import cleanly, so randomly-initialized reference models
+serve as numerical oracles — convert their state dicts with
+audio/torch_ckpt.py and require matching outputs. (The reference acoustic
+codec's own relative imports are broken — SURVEY.md §7 — so the modules are
+loaded into a synthetic package that supplies .quantize/.vocos.)
+
+The S2A DiffLlama oracle can't be imported (it subclasses an older HF Llama
+API), so its oracle is rebuilt from current HF Llama blocks (LlamaAttention /
+LlamaMLP) plus the adaptive-RMSNorm math — exactly what the reference
+denoiser is (llama_nar.py:56 subclasses LlamaDecoderLayer).
+"""
+
+import importlib.util
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/MaxText/input_pipeline/maskgct"
+
+
+def load_ref_maskgct():
+    """Load reference torch modules as synthetic package ``refmaskgct``.
+
+    Used ONLY as a numerical oracle; loads quantize/vocos first so
+    repcodec_model's and acoustic codec.py's relative imports resolve.
+    """
+    if "refmaskgct" in sys.modules:
+        return sys.modules["refmaskgct"]
+    pkg = types.ModuleType("refmaskgct")
+    pkg.__path__ = [REF]
+    sys.modules["refmaskgct"] = pkg
+    for name, path in [
+        ("quantize", f"{REF}/quantize.py"),
+        ("vocos", f"{REF}/vocos.py"),
+        ("repcodec_model", f"{REF}/repcodec_model.py"),
+        ("codec", f"{REF}/acoustic/codec.py"),
+    ]:
+        spec = importlib.util.spec_from_file_location(f"refmaskgct.{name}", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refmaskgct.{name}"] = mod
+        spec.loader.exec_module(mod)
+        setattr(pkg, name, mod)
+    return pkg
+
+
+def test_repcodec_params_from_torch_parity():
+    """Reference RepCodec (repcodec_model.py:29) -> our RepCodec: same token
+    ids and same reconstruction under converted weights."""
+    ref = load_ref_maskgct()
+    from maxtext_indextts2_tpu.audio.repcodec import RepCodec
+    from maxtext_indextts2_tpu.audio.torch_ckpt import repcodec_params_from_torch
+
+    torch.manual_seed(0)
+    tm = ref.repcodec_model.RepCodec(
+        codebook_size=32, hidden_size=16, codebook_dim=4, vocos_dim=12,
+        vocos_intermediate_dim=24, vocos_num_layers=2, num_quantizers=1,
+    ).eval()
+    # spread the codebook so nearest-neighbor picks are unambiguous
+    with torch.no_grad():
+        tm.quantizer.quantizers[0].codebook.weight.mul_(4.0)
+
+    x = torch.from_numpy(
+        np.random.default_rng(1).standard_normal((2, 9, 16)).astype(np.float32)
+    )
+    with torch.no_grad():
+        x_rec, _, ids = tm(x)
+        ids2, quantized = tm.quantize(x)
+
+    ours = RepCodec(
+        hidden_size=16, codebook_size=32, codebook_dim=4, vocos_dim=12,
+        vocos_intermediate_dim=24, vocos_num_layers=2, num_quantizers=1,
+    )
+    params = repcodec_params_from_torch(tm.state_dict())
+    j_ids = ours.apply(params, jnp.asarray(x.numpy()), method=RepCodec.quantize)
+    np.testing.assert_array_equal(np.asarray(j_ids), ids2.numpy())
+
+    j_rec, j_idx, _, _ = ours.apply(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(j_rec), x_rec.numpy(), atol=2e-4, rtol=1e-3)
+
+    # vq2emb round trip matches the torch out-projection path. (The
+    # reference ResidualVQ has NO vq2emb — repcodec/codec call a method that
+    # doesn't exist, a latent defect like SURVEY.md §7's import break — so
+    # the oracle composes the per-quantizer FVQ.vq2emb sum directly.)
+    with torch.no_grad():
+        t_emb = tm.quantizer.quantizers[0].vq2emb(ids2.long())  # [B, D, T]
+    j_emb = ours.apply(params, j_ids, method=RepCodec.vq2emb)
+    np.testing.assert_allclose(
+        np.asarray(j_emb), t_emb.detach().numpy().transpose(0, 2, 1),
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+def test_acoustic_codec_params_from_torch_parity():
+    """Reference CodecEncoder/CodecDecoder (acoustic/codec.py:126,195,
+    use_vocos=True) -> our acoustic codec under converted weights."""
+    ref = load_ref_maskgct()
+    from maxtext_indextts2_tpu.audio.acoustic import CodecDecoder, CodecEncoder
+    from maxtext_indextts2_tpu.audio.torch_ckpt import (
+        codec_decoder_params_from_torch,
+        codec_encoder_params_from_torch,
+    )
+
+    torch.manual_seed(0)
+    te = ref.codec.CodecEncoder(d_model=8, up_ratios=[2, 3], out_channels=10).eval()
+    wav = np.random.default_rng(2).standard_normal((2, 48)).astype(np.float32)
+    with torch.no_grad():
+        t_lat = te(torch.from_numpy(wav)[:, None, :])  # [B, C, T']
+
+    je = CodecEncoder(d_model=8, strides=(2, 3), out_channels=10)
+    pe = codec_encoder_params_from_torch(te.state_dict(), num_blocks=2)
+    j_lat = je.apply(pe, jnp.asarray(wav))  # [B, T', C]
+    np.testing.assert_allclose(
+        np.asarray(j_lat), t_lat.numpy().transpose(0, 2, 1), atol=2e-5, rtol=1e-4
+    )
+
+    td = ref.codec.CodecDecoder(
+        in_channels=10, num_quantizers=3, codebook_size=16, codebook_dim=4,
+        quantizer_type="fvq", quantizer_dropout=0.0, commitment=0.15,
+        codebook_loss_weight=1.0, use_l2_normlize=True, use_vocos=True,
+        vocos_dim=12, vocos_intermediate_dim=24, vocos_num_layers=2,
+    ).eval()
+    with torch.no_grad():
+        for q in td.quantizer.quantizers:
+            q.codebook.weight.mul_(4.0)
+        _, t_ids = td.quantize(t_lat)  # [Q, B, T']
+        # reference RVQ lacks vq2emb (defect) — sum the per-quantizer FVQs
+        t_emb = sum(
+            td.quantizer.quantizers[i].vq2emb(t_ids[i].long())
+            for i in range(t_ids.shape[0])
+        )  # [B, C, T']
+        t_hidden = td.decode(t_emb)  # [B, T', vocos_dim] (backbone output)
+
+    jd = CodecDecoder(
+        in_channels=10, num_quantizers=3, codebook_size=16, codebook_dim=4,
+        vocos_dim=12, vocos_intermediate_dim=24, vocos_num_layers=2,
+        n_fft=12, hop=6,
+    )
+    init = jd.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 6, 10)), method=CodecDecoder.decode
+    )
+    conv = codec_decoder_params_from_torch(td.state_dict())
+    params = {"params": {**init["params"], **conv["params"]}}
+
+    _, j_ids = jd.apply(params, j_lat, method=CodecDecoder.quantize)
+    np.testing.assert_array_equal(np.asarray(j_ids), t_ids.numpy())
+
+    j_emb = jd.apply(params, j_ids, method=CodecDecoder.vq2emb)
+    np.testing.assert_allclose(
+        np.asarray(j_emb), t_emb.numpy().transpose(0, 2, 1), atol=2e-5, rtol=1e-4
+    )
+
+    # the reference decode path stops at backbone hidden states; compare there
+    j_hidden = jd.apply(
+        params, j_emb, method=lambda m, x: m.backbone(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_hidden), t_hidden.numpy(), atol=2e-4, rtol=1e-3
+    )
+
+
+def _ada_norm(h, lin, cond):
+    """Reference LlamaAdaptiveRMSNorm math (llama_nar.py:35)."""
+    var = h.float().pow(2).mean(-1, keepdim=True)
+    hn = h * torch.rsqrt(var + 1e-6)
+    w = lin(cond)
+    if w.dim() == 2:
+        w = w.unsqueeze(1)
+    return w * hn
+
+
+def test_s2a_params_from_torch_parity():
+    """S2A converter vs an oracle rebuilt from current HF Llama blocks.
+
+    The reference DiffLlama (llama_nar.py:130) composes HF LlamaDecoderLayer
+    attention/MLP with adaptive RMSNorms and cond/diff-step MLPs; its custom
+    forward predates transformers 4.5x so the class itself can't run here —
+    the oracle below is the same computation on the current API.
+    """
+    tf = pytest.importorskip("transformers")
+    from transformers.models.llama.modeling_llama import (
+        LlamaAttention,
+        LlamaMLP,
+        LlamaRotaryEmbedding,
+    )
+
+    from maxtext_indextts2_tpu.audio.s2a import NARDenoiser, S2AConfig, S2AModel
+    from maxtext_indextts2_tpu.audio.torch_ckpt import s2a_params_from_torch
+
+    H, N, L, Q, K, CK = 32, 2, 2, 3, 16, 24
+    config = tf.LlamaConfig(
+        hidden_size=H, num_attention_heads=N, num_key_value_heads=N,
+        intermediate_size=4 * H, max_position_embeddings=64,
+        attn_implementation="eager", attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    attns = [LlamaAttention(config, layer_idx=i).eval() for i in range(L)]
+    mlps = [LlamaMLP(config).eval() for _ in range(L)]
+    in_norms = [torch.nn.Linear(H, H) for _ in range(L)]
+    post_norms = [torch.nn.Linear(H, H) for _ in range(L)]
+    final_norm = torch.nn.Linear(H, H)
+    c0, c1 = torch.nn.Linear(H, 4 * H), torch.nn.Linear(4 * H, H)
+    t0, t1 = torch.nn.Linear(H, 4 * H), torch.nn.Linear(4 * H, H)
+    for lin in in_norms + post_norms + [final_norm, c0, c1, t0, t1]:
+        torch.nn.init.normal_(lin.weight, std=0.2)
+        torch.nn.init.normal_(lin.bias, std=0.2)
+
+    rng = np.random.default_rng(3)
+    B, S = 2, 7
+    x = torch.from_numpy(rng.standard_normal((B, S, H)).astype(np.float32))
+    cond = torch.from_numpy(rng.standard_normal((B, S, H)).astype(np.float32))
+    t = torch.from_numpy(np.array([0.3, 0.8], np.float32))
+
+    # ---- torch oracle forward (reference DiffLlama.forward semantics) ----
+    import math
+
+    with torch.no_grad():
+        half = H // 2
+        emb = math.log(10000) / (half - 1)
+        freqs = torch.exp(torch.arange(half) * -emb)
+        ang = t[:, None] * freqs[None, :]
+        t_emb = torch.cat([ang.sin(), ang.cos()], dim=-1)
+        t_cond = t1(torch.nn.functional.silu(t0(t_emb)))
+        cond_e = c1(torch.nn.functional.silu(c0(cond)))
+
+        h = x + cond_e
+        pos = torch.arange(S)[None].expand(B, S)
+        rotary = LlamaRotaryEmbedding(config=config)
+        cos_sin = rotary(h, pos)
+        for i in range(L):
+            a, _ = attns[i](
+                _ada_norm(h, in_norms[i], t_cond),
+                position_embeddings=cos_sin,
+                attention_mask=None,
+            )
+            h = h + a
+            h = h + mlps[i](_ada_norm(h, post_norms[i], t_cond))
+        ref_out = _ada_norm(h, final_norm, t_cond).numpy()
+
+    # ---- reference-named state dict -> converter -> our denoiser ----
+    sd = {
+        "layer_emb.weight": rng.standard_normal((Q, H)).astype(np.float32),
+        "mask_emb.weight": rng.standard_normal((1, H)).astype(np.float32),
+        "cond_emb.weight": rng.standard_normal((CK, H)).astype(np.float32),
+    }
+    for l in range(Q):
+        sd[f"token_emb.{l}.weight"] = rng.standard_normal((K, H)).astype(np.float32)
+        sd[f"to_logits.{l}.weight"] = rng.standard_normal((K, H)).astype(np.float32)
+        sd[f"to_logits.{l}.bias"] = rng.standard_normal((K,)).astype(np.float32)
+    de = "diff_estimator."
+    for name, lin in [("cond_mlp.0", c0), ("cond_mlp.2", c1),
+                      ("diff_step_mlp.0", t0), ("diff_step_mlp.2", t1),
+                      ("norm.to_weight", final_norm)]:
+        sd[f"{de}{name}.weight"] = lin.weight.detach().numpy()
+        sd[f"{de}{name}.bias"] = lin.bias.detach().numpy()
+    for i in range(L):
+        pre = f"{de}layers.{i}"
+        for pn, mod in [("self_attn.q_proj", attns[i].q_proj),
+                        ("self_attn.k_proj", attns[i].k_proj),
+                        ("self_attn.v_proj", attns[i].v_proj),
+                        ("self_attn.o_proj", attns[i].o_proj),
+                        ("mlp.gate_proj", mlps[i].gate_proj),
+                        ("mlp.up_proj", mlps[i].up_proj),
+                        ("mlp.down_proj", mlps[i].down_proj)]:
+            sd[f"{pre}.{pn}.weight"] = mod.weight.detach().numpy()
+        for pn, lin in [("input_layernorm.to_weight", in_norms[i]),
+                        ("post_attention_layernorm.to_weight", post_norms[i])]:
+            sd[f"{pre}.{pn}.weight"] = lin.weight.detach().numpy()
+            sd[f"{pre}.{pn}.bias"] = lin.bias.detach().numpy()
+
+    params = s2a_params_from_torch(sd)
+    cfg = S2AConfig(num_quantizers=Q, hidden_size=H, num_layers=L, num_heads=N,
+                    codebook_size=K, cond_codebook_size=CK)
+    ours = NARDenoiser(cfg).apply(
+        {"params": params["params"]["denoiser"]},
+        jnp.asarray(x.numpy()), jnp.asarray(t.numpy()),
+        jnp.asarray(cond.numpy()), jnp.ones((B, S), jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=3e-5, rtol=1e-4)
+
+    # full-tree smoke: converted embeddings/heads drive compute_loss
+    model = S2AModel(cfg)
+    x0 = jnp.asarray(rng.integers(0, K, (B, S, Q)), jnp.int32)
+    cc = jnp.asarray(rng.integers(0, CK, (B, S)), jnp.int32)
+    loss, _ = model.apply(
+        params, x0, jnp.ones((B, S), jnp.int32), cc, jax.random.PRNGKey(0),
+        method=S2AModel.compute_loss,
+    )
+    assert np.isfinite(float(loss))
