@@ -63,6 +63,35 @@ class SemanticTokenizer:
         self.params = {**self.params, "encoder": p_enc}
         return self.params
 
+    def load_torch_repcodec(self, state_dict):
+        """Load a reference-format RepCodec torch state dict for the codec
+        half (reference: semantic_utils.py:27 build_semantic_codec)."""
+        from maxtext_indextts2_tpu.audio.torch_ckpt import repcodec_params_from_torch
+
+        if self.params is None:
+            self.init_params()
+        self.params = {
+            **self.params,
+            "repcodec": repcodec_params_from_torch(state_dict),
+        }
+        return self.params
+
+    def load_torch_weights(
+        self, encoder_state_dict, repcodec_state_dict, stats=None
+    ):
+        """One-call port of the reference semantic tokenizer's three weight
+        artifacts (semantic_utils.py:11-32): the HF Wav2Vec2BertModel state
+        dict, the RepCodec state dict, and the wav2vec2bert_stats.pt dict
+        ({"mean": [H], "var": [H]} — std is sqrt(var), semantic_utils.py:20).
+        """
+        mean = std = None
+        if stats is not None:
+            mean = np.asarray(stats["mean"], np.float32)
+            std = np.sqrt(np.asarray(stats["var"], np.float32))
+        self.load_hf_encoder(encoder_state_dict, mean, std)
+        self.load_torch_repcodec(repcodec_state_dict)
+        return self.params
+
     def _tokenize_impl(self, params, wav, wav_lengths):
         feats, feat_lengths = mel.w2vbert_features(wav, wav_lengths)
         pad_mask = (

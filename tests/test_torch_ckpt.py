@@ -167,6 +167,67 @@ def test_acoustic_codec_params_from_torch_parity():
     )
 
 
+def test_semantic_tokenizer_load_torch_weights_parity():
+    """Full semantic-tokenizer weight port (HF w2v-BERT encoder + stats +
+    RepCodec) vs the composed torch oracle (semantic_utils.py:72
+    extract_semantic_code: layer tap -> (x-mean)/sqrt(var) -> quantize),
+    driven from identical input features."""
+    tf = pytest.importorskip("transformers")
+    ref = load_ref_maskgct()
+    from maxtext_indextts2_tpu.audio import mel
+    from maxtext_indextts2_tpu.audio.conformer import ConformerConfig, SemanticEncoder
+    from maxtext_indextts2_tpu.audio.semantic_tokenizer import SemanticTokenizer
+
+    hf_cfg = tf.Wav2Vec2BertConfig(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=2,
+        intermediate_size=48, feature_projection_input_dim=160,
+        conv_depthwise_kernel_size=31, position_embeddings_type="relative_key",
+        left_max_position_embeddings=64, right_max_position_embeddings=8,
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        conformer_conv_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf = tf.Wav2Vec2BertModel(hf_cfg).eval()
+    trc = ref.repcodec_model.RepCodec(
+        codebook_size=32, hidden_size=32, codebook_dim=4, vocos_dim=12,
+        vocos_intermediate_dim=24, vocos_num_layers=2, num_quantizers=1,
+    ).eval()
+    rng = np.random.default_rng(4)
+    stats = {
+        "mean": rng.standard_normal(32).astype(np.float32),
+        "var": (0.5 + rng.random(32)).astype(np.float32),
+    }
+
+    tok = SemanticTokenizer(
+        encoder_cfg=ConformerConfig(
+            input_dim=160, hidden_size=32, num_layers=3, num_heads=2,
+            intermediate_size=48, output_layer=3,
+        ),
+        repcodec_kwargs=dict(codebook_size=32, codebook_dim=4, vocos_dim=12,
+                             vocos_intermediate_dim=24, vocos_num_layers=2,
+                             num_quantizers=1),
+    )
+    tok.load_torch_weights(
+        {k: v.numpy() for k, v in hf.state_dict().items()},
+        trc.state_dict(), stats,
+    )
+
+    wav = rng.standard_normal((1, 16000)).astype(np.float32)
+    ids, lens = tok.tokenize(wav, np.array([16000]))
+    n = int(lens[0])
+
+    feats, _ = mel.w2vbert_features(jnp.asarray(wav), jnp.array([16000]))
+    with torch.no_grad():
+        hid = hf(
+            torch.from_numpy(np.asarray(feats)), output_hidden_states=True
+        ).hidden_states[3]
+        normed = (hid - torch.from_numpy(stats["mean"])) / torch.sqrt(
+            torch.from_numpy(stats["var"])
+        )
+        ref_ids, _ = trc.quantize(normed)
+    np.testing.assert_array_equal(np.asarray(ids)[0, :n], ref_ids.numpy()[0, :n])
+
+
 def _ada_norm(h, lin, cond):
     """Reference LlamaAdaptiveRMSNorm math (llama_nar.py:35)."""
     var = h.float().pow(2).mean(-1, keepdim=True)
