@@ -66,6 +66,75 @@ class TTSPipeline:
             lambda params, wav: self.codec.apply(params, wav, method=self.codec.tokenize)
         )
 
+    # ------------------------------------------------------- weight porting
+    def load_torch_audio_weights(
+        self,
+        s2a_state_dict=None,
+        codec_encoder_state_dict=None,
+        codec_decoder_state_dict=None,
+        semantic_encoder_state_dict=None,
+        semantic_repcodec_state_dict=None,
+        semantic_stats=None,
+    ):
+        """Port reference torch checkpoints into the running pipeline.
+
+        Accepts any subset of the reference's audio weight artifacts
+        (converters in audio/torch_ckpt.py): the MaskGCT_S2A state dict, the
+        acoustic CodecEncoder/CodecDecoder state dicts, and the semantic
+        tokenizer trio (HF w2v-BERT state dict + RepCodec state dict +
+        wav2vec2bert_stats.pt dict). The acoustic decoder's ISTFT head has no
+        reference counterpart (the reference stops at backbone hidden
+        states, SURVEY.md §7) and keeps its current params.
+        """
+        from maxtext_indextts2_tpu.audio import torch_ckpt as tc
+
+        if s2a_state_dict is not None:
+            p = tc.s2a_params_from_torch(s2a_state_dict)
+            if self.s2a.cfg.int8_matmul == "offline":
+                from maxtext_indextts2_tpu.audio.s2a import quantize_s2a_params
+
+                t = 16
+                init_args = (
+                    jnp.zeros((1, t, self.s2a.cfg.num_quantizers), jnp.int32),
+                    jnp.ones((1, t), jnp.int32),
+                    jnp.zeros((1, t), jnp.int32),
+                    jax.random.PRNGKey(0),
+                )
+                p = quantize_s2a_params(p, self.s2a, init_args)
+            self.s2a_params = p
+        if codec_encoder_state_dict is not None:
+            enc = tc.codec_encoder_params_from_torch(
+                codec_encoder_state_dict, num_blocks=len(self.codec.strides)
+            )
+            self.codec_params = {
+                "params": {**self.codec_params["params"], "encoder": enc["params"]}
+            }
+        if codec_decoder_state_dict is not None:
+            dec = tc.codec_decoder_params_from_torch(codec_decoder_state_dict)
+            merged = {**self.codec_params["params"]["decoder"], **dec["params"]}
+            self.codec_params = {
+                "params": {**self.codec_params["params"], "decoder": merged}
+            }
+        if semantic_encoder_state_dict is not None or semantic_repcodec_state_dict is not None:
+            if semantic_encoder_state_dict is not None and semantic_repcodec_state_dict is not None:
+                self.semantic_tokenizer.load_torch_weights(
+                    semantic_encoder_state_dict,
+                    semantic_repcodec_state_dict,
+                    semantic_stats,
+                )
+            elif semantic_encoder_state_dict is not None:
+                mean = std = None
+                if semantic_stats is not None:
+                    mean = np.asarray(semantic_stats["mean"], np.float32)
+                    std = np.sqrt(np.asarray(semantic_stats["var"], np.float32))
+                self.semantic_tokenizer.load_hf_encoder(
+                    semantic_encoder_state_dict, mean, std
+                )
+            else:
+                self.semantic_tokenizer.load_torch_repcodec(
+                    semantic_repcodec_state_dict
+                )
+
     # ------------------------------------------------------------ stages
     def text_and_prompt_to_lm_prompt(self, text: str, prompt_semantic: np.ndarray) -> np.ndarray:
         m = self.mapping
