@@ -7,14 +7,19 @@ accepted everywhere for pipeline-to-pipeline use.
 
 Usage:
   python -m maxtext_indextts2_tpu.audio.cli tokenize input=<wav|npy> \
-      [out=<npy>] [key=value ...]
+      [out=<npy>] [w2vbert=<pt|HF dir>] [repcodec=<pt>] [stats=<pt>] \
+      [key=value ...]
   python -m maxtext_indextts2_tpu.audio.cli synthesize text="..." \
       prompt=<wav|npy 16k> [prompt24k=<wav|npy 24k>] [out=<wav>] \
-      [max_new_tokens=N] [key=value ...]
+      [max_new_tokens=N] [s2a=<pt>] [codec_encoder=<pt>] [codec_decoder=<pt>] \
+      [w2vbert=<pt|HF dir>] [repcodec=<pt>] [stats=<pt>] [key=value ...]
 
-Without trained checkpoints this runs the tiny random-weight pipeline —
-useful for shape/latency smoke tests; pass checkpoint paths via the usual
-config keys for real synthesis.
+Reference torch checkpoints load directly: ``w2vbert`` is a HF
+Wav2Vec2BertModel state dict (or a from_pretrained directory), ``repcodec``
+the RepCodec state dict, ``stats`` the wav2vec2bert_stats.pt mean/var dict,
+``s2a``/``codec_*`` the MaskGCT_S2A / acoustic codec state dicts
+(audio/torch_ckpt.py converters). Without checkpoints this runs the tiny
+random-weight pipeline — useful for shape/latency smoke tests.
 """
 
 from __future__ import annotations
@@ -63,13 +68,84 @@ def _parse(argv):
         if "=" in a:
             k, _, v = a.partition("=")
             if k in ("input", "out", "text", "prompt", "prompt24k",
-                     "max_new_tokens"):
+                     "max_new_tokens", "w2vbert", "repcodec", "stats",
+                     "s2a", "codec_encoder", "codec_decoder"):
                 kv[k] = v
             else:
                 keep.append(a)
         else:
             keep.append(a)
     return kv, keep
+
+
+def _load_torch(path: str) -> dict:
+    """Load a torch checkpoint as a flat {name: tensor} state dict.
+
+    Unwraps the common {"state_dict"|"model": ...} containers and strips
+    DataParallel "module." prefixes.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    return {k.removeprefix("module."): v for k, v in obj.items()}
+
+
+def _build_semantic_tokenizer(kv):
+    """Semantic tokenizer from CLI flags: real w2v-bert-2.0 scale when torch
+    weights are given, tiny random-weight otherwise."""
+    from maxtext_indextts2_tpu.audio.conformer import ConformerConfig
+    from maxtext_indextts2_tpu.audio.semantic_tokenizer import SemanticTokenizer
+
+    if kv.get("w2vbert") or kv.get("repcodec"):
+        from maxtext_indextts2_tpu.audio.conformer import config_from_hf_state_dict
+        from maxtext_indextts2_tpu.audio.torch_ckpt import repcodec_kwargs_from_torch
+
+        enc_sd = rep_sd = None
+        if kv.get("w2vbert"):
+            import os
+
+            if os.path.isdir(kv["w2vbert"]):
+                import transformers
+
+                enc_sd = transformers.Wav2Vec2BertModel.from_pretrained(
+                    kv["w2vbert"]
+                ).state_dict()
+            else:
+                enc_sd = _load_torch(kv["w2vbert"])
+        if kv.get("repcodec"):
+            rep_sd = _load_torch(kv["repcodec"])
+
+        # model dims come from the checkpoints themselves
+        enc_cfg = config_from_hf_state_dict(enc_sd) if enc_sd is not None else None
+        rep_kwargs = None
+        if rep_sd is not None:
+            rep_kwargs = repcodec_kwargs_from_torch(rep_sd)
+            rep_kwargs.pop("hidden_size")  # tied to encoder hidden size
+        tok = SemanticTokenizer(encoder_cfg=enc_cfg, repcodec_kwargs=rep_kwargs)
+        stats = _load_torch(kv["stats"]) if kv.get("stats") else None
+        if enc_sd is not None:
+            mean = std = None
+            if stats is not None:
+                mean = np.asarray(stats["mean"], np.float32)
+                std = np.sqrt(np.asarray(stats["var"], np.float32))
+            tok.load_hf_encoder(enc_sd, mean, std)
+        if rep_sd is not None:
+            tok.load_torch_repcodec(rep_sd)
+        return tok
+
+    tok = SemanticTokenizer(
+        encoder_cfg=ConformerConfig(
+            hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=256, output_layer=2,
+        ),
+        repcodec_kwargs=dict(codebook_size=8192, vocos_dim=64,
+                             vocos_intermediate_dim=128, vocos_num_layers=2),
+    )
+    tok.init_params()
+    return tok
 
 
 TINY_CFG = [
@@ -85,20 +161,9 @@ TINY_CFG = [
 
 
 def tokenize(argv):
-    from maxtext_indextts2_tpu.audio.conformer import ConformerConfig
-    from maxtext_indextts2_tpu.audio.semantic_tokenizer import SemanticTokenizer
-
     kv, _ = _parse(argv)
     wav = _read_wav(kv["input"], 16000)
-    tok = SemanticTokenizer(
-        encoder_cfg=ConformerConfig(
-            hidden_size=64, num_layers=2, num_heads=4,
-            intermediate_size=256, output_layer=2,
-        ),
-        repcodec_kwargs=dict(codebook_size=8192, vocos_dim=64,
-                             vocos_intermediate_dim=128, vocos_num_layers=2),
-    )
-    tok.init_params()
+    tok = _build_semantic_tokenizer(kv)
     codes, lengths = tok.tokenize(wav[None])
     codes = np.asarray(codes)[0, : int(np.asarray(lengths)[0])]
     if kv.get("out"):
@@ -128,6 +193,24 @@ def synthesize(argv):
         ).astype(np.float32)
     )
     pipe = build_tiny_pipeline(cfg)
+    if any(kv.get(k) for k in ("s2a", "codec_encoder", "codec_decoder",
+                               "w2vbert", "repcodec")):
+        pipe.load_torch_audio_weights(
+            s2a_state_dict=_load_torch(kv["s2a"]) if kv.get("s2a") else None,
+            codec_encoder_state_dict=(
+                _load_torch(kv["codec_encoder"]) if kv.get("codec_encoder") else None
+            ),
+            codec_decoder_state_dict=(
+                _load_torch(kv["codec_decoder"]) if kv.get("codec_decoder") else None
+            ),
+            semantic_encoder_state_dict=(
+                _load_torch(kv["w2vbert"]) if kv.get("w2vbert") else None
+            ),
+            semantic_repcodec_state_dict=(
+                _load_torch(kv["repcodec"]) if kv.get("repcodec") else None
+            ),
+            semantic_stats=_load_torch(kv["stats"]) if kv.get("stats") else None,
+        )
     wav, info = pipe.synthesize(
         kv.get("text", ""), wav16, wav24,
         max_new_tokens=int(kv.get("max_new_tokens", 64)),

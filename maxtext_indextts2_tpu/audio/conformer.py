@@ -147,6 +147,37 @@ class ConformerEncoder(nn.Module):
         return x
 
 
+def config_from_hf_state_dict(state_dict, output_layer: int = 17) -> ConformerConfig:
+    """Infer a ConformerConfig from a HF Wav2Vec2BertModel state dict.
+
+    Every field is recoverable from weight shapes: head count via the
+    relative-position ``distance_embedding`` (rows = left+right+1, cols =
+    head_dim); the left/right split itself is not, so the w2v-bert-2.0
+    convention (right=8, semantic_utils.py's checkpoint) is assumed.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    proj = sd["feature_projection.projection.weight"]  # [hidden, input]
+    hidden, input_dim = proj.shape
+    num_layers = 0
+    while f"encoder.layers.{num_layers}.final_layer_norm.weight" in sd:
+        num_layers += 1
+    dist = sd["encoder.layers.0.self_attn.distance_embedding.weight"]
+    head_dim = dist.shape[1]
+    right = 8 if dist.shape[0] > 9 else 1
+    left = dist.shape[0] - 1 - right
+    return ConformerConfig(
+        input_dim=input_dim,
+        hidden_size=hidden,
+        num_layers=num_layers,
+        num_heads=hidden // head_dim,
+        intermediate_size=sd["encoder.layers.0.ffn1.intermediate_dense.weight"].shape[0],
+        conv_kernel_size=sd["encoder.layers.0.conv_module.depthwise_conv.weight"].shape[-1],
+        left_max_distance=left,
+        right_max_distance=right,
+        output_layer=min(output_layer, num_layers),
+    )
+
+
 def params_from_hf(state_dict, cfg: ConformerConfig,
                    stat_mean=None, stat_std=None):
     """Convert a HF ``Wav2Vec2BertModel`` state dict (name -> array; torch

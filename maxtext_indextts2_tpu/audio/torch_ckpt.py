@@ -153,6 +153,28 @@ def _as_jax(tree):
     return {"params": jax.tree.map(jnp.asarray, tree)}
 
 
+def repcodec_kwargs_from_torch(state_dict) -> dict:
+    """Infer RepCodec constructor kwargs from a reference state dict."""
+    sd = _np({k: v for k, v in state_dict.items() if "parametriz" not in k})
+    cb = sd["quantizer.quantizers.0.codebook.weight"]
+    hidden, vocos_dim = sd["encoder.1.weight"].shape
+    num_layers = 0
+    while f"encoder.0.convnext.{num_layers}.gamma" in sd:
+        num_layers += 1
+    nq = 0
+    while f"quantizer.quantizers.{nq}.codebook.weight" in sd:
+        nq += 1
+    return dict(
+        hidden_size=hidden,
+        codebook_size=cb.shape[0],
+        codebook_dim=cb.shape[1],
+        vocos_dim=vocos_dim,
+        vocos_intermediate_dim=sd["encoder.0.convnext.0.pwconv1.weight"].shape[0],
+        vocos_num_layers=num_layers,
+        num_quantizers=nq,
+    )
+
+
 def repcodec_params_from_torch(state_dict) -> dict:
     """RepCodec state dict -> params for audio/repcodec.py RepCodec.
 

@@ -281,6 +281,63 @@ def test_semantic_tokenizer_load_torch_weights_parity():
     np.testing.assert_array_equal(np.asarray(ids)[0, :n], ref_ids.numpy()[0, :n])
 
 
+def test_cli_tokenize_with_torch_checkpoints(tmp_path, capsys):
+    """audio.cli tokenize loads reference torch checkpoints from disk and
+    infers the model dims from the state dicts themselves."""
+    import json
+
+    tf = pytest.importorskip("transformers")
+    ref = load_ref_maskgct()
+    from maxtext_indextts2_tpu.audio import cli
+
+    hf_cfg = tf.Wav2Vec2BertConfig(
+        hidden_size=32, num_hidden_layers=3, num_attention_heads=2,
+        intermediate_size=48, feature_projection_input_dim=160,
+        conv_depthwise_kernel_size=31, position_embeddings_type="relative_key",
+        left_max_position_embeddings=64, right_max_position_embeddings=8,
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        conformer_conv_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    hf = tf.Wav2Vec2BertModel(hf_cfg).eval()
+    trc = ref.repcodec_model.RepCodec(
+        codebook_size=32, hidden_size=32, codebook_dim=4, vocos_dim=12,
+        vocos_intermediate_dim=24, vocos_num_layers=2, num_quantizers=1,
+    ).eval()
+    rng = np.random.default_rng(6)
+    paths = {
+        "w2vbert": tmp_path / "w2vbert.pt",
+        "repcodec": tmp_path / "repcodec.pt",
+        "stats": tmp_path / "stats.pt",
+    }
+    torch.save(hf.state_dict(), paths["w2vbert"])
+    torch.save(trc.state_dict(), paths["repcodec"])
+    torch.save(
+        {"mean": torch.zeros(32), "var": torch.ones(32)}, paths["stats"]
+    )
+    wav_path = tmp_path / "in.npy"
+    np.save(wav_path, rng.standard_normal(16000).astype(np.float32))
+    out_path = tmp_path / "codes.npy"
+
+    cli.tokenize([
+        f"input={wav_path}", f"out={out_path}",
+        f"w2vbert={paths['w2vbert']}", f"repcodec={paths['repcodec']}",
+        f"stats={paths['stats']}",
+    ])
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    codes = np.load(out_path)
+    assert info["n_tokens"] == len(codes) > 0
+    assert codes.min() >= 0 and codes.max() < 32
+
+    # dims really came from the checkpoints (tap clipped to 3 layers)
+    from maxtext_indextts2_tpu.audio.conformer import config_from_hf_state_dict
+
+    cfg = config_from_hf_state_dict(hf.state_dict())
+    assert (cfg.hidden_size, cfg.num_layers, cfg.num_heads, cfg.output_layer) == (
+        32, 3, 2, 3,
+    )
+
+
 def _ada_norm(h, lin, cond):
     """Reference LlamaAdaptiveRMSNorm math (llama_nar.py:35)."""
     var = h.float().pow(2).mean(-1, keepdim=True)
