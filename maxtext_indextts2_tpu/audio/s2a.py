@@ -425,6 +425,50 @@ class NARDenoiser(nn.Module):
         return AdaptiveRMSNorm(cfg.hidden_size, name="final_norm")(x, t_cond)
 
 
+class PrefixNARDenoiser(nn.Module):
+    """Phone-conditioned prefix denoiser (reference DiffLlamaPrefix,
+    llama_nar.py:355): the condition is MLP'd and CONCATENATED as an
+    attention prefix (not added elementwise like DiffLlama); the output
+    drops the prefix rows. ``use_phone_cond=False`` degenerates to an
+    unconditional non-causal denoiser."""
+
+    cfg: S2AConfig
+    use_phone_cond: bool = True
+
+    @nn.compact
+    def __call__(self, x, t, phone_emb=None, x_mask=None, phone_mask=None,
+                 all_valid: bool = False):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        if x_mask is None:
+            x_mask = jnp.ones((b, s), jnp.int32)
+        t_emb = sinusoidal_time_emb(t, cfg.hidden_size)
+        t_cond = nn.Sequential(
+            [nn.Dense(cfg.hidden_size * 4, name="t0"), jax.nn.silu,
+             nn.Dense(cfg.hidden_size, name="t1")], name="diff_step_mlp",
+        )(t_emb)
+
+        p = 0
+        pad_mask = x_mask
+        if self.use_phone_cond and phone_emb is not None:
+            cond = nn.Sequential(
+                [nn.Dense(cfg.hidden_size * 4, name="c0"), jax.nn.silu,
+                 nn.Dense(cfg.hidden_size, name="c1")], name="cond_mlp",
+            )(phone_emb)
+            p = cond.shape[1]
+            if phone_mask is None:
+                phone_mask = jnp.ones((b, p), jnp.int32)
+            x = jnp.concatenate([cond.astype(x.dtype), x], axis=1)
+            pad_mask = jnp.concatenate(
+                [phone_mask.astype(x_mask.dtype), x_mask], axis=1
+            )
+
+        for i in range(cfg.num_layers):
+            x = NARBlock(cfg, name=f"layers_{i}")(x, t_cond, pad_mask, all_valid)
+        x = AdaptiveRMSNorm(cfg.hidden_size, name="final_norm")(x, t_cond)
+        return x[:, p:]
+
+
 def _kth_largest(x, k: int):
     """Exact k-th largest along the last axis, as [..., 1].
 

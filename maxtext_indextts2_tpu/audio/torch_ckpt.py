@@ -255,33 +255,21 @@ def codec_decoder_params_from_torch(state_dict) -> dict:
     )
 
 
-def s2a_params_from_torch(state_dict) -> dict:
-    """MaskGCT_S2A state dict -> params for audio/s2a.py S2AModel.
-
-    Reference layout (maskgct_s2a.py:112-135 + llama_nar.py:130-180):
-    per-quantizer ``token_emb.{l}``/``to_logits.{l}`` modules (stacked here
-    into [Q,...] arrays), ``mask_emb`` a 1-row Embedding (squeezed here), and
-    the ``diff_estimator`` DiffLlama with HF-Llama q/k/v/o + gate/up/down
-    projections (q/k/v fused into one ``qkv`` kernel here), adaptive
-    RMSNorms (``to_weight`` Linear each), and cond/diff-step MLPs.
-    """
-    sd = _np(state_dict)
-
-    q = 0
-    while f"token_emb.{q}.weight" in sd:
-        q += 1
-
-    de = "diff_estimator."
+def _diffllama(sd: dict, prefix: str) -> dict:
+    """DiffLlama/DiffLlamaPrefix weights under ``prefix`` -> NARDenoiser /
+    PrefixNARDenoiser param tree (llama_nar.py:130,355). cond_mlp is
+    optional (DiffLlamaPrefix with use_phone_cond=False has none)."""
     denoiser = {
-        "c0": _dense(sd, f"{de}cond_mlp.0"),
-        "c1": _dense(sd, f"{de}cond_mlp.2"),
-        "t0": _dense(sd, f"{de}diff_step_mlp.0"),
-        "t1": _dense(sd, f"{de}diff_step_mlp.2"),
-        "final_norm": {"to_weight": _dense(sd, f"{de}norm.to_weight")},
+        "t0": _dense(sd, f"{prefix}diff_step_mlp.0"),
+        "t1": _dense(sd, f"{prefix}diff_step_mlp.2"),
+        "final_norm": {"to_weight": _dense(sd, f"{prefix}norm.to_weight")},
     }
+    if f"{prefix}cond_mlp.0.weight" in sd:
+        denoiser["c0"] = _dense(sd, f"{prefix}cond_mlp.0")
+        denoiser["c1"] = _dense(sd, f"{prefix}cond_mlp.2")
     i = 0
-    while f"{de}layers.{i}.self_attn.q_proj.weight" in sd:
-        L = f"{de}layers.{i}"
+    while f"{prefix}layers.{i}.self_attn.q_proj.weight" in sd:
+        L = f"{prefix}layers.{i}"
         qkv = np.concatenate(
             [
                 sd[f"{L}.self_attn.q_proj.weight"].T,
@@ -302,7 +290,31 @@ def s2a_params_from_torch(state_dict) -> dict:
             },
         }
         i += 1
+    return denoiser
 
+
+def diffllama_params_from_torch(state_dict, prefix: str = "") -> dict:
+    """Standalone DiffLlama/DiffLlamaPrefix state dict -> denoiser params."""
+    return _as_jax(_diffllama(_np(state_dict), prefix))
+
+
+def s2a_params_from_torch(state_dict) -> dict:
+    """MaskGCT_S2A state dict -> params for audio/s2a.py S2AModel.
+
+    Reference layout (maskgct_s2a.py:112-135 + llama_nar.py:130-180):
+    per-quantizer ``token_emb.{l}``/``to_logits.{l}`` modules (stacked here
+    into [Q,...] arrays), ``mask_emb`` a 1-row Embedding (squeezed here), and
+    the ``diff_estimator`` DiffLlama with HF-Llama q/k/v/o + gate/up/down
+    projections (q/k/v fused into one ``qkv`` kernel here), adaptive
+    RMSNorms (``to_weight`` Linear each), and cond/diff-step MLPs.
+    """
+    sd = _np(state_dict)
+
+    q = 0
+    while f"token_emb.{q}.weight" in sd:
+        q += 1
+
+    denoiser = _diffllama(sd, "diff_estimator.")
     return _as_jax(
         {
             "layer_emb": sd["layer_emb.weight"],

@@ -457,6 +457,39 @@ def test_s2a_params_from_torch_parity():
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=3e-5, rtol=1e-4)
 
+    # prefix variant (reference DiffLlamaPrefix, llama_nar.py:355): same
+    # blocks, condition CONCATENATED as an attention prefix, output sliced
+    from maxtext_indextts2_tpu.audio.s2a import PrefixNARDenoiser
+    from maxtext_indextts2_tpu.audio.torch_ckpt import diffllama_params_from_torch
+
+    P = 4
+    phone = torch.from_numpy(rng.standard_normal((B, P, H)).astype(np.float32))
+    with torch.no_grad():
+        cond_e = c1(torch.nn.functional.silu(c0(phone)))
+        h = torch.cat([cond_e, x], dim=1)
+        pos_p = torch.arange(P + S)[None].expand(B, P + S)
+        cos_sin_p = rotary(h, pos_p)
+        for i in range(L):
+            a, _ = attns[i](
+                _ada_norm(h, in_norms[i], t_cond),
+                position_embeddings=cos_sin_p,
+                attention_mask=None,
+            )
+            h = h + a
+            h = h + mlps[i](_ada_norm(h, post_norms[i], t_cond))
+        ref_prefix = _ada_norm(h, final_norm, t_cond).numpy()[:, P:]
+
+    sd_plain = {k.removeprefix("diff_estimator."): v for k, v in sd.items()
+                if k.startswith("diff_estimator.")}
+    pd = diffllama_params_from_torch(sd_plain)
+    ours_prefix = PrefixNARDenoiser(cfg).apply(
+        pd, jnp.asarray(x.numpy()), jnp.asarray(t.numpy()),
+        jnp.asarray(phone.numpy()),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_prefix), ref_prefix, atol=3e-5, rtol=1e-4
+    )
+
     # full-tree smoke: converted embeddings/heads drive compute_loss
     model = S2AModel(cfg)
     x0 = jnp.asarray(rng.integers(0, K, (B, S, Q)), jnp.int32)
