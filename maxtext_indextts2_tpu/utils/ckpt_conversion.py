@@ -151,6 +151,63 @@ def convert_framework_to_hf_llama(params: dict, cfg: Config) -> dict:
     return sd
 
 
+def convert_framework_to_hf_mixtral(
+    params: dict, cfg: Config, hf_vocab_size: int | None = None
+) -> dict:
+    """Inverse: framework Mixtral params -> HF state dict (reference
+    llama_mistral_mixtral_orbax_to_hf covers the same export direction).
+    ``hf_vocab_size`` trims rows the import path padded."""
+    import flax
+
+    p = params.get("params", params)
+    flat = flax.traverse_util.flatten_dict(p)
+    L = cfg.num_decoder_layers
+    E = cfg.emb_dim
+    nq, nkv, hd = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
+    n_exp = cfg.num_experts
+    v = hf_vocab_size or cfg.vocab_size
+
+    def g(*path):
+        return np.asarray(flat[path])
+
+    sd = {
+        "model.embed_tokens.weight": g("token_embedder", "embedding")[:v],
+        "model.norm.weight": g("decoder_norm", "scale"),
+        "lm_head.weight": g("logits_dense", "kernel").T[:v].copy(),
+    }
+    for i in range(L):
+        pre = f"model.layers.{i}."
+        sd[pre + "self_attn.q_proj.weight"] = (
+            g("decoder", "layers", "self_attention_0", "query", "kernel")[i]
+            .reshape(E, nq * hd).T.copy()
+        )
+        sd[pre + "self_attn.k_proj.weight"] = (
+            g("decoder", "layers", "self_attention_0", "key", "kernel")[i]
+            .reshape(E, nkv * hd).T.copy()
+        )
+        sd[pre + "self_attn.v_proj.weight"] = (
+            g("decoder", "layers", "self_attention_0", "value", "kernel")[i]
+            .reshape(E, nkv * hd).T.copy()
+        )
+        sd[pre + "self_attn.o_proj.weight"] = (
+            g("decoder", "layers", "self_attention_0", "out", "kernel")[i]
+            .reshape(nq * hd, E).T.copy()
+        )
+        sd[pre + "block_sparse_moe.gate.weight"] = (
+            g("decoder", "layers", "moe_0", "gate", "kernel")[i].T.copy()
+        )
+        for e in range(n_exp):
+            epre = f"{pre}block_sparse_moe.experts.{e}."
+            sd[epre + "w1.weight"] = g("decoder", "layers", "moe_0", "wi_0")[i, e].T.copy()
+            sd[epre + "w3.weight"] = g("decoder", "layers", "moe_0", "wi_1")[i, e].T.copy()
+            sd[epre + "w2.weight"] = g("decoder", "layers", "moe_0", "wo")[i, e].T.copy()
+        sd[pre + "input_layernorm.weight"] = g(
+            "decoder", "layers", "pre_self_attention_norm_0", "scale")[i]
+        sd[pre + "post_attention_layernorm.weight"] = g(
+            "decoder", "layers", "pre_mlp_norm_0", "scale")[i]
+    return sd
+
+
 def main(argv=None):
     """CLI: convert a local HF checkpoint dir to a params-only Orbax ckpt."""
     import argparse

@@ -772,3 +772,42 @@ def test_mistral_logits_parity():
     ours = np.asarray(model.apply(params, jnp.asarray(tokens), positions, segs))
     np.testing.assert_array_equal(ref.argmax(-1), ours.argmax(-1))
     assert np.abs(ref - ours).max() < 2e-3
+
+
+def test_mixtral_roundtrip_hf_framework_hf():
+    """framework -> HF export for Mixtral (reference
+    llama_mistral_mixtral_orbax_to_hf direction): exact round trip of every
+    tensor including stacked expert weights."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_framework_to_hf_mixtral,
+        convert_hf_mixtral_to_framework,
+    )
+
+    hf_cfg = MixtralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        sliding_window=None, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    hf = MixtralForCausalLM(hf_cfg).eval()
+    cfg = load_config([
+        "decoder_block=mixtral", "base_emb_dim=64", "base_mlp_dim=128",
+        "moe_mlp_dim=128", "base_num_decoder_layers=2",
+        "base_num_query_heads=4", "base_num_kv_heads=2", "head_dim=16",
+        "vocab_size=256", "max_target_length=32",
+        "num_experts=4", "num_experts_per_tok=2",
+        "dtype=float32", "weight_dtype=float32",
+    ])
+    params = convert_hf_mixtral_to_framework(hf.state_dict(), cfg)
+    sd = convert_framework_to_hf_mixtral(params, cfg)
+    ref_sd = hf.state_dict()
+    missing = {k for k in ref_sd if k not in sd and "rotary" not in k}
+    assert not missing, missing
+    for k, v in sd.items():
+        np.testing.assert_allclose(
+            np.asarray(v), ref_sd[k].float().numpy(), atol=1e-6, err_msg=k
+        )
