@@ -104,8 +104,15 @@ def _pad_vocab(emb: np.ndarray, vocab_size: int) -> np.ndarray:
     return out
 
 
-def convert_framework_to_hf_llama(params: dict, cfg: Config) -> dict:
-    """Inverse: framework (scanned) params -> HF llama-style state dict."""
+def convert_framework_to_hf_llama(
+    params: dict, cfg: Config, hf_vocab_size: int | None = None
+) -> dict:
+    """Inverse: framework (scanned) params -> HF llama-style state dict.
+
+    Also covers mistral (identical naming) and qwen3 (per-head q/k norms
+    exported when present) — the reference's to_huggingface.py +
+    llama_mistral_mixtral_orbax_to_hf export surface. ``hf_vocab_size``
+    trims rows the import path padded."""
     import flax
 
     p = params.get("params", params)
@@ -113,16 +120,18 @@ def convert_framework_to_hf_llama(params: dict, cfg: Config) -> dict:
     L = cfg.num_decoder_layers
     E = cfg.emb_dim
     nq, nkv, hd = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
+    v = hf_vocab_size or cfg.vocab_size
 
     def g(*path):
         return np.asarray(flat[path])
 
     sd = {
-        "model.embed_tokens.weight": g("token_embedder", "embedding"),
+        "model.embed_tokens.weight": g("token_embedder", "embedding")[:v],
         "model.norm.weight": g("decoder_norm", "scale"),
     }
     if ("logits_dense", "kernel") in flat:
-        sd["lm_head.weight"] = g("logits_dense", "kernel").T.copy()
+        sd["lm_head.weight"] = g("logits_dense", "kernel").T[:v].copy()
+    has_qk_norm = ("decoder", "layers", "self_attention_0", "query_norm", "scale") in flat
     for i in range(L):
         pre = f"model.layers.{i}."
         sd[pre + "self_attn.q_proj.weight"] = (
@@ -141,6 +150,11 @@ def convert_framework_to_hf_llama(params: dict, cfg: Config) -> dict:
             g("decoder", "layers", "self_attention_0", "out", "kernel")[i]
             .reshape(nq * hd, E).T.copy()
         )
+        if has_qk_norm:
+            sd[pre + "self_attn.q_norm.weight"] = g(
+                "decoder", "layers", "self_attention_0", "query_norm", "scale")[i]
+            sd[pre + "self_attn.k_norm.weight"] = g(
+                "decoder", "layers", "self_attention_0", "key_norm", "scale")[i]
         sd[pre + "mlp.gate_proj.weight"] = g("decoder", "layers", "mlp_0", "wi_0", "kernel")[i].T.copy()
         sd[pre + "mlp.up_proj.weight"] = g("decoder", "layers", "mlp_0", "wi_1", "kernel")[i].T.copy()
         sd[pre + "mlp.down_proj.weight"] = g("decoder", "layers", "mlp_0", "wo", "kernel")[i].T.copy()
@@ -149,6 +163,80 @@ def convert_framework_to_hf_llama(params: dict, cfg: Config) -> dict:
         sd[pre + "post_attention_layernorm.weight"] = g(
             "decoder", "layers", "pre_mlp_norm_0", "scale")[i]
     return sd
+
+
+def _export_gemma_grouped(
+    params: dict, cfg: Config, group: int, qk_norm: bool,
+    hf_vocab_size: int | None,
+) -> dict:
+    """Shared gemma2 (group=2) / gemma3 (group=6, qk norms) export: framework
+    scan units of `group` sublayers -> HF flat layer list, sandwich norms,
+    tied embeddings (no lm_head) — the reference to_huggingface.py surface."""
+    import flax
+
+    p = params.get("params", params)
+    flat = flax.traverse_util.flatten_dict(p)
+    L = cfg.num_decoder_layers
+    E = cfg.emb_dim
+    nq, nkv, hd = cfg.num_query_heads, cfg.num_kv_heads, cfg.head_dim
+    v = hf_vocab_size or cfg.vocab_size
+
+    def g(*path):
+        return np.asarray(flat[path])
+
+    sd = {
+        "model.embed_tokens.weight": g("token_embedder", "embedding")[:v],
+        "model.norm.weight": g("decoder_norm", "scale"),
+    }
+    for i in range(L):
+        u, sub = divmod(i, group)
+        a = f"self_attention_{sub}"
+        pre = f"model.layers.{i}."
+        sd[pre + "self_attn.q_proj.weight"] = (
+            g("decoder", "layers", a, "query", "kernel")[u]
+            .reshape(E, nq * hd).T.copy()
+        )
+        sd[pre + "self_attn.k_proj.weight"] = (
+            g("decoder", "layers", a, "key", "kernel")[u]
+            .reshape(E, nkv * hd).T.copy()
+        )
+        sd[pre + "self_attn.v_proj.weight"] = (
+            g("decoder", "layers", a, "value", "kernel")[u]
+            .reshape(E, nkv * hd).T.copy()
+        )
+        sd[pre + "self_attn.o_proj.weight"] = (
+            g("decoder", "layers", a, "out", "kernel")[u]
+            .reshape(nq * hd, E).T.copy()
+        )
+        if qk_norm:
+            sd[pre + "self_attn.q_norm.weight"] = g("decoder", "layers", a, "query_norm", "scale")[u]
+            sd[pre + "self_attn.k_norm.weight"] = g("decoder", "layers", a, "key_norm", "scale")[u]
+        sd[pre + "mlp.gate_proj.weight"] = g("decoder", "layers", f"mlp_{sub}", "wi_0", "kernel")[u].T.copy()
+        sd[pre + "mlp.up_proj.weight"] = g("decoder", "layers", f"mlp_{sub}", "wi_1", "kernel")[u].T.copy()
+        sd[pre + "mlp.down_proj.weight"] = g("decoder", "layers", f"mlp_{sub}", "wo", "kernel")[u].T.copy()
+        sd[pre + "input_layernorm.weight"] = g(
+            "decoder", "layers", f"pre_self_attention_norm_{sub}", "scale")[u]
+        sd[pre + "post_attention_layernorm.weight"] = g(
+            "decoder", "layers", f"post_self_attention_norm_{sub}", "scale")[u]
+        sd[pre + "pre_feedforward_layernorm.weight"] = g(
+            "decoder", "layers", f"pre_mlp_norm_{sub}", "scale")[u]
+        sd[pre + "post_feedforward_layernorm.weight"] = g(
+            "decoder", "layers", f"post_ffw_norm_{sub}", "scale")[u]
+    return sd
+
+
+def convert_framework_to_hf_gemma2(
+    params: dict, cfg: Config, hf_vocab_size: int | None = None
+) -> dict:
+    """Inverse of convert_hf_gemma2_to_framework."""
+    return _export_gemma_grouped(params, cfg, 2, False, hf_vocab_size)
+
+
+def convert_framework_to_hf_gemma3(
+    params: dict, cfg: Config, hf_vocab_size: int | None = None
+) -> dict:
+    """Inverse of convert_hf_gemma3_to_framework (text model)."""
+    return _export_gemma_grouped(params, cfg, 6, True, hf_vocab_size)
 
 
 def convert_framework_to_hf_mixtral(

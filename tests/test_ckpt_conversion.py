@@ -811,3 +811,78 @@ def test_mixtral_roundtrip_hf_framework_hf():
         np.testing.assert_allclose(
             np.asarray(v), ref_sd[k].float().numpy(), atol=1e-6, err_msg=k
         )
+
+
+def test_gemma2_gemma3_qwen3_roundtrip_to_hf():
+    """framework -> HF exports for gemma2/gemma3/qwen3 (the reference
+    to_huggingface.py family list): exact tensor round trips."""
+    from transformers import (
+        Gemma2Config, Gemma2ForCausalLM, Gemma3ForCausalLM, Gemma3TextConfig,
+        Qwen3Config, Qwen3ForCausalLM,
+    )
+
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_framework_to_hf_gemma2,
+        convert_framework_to_hf_gemma3,
+        convert_framework_to_hf_llama,
+        convert_hf_gemma2_to_framework,
+        convert_hf_gemma3_to_framework,
+        convert_hf_llama_to_framework,
+    )
+
+    def check(hf, params, export, cfg, tied):
+        sd = export(params, cfg)
+        ref_sd = {k: v for k, v in hf.state_dict().items() if "rotary" not in k}
+        if tied:
+            ref_sd.pop("lm_head.weight", None)
+        missing = set(ref_sd) - set(sd)
+        assert not missing, missing
+        for k, v in sd.items():
+            np.testing.assert_allclose(
+                np.asarray(v), ref_sd[k].float().numpy(), atol=1e-6, err_msg=k
+            )
+
+    torch.manual_seed(2)
+    hf2 = Gemma2ForCausalLM(Gemma2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=16, sliding_window=8,
+        tie_word_embeddings=True,
+    )).eval()
+    cfg2 = load_config([
+        "decoder_block=gemma2", "base_emb_dim=64", "base_mlp_dim=128",
+        "base_num_decoder_layers=4", "base_num_query_heads=4",
+        "base_num_kv_heads=2", "head_dim=16", "vocab_size=256",
+        "max_target_length=32", "logits_via_embedding=true",
+    ])
+    check(hf2, convert_hf_gemma2_to_framework(hf2.state_dict(), cfg2),
+          convert_framework_to_hf_gemma2, cfg2, tied=True)
+
+    hf3 = Gemma3ForCausalLM(Gemma3TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=16, sliding_window=8,
+        tie_word_embeddings=True, rope_scaling=None,
+    )).eval()
+    cfg3 = load_config([
+        "decoder_block=gemma3", "base_emb_dim=64", "base_mlp_dim=128",
+        "base_num_decoder_layers=6", "base_num_query_heads=4",
+        "base_num_kv_heads=2", "head_dim=16", "vocab_size=256",
+        "max_target_length=32", "logits_via_embedding=true",
+    ])
+    check(hf3, convert_hf_gemma3_to_framework(hf3.state_dict(), cfg3),
+          convert_framework_to_hf_gemma3, cfg3, tied=True)
+
+    hfq = Qwen3ForCausalLM(Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=False,
+    )).eval()
+    cfgq = load_config([
+        "decoder_block=qwen3", "base_emb_dim=64", "base_mlp_dim=128",
+        "base_num_decoder_layers=2", "base_num_query_heads=4",
+        "base_num_kv_heads=2", "head_dim=16", "vocab_size=256",
+        "max_target_length=32",
+    ])
+    check(hfq, convert_hf_llama_to_framework(hfq.state_dict(), cfgq),
+          convert_framework_to_hf_llama, cfgq, tied=False)
