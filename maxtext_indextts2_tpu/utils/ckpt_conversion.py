@@ -296,26 +296,90 @@ def convert_framework_to_hf_mixtral(
     return sd
 
 
+# decoder_block -> (HF->framework, framework->HF or None)
+_CONVERTERS = {
+    "llama2": ("convert_hf_llama_to_framework", "convert_framework_to_hf_llama"),
+    "llama3": ("convert_hf_llama_to_framework", "convert_framework_to_hf_llama"),
+    "mistral": ("convert_hf_llama_to_framework", "convert_framework_to_hf_llama"),
+    "qwen3": ("convert_hf_llama_to_framework", "convert_framework_to_hf_llama"),
+    "gemma": ("convert_hf_gemma_to_framework", "convert_framework_to_hf_llama"),
+    "gemma2": ("convert_hf_gemma2_to_framework", "convert_framework_to_hf_gemma2"),
+    "gemma3": ("convert_hf_gemma3_to_framework", "convert_framework_to_hf_gemma3"),
+    "mixtral": ("convert_hf_mixtral_to_framework", "convert_framework_to_hf_mixtral"),
+    "deepseek": ("convert_hf_deepseek_to_framework", None),
+    "gpt3": ("convert_hf_gpt2_to_framework", None),
+    "llama4": ("convert_hf_llama4_to_framework", None),
+    "qwen3_moe": ("convert_hf_qwen3_moe_to_framework", None),
+}
+
+
+def get_converter(decoder_block: str, direction: str = "to_framework"):
+    """Converter fn for a decoder_block family and direction
+    ('to_framework' | 'to_hf'). Raises on unsupported combinations."""
+    if decoder_block not in _CONVERTERS:
+        raise ValueError(
+            f"no converters for decoder_block={decoder_block}; "
+            f"supported: {sorted(_CONVERTERS)}"
+        )
+    to_fw, to_hf = _CONVERTERS[decoder_block]
+    name = to_fw if direction == "to_framework" else to_hf
+    if name is None:
+        raise ValueError(f"{decoder_block} has no {direction} converter yet")
+    return globals()[name]
+
+
 def main(argv=None):
-    """CLI: convert a local HF checkpoint dir to a params-only Orbax ckpt."""
+    """CLI: HF checkpoint dir <-> params-only Orbax ckpt, both directions.
+
+    to_framework (default): --hf_path <dir> --out_path <orbax> --model_name X
+    to_hf: --direction to_hf --ckpt_path <orbax> --out_path <dir>
+           --model_name X  (writes pytorch_model.bin + the family's HF
+           config if transformers can construct one)
+    """
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--hf_path", required=True)
+    ap.add_argument("--hf_path")
+    ap.add_argument("--ckpt_path")
     ap.add_argument("--out_path", required=True)
     ap.add_argument("--model_name", required=True)
+    ap.add_argument("--direction", default="to_framework",
+                    choices=["to_framework", "to_hf"])
+    ap.add_argument("--hf_vocab_size", type=int, default=None)
     args = ap.parse_args(argv)
 
-    from transformers import AutoModelForCausalLM
-
     from maxtext_indextts2_tpu.config import load_config
-    from maxtext_indextts2_tpu.train.checkpointing import save_params_only
 
     cfg = load_config([f"model_name={args.model_name}"])
-    hf = AutoModelForCausalLM.from_pretrained(args.hf_path)
-    params = convert_hf_llama_to_framework(hf.state_dict(), cfg)
-    save_params_only(args.out_path, params["params"])
-    print(f"converted {args.hf_path} -> {args.out_path}")
+    conv = get_converter(cfg.decoder_block, args.direction)
+
+    if args.direction == "to_framework":
+        from transformers import AutoModelForCausalLM
+
+        from maxtext_indextts2_tpu.train.checkpointing import save_params_only
+
+        assert args.hf_path, "--hf_path required for to_framework"
+        hf = AutoModelForCausalLM.from_pretrained(args.hf_path)
+        params = conv(hf.state_dict(), cfg)
+        save_params_only(args.out_path, params["params"])
+        print(f"converted {args.hf_path} -> {args.out_path}")
+    else:
+        import os
+
+        import torch
+
+        from maxtext_indextts2_tpu.train.checkpointing import load_params_only
+
+        assert args.ckpt_path, "--ckpt_path required for to_hf"
+        params = load_params_only(args.ckpt_path)
+        sd = conv({"params": params}, cfg, hf_vocab_size=args.hf_vocab_size)
+        os.makedirs(args.out_path, exist_ok=True)
+        torch.save(
+            {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+            os.path.join(args.out_path, "pytorch_model.bin"),
+        )
+        print(f"exported {args.ckpt_path} -> {args.out_path}/pytorch_model.bin "
+              f"({len(sd)} tensors)")
 
 
 if __name__ == "__main__":
