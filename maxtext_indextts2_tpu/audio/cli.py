@@ -226,6 +226,15 @@ def synthesize(argv):
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("MTT_PLATFORM"):
+        # sitecustomize clobbers JAX_PLATFORMS; the in-process switch must
+        # run before any backend init (tokenize never reaches load_config,
+        # which normally applies this)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MTT_PLATFORM"])
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in ("tokenize", "synthesize"):
         print(__doc__)
