@@ -163,6 +163,10 @@ class AcousticCodec(nn.Module):
     latent_dim: int = 256
     num_quantizers: int = 12
     codebook_size: int = 1024
+    codebook_dim: int = 8
+    vocos_dim: int = 512
+    vocos_intermediate_dim: int = 2048
+    vocos_num_layers: int = 30
 
     def setup(self):
         self.encoder = CodecEncoder(
@@ -173,6 +177,10 @@ class AcousticCodec(nn.Module):
             in_channels=self.latent_dim,
             num_quantizers=self.num_quantizers,
             codebook_size=self.codebook_size,
+            codebook_dim=self.codebook_dim,
+            vocos_dim=self.vocos_dim,
+            vocos_intermediate_dim=self.vocos_intermediate_dim,
+            vocos_num_layers=self.vocos_num_layers,
             name="decoder",
         )
 

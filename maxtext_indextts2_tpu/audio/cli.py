@@ -93,30 +93,29 @@ def _load_torch(path: str) -> dict:
     return {k.removeprefix("module."): v for k, v in obj.items()}
 
 
+def _load_w2vbert_sd(path: str) -> dict:
+    """HF Wav2Vec2BertModel weights from a from_pretrained dir or a .pt."""
+    import os
+
+    if os.path.isdir(path):
+        import transformers
+
+        return transformers.Wav2Vec2BertModel.from_pretrained(path).state_dict()
+    return _load_torch(path)
+
+
 def _build_semantic_tokenizer(kv):
     """Semantic tokenizer from CLI flags: real w2v-bert-2.0 scale when torch
     weights are given, tiny random-weight otherwise."""
     from maxtext_indextts2_tpu.audio.conformer import ConformerConfig
     from maxtext_indextts2_tpu.audio.semantic_tokenizer import SemanticTokenizer
 
-    if kv.get("w2vbert") or kv.get("repcodec"):
+    if kv.get("w2vbert") or kv.get("repcodec") or kv.get("stats"):
         from maxtext_indextts2_tpu.audio.conformer import config_from_hf_state_dict
         from maxtext_indextts2_tpu.audio.torch_ckpt import repcodec_kwargs_from_torch
 
-        enc_sd = rep_sd = None
-        if kv.get("w2vbert"):
-            import os
-
-            if os.path.isdir(kv["w2vbert"]):
-                import transformers
-
-                enc_sd = transformers.Wav2Vec2BertModel.from_pretrained(
-                    kv["w2vbert"]
-                ).state_dict()
-            else:
-                enc_sd = _load_torch(kv["w2vbert"])
-        if kv.get("repcodec"):
-            rep_sd = _load_torch(kv["repcodec"])
+        enc_sd = _load_w2vbert_sd(kv["w2vbert"]) if kv.get("w2vbert") else None
+        rep_sd = _load_torch(kv["repcodec"]) if kv.get("repcodec") else None
 
         # model dims come from the checkpoints themselves
         enc_cfg = config_from_hf_state_dict(enc_sd) if enc_sd is not None else None
@@ -132,6 +131,9 @@ def _build_semantic_tokenizer(kv):
                 mean = np.asarray(stats["mean"], np.float32)
                 std = np.sqrt(np.asarray(stats["var"], np.float32))
             tok.load_hf_encoder(enc_sd, mean, std)
+        elif stats is not None:
+            # stats without encoder weights: install on the current encoder
+            tok.set_stats(stats)
         if rep_sd is not None:
             tok.load_torch_repcodec(rep_sd)
         return tok
@@ -176,12 +178,80 @@ def tokenize(argv):
     }))
 
 
-def synthesize(argv):
+def _build_pipeline(kv, keep):
+    """Pipeline for synthesize: stage dims come from the provided torch
+    checkpoints (config keys still win for anything not inferable, e.g.
+    s2a_num_heads); without checkpoints, the tiny random pipeline."""
+    from maxtext_indextts2_tpu.audio.conformer import config_from_hf_state_dict
     from maxtext_indextts2_tpu.audio.pipeline import build_tiny_pipeline
+    from maxtext_indextts2_tpu.audio.torch_ckpt import (
+        codec_decoder_kwargs_from_torch,
+        codec_encoder_kwargs_from_torch,
+        repcodec_kwargs_from_torch,
+        s2a_kwargs_from_torch,
+    )
     from maxtext_indextts2_tpu.config import load_config
 
+    sds = {
+        k: _load_torch(kv[k]) if kv.get(k) else None
+        for k in ("s2a", "codec_encoder", "codec_decoder", "repcodec", "stats")
+    }
+    sds["w2vbert"] = _load_w2vbert_sd(kv["w2vbert"]) if kv.get("w2vbert") else None
+
+    derived = []
+    if sds["s2a"] is not None:
+        for k, v in s2a_kwargs_from_torch(sds["s2a"]).items():
+            derived.append(f"s2a_{k}={v}")
+
+    codec_kwargs = None
+    if sds["codec_encoder"] is not None or sds["codec_decoder"] is not None:
+        codec_kwargs = dict(vocos_dim=64, vocos_intermediate_dim=128,
+                            vocos_num_layers=2)
+        if sds["codec_encoder"] is not None:
+            ek = codec_encoder_kwargs_from_torch(sds["codec_encoder"])
+            codec_kwargs.update(d_model=ek["d_model"], strides=ek["strides"],
+                                latent_dim=ek["out_channels"])
+        if sds["codec_decoder"] is not None:
+            dk = codec_decoder_kwargs_from_torch(sds["codec_decoder"])
+            codec_kwargs.update(
+                latent_dim=dk["in_channels"], num_quantizers=dk["num_quantizers"],
+                codebook_size=dk["codebook_size"], codebook_dim=dk["codebook_dim"],
+                vocos_dim=dk["vocos_dim"],
+                vocos_intermediate_dim=dk["vocos_intermediate_dim"],
+                vocos_num_layers=dk["vocos_num_layers"],
+            )
+
+    enc_cfg = (
+        config_from_hf_state_dict(sds["w2vbert"])
+        if sds["w2vbert"] is not None else None
+    )
+    rep_kwargs = None
+    if sds["repcodec"] is not None:
+        rep_kwargs = repcodec_kwargs_from_torch(sds["repcodec"])
+        rep_kwargs.pop("hidden_size")
+
+    cfg = load_config(TINY_CFG + derived + keep)  # user keys win last
+    pipe = build_tiny_pipeline(
+        cfg, codec_kwargs=codec_kwargs, semantic_encoder_cfg=enc_cfg,
+        semantic_repcodec_kwargs=rep_kwargs,
+    )
+    if any(sds[k] is not None for k in
+           ("s2a", "codec_encoder", "codec_decoder", "w2vbert", "repcodec")):
+        pipe.load_torch_audio_weights(
+            s2a_state_dict=sds["s2a"],
+            codec_encoder_state_dict=sds["codec_encoder"],
+            codec_decoder_state_dict=sds["codec_decoder"],
+            semantic_encoder_state_dict=sds["w2vbert"],
+            semantic_repcodec_state_dict=sds["repcodec"],
+            semantic_stats=sds["stats"],
+        )
+    elif sds["stats"] is not None:
+        pipe.semantic_tokenizer.set_stats(sds["stats"])
+    return pipe
+
+
+def synthesize(argv):
     kv, keep = _parse(argv)
-    cfg = load_config(TINY_CFG + keep)
     wav16 = _read_wav(kv["prompt"], 16000)
     wav24 = (
         _read_wav(kv["prompt24k"], 24000)
@@ -192,25 +262,7 @@ def synthesize(argv):
             wav16.astype(np.float64),
         ).astype(np.float32)
     )
-    pipe = build_tiny_pipeline(cfg)
-    if any(kv.get(k) for k in ("s2a", "codec_encoder", "codec_decoder",
-                               "w2vbert", "repcodec")):
-        pipe.load_torch_audio_weights(
-            s2a_state_dict=_load_torch(kv["s2a"]) if kv.get("s2a") else None,
-            codec_encoder_state_dict=(
-                _load_torch(kv["codec_encoder"]) if kv.get("codec_encoder") else None
-            ),
-            codec_decoder_state_dict=(
-                _load_torch(kv["codec_decoder"]) if kv.get("codec_decoder") else None
-            ),
-            semantic_encoder_state_dict=(
-                _load_torch(kv["w2vbert"]) if kv.get("w2vbert") else None
-            ),
-            semantic_repcodec_state_dict=(
-                _load_torch(kv["repcodec"]) if kv.get("repcodec") else None
-            ),
-            semantic_stats=_load_torch(kv["stats"]) if kv.get("stats") else None,
-        )
+    pipe = _build_pipeline(kv, keep)
     wav, info = pipe.synthesize(
         kv.get("text", ""), wav16, wav24,
         max_new_tokens=int(kv.get("max_new_tokens", 64)),

@@ -199,14 +199,24 @@ def params_from_hf(state_dict, cfg: ConformerConfig,
     def ln(prefix):
         return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
+    sd_layers = 0
+    while f"encoder.layers.{sd_layers}.final_layer_norm.weight" in sd:
+        sd_layers += 1
+    if sd_layers < cfg.num_layers:
+        raise ValueError(
+            f"state dict has {sd_layers} encoder layers but the config wants "
+            f"{cfg.num_layers} — incomplete checkpoint (layers beyond the "
+            f"checkpoint would stay random and silently corrupt the tap)"
+        )
+    # sd_layers > cfg.num_layers is fine: truncating at the tap layer
+    # (output_layer) skips compute the semantic path never uses.
+
     enc = {
         "fp_layer_norm": ln("feature_projection.layer_norm"),
         "fp_projection": dense("feature_projection.projection"),
     }
     for i in range(cfg.num_layers):
         hf = f"encoder.layers.{i}"
-        if f"{hf}.final_layer_norm.weight" not in sd:
-            break
         enc[f"layers_{i}"] = {
             "ffn1_layer_norm": ln(f"{hf}.ffn1_layer_norm"),
             "ffn1": {

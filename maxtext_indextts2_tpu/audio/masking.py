@@ -17,6 +17,10 @@ import numpy as np
 
 def get_mask_layer_schedule(schedule_type: str = "linear", num_layers: int = 12):
     """Per-layer schedule values in [0, 1] (reference masking_utils.py:9)."""
+    if num_layers < 2:
+        # the schedules interpolate over (num_layers - 1) steps; a single
+        # layer would divide by zero (NaN) — there is nothing to schedule
+        return [0.0] * num_layers
     i = np.arange(num_layers, dtype=np.float64)
     if schedule_type == "linear":
         vals = np.linspace(0.0, 1.0, num_layers)

@@ -89,6 +89,21 @@ class TTSPipeline:
         from maxtext_indextts2_tpu.audio import torch_ckpt as tc
 
         if s2a_state_dict is not None:
+            got = tc.s2a_kwargs_from_torch(s2a_state_dict)
+            want = dict(
+                num_quantizers=self.s2a.cfg.num_quantizers,
+                hidden_size=self.s2a.cfg.hidden_size,
+                num_layers=self.s2a.cfg.num_layers,
+                codebook_size=self.s2a.cfg.codebook_size,
+                cond_codebook_size=self.s2a.cfg.cond_codebook_size,
+            )
+            if got != want:
+                # flax silently IGNORES surplus per-layer params — a larger
+                # checkpoint would run truncated and produce garbage
+                raise ValueError(
+                    f"S2A checkpoint dims {got} != configured {want}; set the "
+                    "s2a_* config keys to match (cli synthesize infers them)"
+                )
             p = tc.s2a_params_from_torch(s2a_state_dict)
             if self.s2a.cfg.int8_matmul == "offline":
                 from maxtext_indextts2_tpu.audio.s2a import quantize_s2a_params
@@ -103,6 +118,14 @@ class TTSPipeline:
                 p = quantize_s2a_params(p, self.s2a, init_args)
             self.s2a_params = p
         if codec_encoder_state_dict is not None:
+            got = tc.codec_encoder_kwargs_from_torch(codec_encoder_state_dict)
+            want = dict(d_model=self.codec.d_model,
+                        strides=tuple(self.codec.strides),
+                        out_channels=self.codec.latent_dim)
+            if got != want:
+                raise ValueError(
+                    f"codec encoder checkpoint dims {got} != configured {want}"
+                )
             enc = tc.codec_encoder_params_from_torch(
                 codec_encoder_state_dict, num_blocks=len(self.codec.strides)
             )
@@ -110,6 +133,26 @@ class TTSPipeline:
                 "params": {**self.codec_params["params"], "encoder": enc["params"]}
             }
         if codec_decoder_state_dict is not None:
+            got = tc.codec_decoder_kwargs_from_torch(codec_decoder_state_dict)
+            dc = self.codec.decoder if hasattr(self.codec, "decoder") else None
+            want = dict(
+                in_channels=self.codec.latent_dim,
+                num_quantizers=self.codec.num_quantizers,
+                codebook_size=self.codec.codebook_size,
+                codebook_dim=dc.codebook_dim if dc is not None else got["codebook_dim"],
+                vocos_dim=dc.vocos_dim if dc is not None else got["vocos_dim"],
+                vocos_intermediate_dim=(
+                    dc.vocos_intermediate_dim if dc is not None
+                    else got["vocos_intermediate_dim"]
+                ),
+                vocos_num_layers=(
+                    dc.vocos_num_layers if dc is not None else got["vocos_num_layers"]
+                ),
+            )
+            if got != want:
+                raise ValueError(
+                    f"codec decoder checkpoint dims {got} != configured {want}"
+                )
             dec = tc.codec_decoder_params_from_torch(codec_decoder_state_dict)
             merged = {**self.codec_params["params"]["decoder"], **dec["params"]}
             self.codec_params = {
@@ -134,6 +177,9 @@ class TTSPipeline:
                 self.semantic_tokenizer.load_torch_repcodec(
                     semantic_repcodec_state_dict
                 )
+        if semantic_stats is not None and semantic_encoder_state_dict is None:
+            # stats without encoder weights still apply to the current encoder
+            self.semantic_tokenizer.set_stats(semantic_stats)
 
     # ------------------------------------------------------------ stages
     def text_and_prompt_to_lm_prompt(self, text: str, prompt_semantic: np.ndarray) -> np.ndarray:
@@ -203,8 +249,18 @@ class TTSPipeline:
         return wav, info
 
 
-def build_tiny_pipeline(cfg: Config, rng: jax.Array | None = None) -> TTSPipeline:
-    """Randomly-initialized pipeline (tests / benches before real weights)."""
+def build_tiny_pipeline(
+    cfg: Config,
+    rng: jax.Array | None = None,
+    codec_kwargs: dict | None = None,
+    semantic_encoder_cfg=None,
+    semantic_repcodec_kwargs: dict | None = None,
+) -> TTSPipeline:
+    """Randomly-initialized pipeline (tests / benches before real weights).
+
+    The optional kwargs size individual stages to match external checkpoints
+    (cli synthesize infers them from torch state dicts); defaults stay tiny.
+    """
     from maxtext_indextts2_tpu.audio.conformer import ConformerConfig
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -212,11 +268,11 @@ def build_tiny_pipeline(cfg: Config, rng: jax.Array | None = None) -> TTSPipelin
     engine.load_params()
 
     st = SemanticTokenizer(
-        encoder_cfg=ConformerConfig(
+        encoder_cfg=semantic_encoder_cfg or ConformerConfig(
             hidden_size=cfg.s2a_hidden_size // 4 if cfg.s2a_hidden_size >= 256 else 64,
             num_layers=2, num_heads=4, intermediate_size=256, output_layer=2,
         ),
-        repcodec_kwargs=dict(
+        repcodec_kwargs=semantic_repcodec_kwargs or dict(
             codebook_size=cfg.semantic_codebook_size,
             vocos_dim=64, vocos_intermediate_dim=128, vocos_num_layers=2,
         ),
@@ -252,12 +308,14 @@ def build_tiny_pipeline(cfg: Config, rng: jax.Array | None = None) -> TTSPipelin
     if serve_cfg.int8_matmul == "offline":
         s2a_params = quantize_s2a_params(s2a_params, s2a, init_args)
 
-    codec = AcousticCodec(
+    codec = AcousticCodec(**(codec_kwargs or dict(
         d_model=32, latent_dim=64,
         num_quantizers=cfg.s2a_num_quantizers,
         codebook_size=cfg.s2a_codebook_size,
-    )
-    codec_params = codec.init(r2, jnp.zeros((1, 480 * 4)))
+        vocos_dim=64, vocos_intermediate_dim=128, vocos_num_layers=2,
+    )))
+    wav_len = int(np.prod(codec.strides)) * 2  # two latent frames
+    codec_params = codec.init(r2, jnp.zeros((1, wav_len)))
 
     return TTSPipeline(
         cfg=cfg, engine=engine, semantic_tokenizer=st,

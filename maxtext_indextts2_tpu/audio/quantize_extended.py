@@ -119,6 +119,12 @@ class EuclideanCodebook(nn.Module):
         self.embed_avg = self.variable(
             "codebook", "embed_avg", lambda: self.embed.value
         )
+        # step counter: keeps the no-rng fallback deterministic but VARYING
+        # (a constant fallback key would resample the same expiry rows every
+        # training step)
+        self.step = self.variable(
+            "codebook", "step", lambda: jnp.zeros((), jnp.int32)
+        )
 
     def _maybe_kmeans_init(self, flat, rng):
         def do_init(_):
@@ -142,7 +148,8 @@ class EuclideanCodebook(nn.Module):
         flat = x.reshape(-1, self.dim)
         if train:
             if rng is None:
-                rng = jax.random.PRNGKey(0)
+                rng = jax.random.fold_in(jax.random.PRNGKey(0), self.step.value)
+            self.step.value = self.step.value + 1
             r_init, r_expire = jax.random.split(rng)
             self._maybe_kmeans_init(flat, r_init)
 

@@ -49,6 +49,12 @@ class SemanticTokenizer:
         self.params = {"encoder": p_enc, "repcodec": p_rep}
         return self.params
 
+    def _init_repcodec_only(self):
+        """Random-init just the codec half (shape-only encoder output — no
+        wasted full-encoder init/forward when converted weights follow)."""
+        hidden = jnp.zeros((1, 4, self.encoder_cfg.hidden_size), jnp.float32)
+        return self.repcodec.init(jax.random.split(self._rng)[1], hidden)
+
     def load_hf_encoder(self, state_dict, stat_mean=None, stat_std=None):
         """Load converted HF w2v-BERT weights for the encoder half
         (reference: semantic_utils.py:11 build_semantic_model + the
@@ -58,9 +64,11 @@ class SemanticTokenizer:
         from maxtext_indextts2_tpu.audio.conformer import params_from_hf
 
         p_enc = params_from_hf(state_dict, self.encoder_cfg, stat_mean, stat_std)
-        if self.params is None:
-            self.init_params()
-        self.params = {**self.params, "encoder": p_enc}
+        p_rep = (
+            self.params["repcodec"] if self.params is not None
+            else self._init_repcodec_only()
+        )
+        self.params = {"encoder": p_enc, "repcodec": p_rep}
         return self.params
 
     def load_torch_repcodec(self, state_dict):
@@ -74,6 +82,20 @@ class SemanticTokenizer:
             **self.params,
             "repcodec": repcodec_params_from_torch(state_dict),
         }
+        return self.params
+
+    def set_stats(self, stats):
+        """Install layer-tap normalization stats ({"mean", "var"} dict, the
+        wav2vec2bert_stats.pt format; std = sqrt(var)) on the current
+        encoder params without touching its weights."""
+        if self.params is None:
+            self.init_params()
+        enc = dict(self.params["encoder"])
+        p = dict(enc["params"])
+        p["stat_mean"] = jnp.asarray(np.asarray(stats["mean"], np.float32))
+        p["stat_std"] = jnp.sqrt(jnp.asarray(np.asarray(stats["var"], np.float32)))
+        enc["params"] = p
+        self.params = {**self.params, "encoder": enc}
         return self.params
 
     def load_torch_weights(

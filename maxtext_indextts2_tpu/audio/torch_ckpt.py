@@ -175,6 +175,69 @@ def repcodec_kwargs_from_torch(state_dict) -> dict:
     )
 
 
+def codec_encoder_kwargs_from_torch(state_dict) -> dict:
+    """Infer CodecEncoder constructor kwargs from a reference state dict.
+
+    Strides are recoverable because each EncoderBlock's down-conv has
+    kernel_size = 2*stride (acoustic/codec.py:90)."""
+    sd = fold_weight_norm(_np(state_dict))
+    d_model = sd["block.0.weight"].shape[0]
+    strides = []
+    i = 1
+    while f"block.{i}.block.4.weight" in sd:
+        strides.append(sd[f"block.{i}.block.4.weight"].shape[-1] // 2)
+        i += 1
+    return dict(
+        d_model=d_model,
+        strides=tuple(strides),
+        out_channels=sd[f"block.{i + 1}.weight"].shape[0],
+    )
+
+
+def codec_decoder_kwargs_from_torch(state_dict) -> dict:
+    """Infer CodecDecoder constructor kwargs (vocos variant) from a
+    reference state dict."""
+    sd = fold_weight_norm(_np(state_dict))
+    cb = sd["quantizer.quantizers.0.codebook.weight"]
+    nq = 0
+    while f"quantizer.quantizers.{nq}.codebook.weight" in sd:
+        nq += 1
+    nl = 0
+    while f"model.convnext.{nl}.gamma" in sd:
+        nl += 1
+    return dict(
+        in_channels=sd["model.embed.weight"].shape[1],
+        num_quantizers=nq,
+        codebook_size=cb.shape[0],
+        codebook_dim=cb.shape[1],
+        vocos_dim=sd["model.embed.weight"].shape[0],
+        vocos_intermediate_dim=sd["model.convnext.0.pwconv1.weight"].shape[0],
+        vocos_num_layers=nl,
+    )
+
+
+def s2a_kwargs_from_torch(state_dict) -> dict:
+    """Infer S2AConfig kwargs from a MaskGCT_S2A state dict.
+
+    num_heads is NOT recoverable from [H, H] projections — callers keep
+    their configured value (reference default 16, maskgct_s2a.py:42)."""
+    sd = _np(state_dict)
+    q = 0
+    while f"token_emb.{q}.weight" in sd:
+        q += 1
+    nl = 0
+    while f"diff_estimator.layers.{nl}.self_attn.q_proj.weight" in sd:
+        nl += 1
+    k, h = sd["token_emb.0.weight"].shape
+    return dict(
+        num_quantizers=q,
+        hidden_size=h,
+        num_layers=nl,
+        codebook_size=k,
+        cond_codebook_size=sd["cond_emb.weight"].shape[0],
+    )
+
+
 def repcodec_params_from_torch(state_dict) -> dict:
     """RepCodec state dict -> params for audio/repcodec.py RepCodec.
 

@@ -328,6 +328,60 @@ def get_converter(decoder_block: str, direction: str = "to_framework"):
     return globals()[name]
 
 
+def hf_config_for(cfg: Config, hf_vocab_size: int | None = None):
+    """A transformers config matching the exported weights, so the output
+    directory loads with from_pretrained. None for families without an HF
+    config counterpart here."""
+    import transformers as tf
+
+    v = hf_vocab_size or cfg.vocab_size
+    common = dict(
+        vocab_size=v,
+        hidden_size=cfg.emb_dim,
+        intermediate_size=cfg.mlp_dim,
+        num_hidden_layers=cfg.num_decoder_layers,
+        num_attention_heads=cfg.num_query_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        max_position_embeddings=cfg.max_target_length,
+        rope_theta=cfg.rope_max_timescale,
+        tie_word_embeddings=bool(cfg.logits_via_embedding),
+    )
+    block = cfg.decoder_block
+    if block in ("llama2", "llama3", "gemma"):
+        return tf.LlamaConfig(**common)
+    if block == "mistral":
+        return tf.MistralConfig(
+            **{k: v for k, v in common.items() if k != "head_dim"},
+            sliding_window=cfg.sliding_window_size or None,
+        )
+    if block == "qwen3":
+        return tf.Qwen3Config(**common)
+    if block == "mixtral":
+        return tf.MixtralConfig(
+            **common,
+            num_local_experts=cfg.num_experts,
+            num_experts_per_tok=cfg.num_experts_per_tok,
+            sliding_window=cfg.sliding_window_size or None,
+        )
+    if block == "gemma2":
+        return tf.Gemma2Config(
+            **common,
+            sliding_window=cfg.sliding_window_size or 4096,
+            query_pre_attn_scalar=cfg.query_pre_attn_scalar or cfg.head_dim,
+            attn_logit_softcapping=cfg.attn_logits_soft_cap or None,
+            final_logit_softcapping=cfg.final_logits_soft_cap or None,
+        )
+    if block == "gemma3":
+        return tf.Gemma3TextConfig(
+            **common,
+            sliding_window=cfg.sliding_window_size or 1024,
+            query_pre_attn_scalar=cfg.query_pre_attn_scalar or cfg.head_dim,
+            rope_scaling=None,
+        )
+    return None
+
+
 def main(argv=None):
     """CLI: HF checkpoint dir <-> params-only Orbax ckpt, both directions.
 
@@ -378,8 +432,12 @@ def main(argv=None):
             {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
             os.path.join(args.out_path, "pytorch_model.bin"),
         )
+        hf_cfg = hf_config_for(cfg, args.hf_vocab_size)
+        if hf_cfg is not None:
+            hf_cfg.save_pretrained(args.out_path)
         print(f"exported {args.ckpt_path} -> {args.out_path}/pytorch_model.bin "
-              f"({len(sd)} tensors)")
+              f"({len(sd)} tensors"
+              f"{', +config.json' if hf_cfg is not None else ''})")
 
 
 if __name__ == "__main__":

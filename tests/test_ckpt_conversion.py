@@ -931,3 +931,40 @@ def test_cli_roundtrip_both_directions(tmp_path):
         cc.get_converter("deepseek", "to_hf")
     with pytest.raises(ValueError, match="no converters"):
         cc.get_converter("nope", "to_hf")
+
+
+def test_export_dir_loads_with_from_pretrained(tmp_path):
+    """to_hf output (pytorch_model.bin + emitted config.json) round-trips
+    through AutoModelForCausalLM.from_pretrained with identical logits."""
+    import os
+
+    from transformers import AutoModelForCausalLM
+
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        convert_framework_to_hf_llama,
+        convert_hf_llama_to_framework,
+        hf_config_for,
+    )
+
+    hf = _tiny_hf_llama().eval()
+    cfg = load_config([
+        "decoder_block=llama2", "base_emb_dim=64", "base_mlp_dim=128",
+        "base_num_decoder_layers=2", "base_num_query_heads=4",
+        "base_num_kv_heads=2", "head_dim=16", "vocab_size=256",
+        "max_target_length=128",
+    ])
+    params = convert_hf_llama_to_framework(hf.state_dict(), cfg)
+    sd = convert_framework_to_hf_llama(params, cfg)
+
+    out = tmp_path / "export"
+    os.makedirs(out)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, out / "pytorch_model.bin")
+    hf_config_for(cfg).save_pretrained(out)
+
+    loaded = AutoModelForCausalLM.from_pretrained(out).eval()
+    tokens = torch.arange(12)[None]
+    with torch.no_grad():
+        ref = hf(tokens).logits
+        got = loaded(tokens).logits
+    np.testing.assert_allclose(got.numpy(), ref.numpy(), atol=1e-5)

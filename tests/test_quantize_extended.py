@@ -89,6 +89,7 @@ def test_euclidean_codebook_train_step_matches_torch():
             "cluster_size": jnp.zeros(10),
             "embed": jnp.asarray(ref.embed.numpy()),
             "embed_avg": jnp.asarray(ref.embed_avg.numpy()),
+            "step": jnp.zeros((), jnp.int32),
         }
     }
     (q, idx), upd = ours.apply(
@@ -129,6 +130,7 @@ def test_euclidean_dead_code_expiry():
             "cluster_size": jnp.zeros(8),
             "embed": jnp.asarray(embed0),
             "embed_avg": jnp.asarray(embed0),
+            "step": jnp.zeros((), jnp.int32),
         }
     }
     (_, idx), upd = ours.apply(
@@ -171,6 +173,7 @@ def test_vector_quantize_matches_torch_eval():
                 "cluster_size": jnp.asarray(sd["codebook.cluster_size"]),
                 "embed": jnp.asarray(sd["codebook.embed"]),
                 "embed_avg": jnp.asarray(sd["codebook.embed_avg"]),
+                "step": jnp.zeros((), jnp.int32),
             }
         },
     }

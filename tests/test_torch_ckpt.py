@@ -499,3 +499,32 @@ def test_s2a_params_from_torch_parity():
         method=S2AModel.compute_loss,
     )
     assert np.isfinite(float(loss))
+
+
+def test_pipeline_rejects_mismatched_s2a_checkpoint():
+    """load_torch_audio_weights validates checkpoint dims BEFORE loading:
+    flax silently ignores surplus per-layer params, so a larger checkpoint
+    would otherwise run truncated and produce garbage."""
+    ref = load_ref_maskgct()
+    from maxtext_indextts2_tpu.audio.pipeline import build_tiny_pipeline
+    from maxtext_indextts2_tpu.config import load_config
+
+    cfg = load_config([
+        "vocab_size=9344", "audio_codebook_size=8192",
+        "base_emb_dim=64", "base_mlp_dim=128", "base_num_decoder_layers=2",
+        "base_num_query_heads=2", "base_num_kv_heads=2", "head_dim=32",
+        "max_target_length=512", "max_prefill_predict_length=128",
+        "per_device_batch_size=0.125", "dtype=float32", "decoder_block=tts",
+        "s2a_num_quantizers=4", "s2a_hidden_size=64", "s2a_num_layers=2",
+        "s2a_num_heads=4", "s2a_codebook_size=64", "s2a_timesteps=[2,2,2,2]",
+        "semantic_codebook_size=8192",
+    ])
+    pl = build_tiny_pipeline(cfg)
+    torch.manual_seed(1)
+    # 4 layers in the checkpoint vs 2 configured -> must raise, not truncate
+    big = ref.maskgct_s2a.MaskGCT_S2A(
+        num_quantizer=4, hidden_size=64, num_layers=4, num_heads=4,
+        codebook_size=64, cond_codebook_size=8192,
+    )
+    with pytest.raises(ValueError, match="S2A checkpoint dims"):
+        pl.load_torch_audio_weights(s2a_state_dict=big.state_dict())
