@@ -32,9 +32,13 @@ print(json.dumps({"stage": sys.argv[2], **out}), flush=True)
 EOF
 }
 
-run "1/3 bf16 + rotate-half (new baseline)" '{}' bf16_rotate_half
-MTT_FUSED_QUANT=1 run "2/3 int8 offline + fused quant" '{"int8": "offline"}' int8_offline_fused
-run "3/3 bf16 weight cast" '{"bf16_weights": true}' bf16_weights
+run "1/4 bf16 + rotate-half (new baseline)" '{}' bf16_rotate_half
+MTT_FUSED_QUANT=1 run "2/4 int8 offline + fused quant" '{"int8": "offline"}' int8_offline_fused
+run "3/4 bf16 weight cast" '{"bf16_weights": true}' bf16_weights
+# structural lever: halved step schedule (reference default is 10,4x11=54
+# denoiser calls + CFG; this is 8,2x11=30 calls). Throughput datum only —
+# quality tradeoff needs trained weights.
+run "4/4 reduced step schedule" '{"timesteps": [8,2,2,2,2,2,2,2,2,2,2,2]}' steps_8_2x11
 
 echo "=== full bench.py ===" >&2
 timeout 5400 python bench.py
