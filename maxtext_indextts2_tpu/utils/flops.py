@@ -53,3 +53,24 @@ def training_tflops_per_step(cfg: Config, seq_len: int | None = None) -> float:
 def mfu(tflops_per_step: float, step_time_s: float, num_chips: int, chip: str = "v5e") -> float:
     peak = PEAK_TFLOPS.get(chip, 197.0)
     return tflops_per_step / step_time_s / (num_chips * peak)
+
+
+def main(argv=None):
+    """CLI: print per-device training TFLOPs for a config
+    (reference: MaxText/get_flops.py).
+
+    python -m maxtext_indextts2_tpu.utils.flops model_name=llama2-7b
+    """
+    import sys
+
+    from maxtext_indextts2_tpu.config import load_config
+
+    cfg = load_config(list(sys.argv[1:] if argv is None else argv))
+    total = training_tflops_per_step(cfg)
+    per_device = total / max(cfg.num_devices, 1)
+    print(f"Total TFLOPs per device per step: {per_device:.3f} "
+          f"(global {total:.3f} over {cfg.num_devices} devices)")
+
+
+if __name__ == "__main__":
+    main()
