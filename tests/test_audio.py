@@ -554,3 +554,45 @@ def test_s2a_attention_kernel_matches_einsum():
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref(q, k, v), np.float32),
             atol=atol)
+
+
+def test_reverse_diffusion_batch_sharded_matches_single_device():
+    """S2A serving scale-out: reverse_diffusion jitted with the batch
+    sharded over an 8-device mesh produces EXACTLY the single-device codes
+    (jax RNG is shape-deterministic, so DP sharding must be a pure layout
+    change). This is the multi-chip serving deployment shape for v5e-8."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
+
+    cfg = S2AConfig(num_quantizers=3, hidden_size=32, num_layers=2,
+                    num_heads=2, codebook_size=16, cond_codebook_size=32)
+    model = S2AModel(cfg)
+    b, p, t = 8, 3, 9
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.integers(0, 32, (b, p + t)), jnp.int32)
+    prompt = jnp.asarray(rng.integers(0, 16, (b, p, 3)), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 4, 3), jnp.int32), jnp.ones((1, 4), jnp.int32),
+        jnp.zeros((1, 4), jnp.int32), jax.random.PRNGKey(1),
+    )
+    kw = dict(n_timesteps=(2, 2, 2), method=S2AModel.reverse_diffusion)
+
+    ref = model.apply(params, cond, prompt, jax.random.PRNGKey(3), **kw)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    params_r = jax.device_put(params, repl)
+    cond_s = jax.device_put(cond, batch_sh)
+    prompt_s = jax.device_put(prompt, batch_sh)
+
+    fn = jax.jit(
+        lambda pr, c, pc, r: model.apply(pr, c, pc, r, **kw),
+        in_shardings=(repl, batch_sh, batch_sh, repl),
+        out_shardings=batch_sh,
+    )
+    out = fn(params_r, cond_s, prompt_s, jax.random.PRNGKey(3))
+    assert out.sharding.is_equivalent_to(batch_sh, out.ndim)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
