@@ -95,6 +95,74 @@ class CodecEncoder(nn.Module):
         return x
 
 
+class UpsampleConv(nn.Module):
+    """Transposed conv (torch ConvTranspose1d k=2s, stride s,
+    padding=ceil(s/2), output_padding=s%2 — reference codec.py:106-113)
+    expressed as an input-dilated conv: TPU-friendly (XLA lowers
+    lhs_dilation onto the MXU directly; exact length T*s)."""
+
+    out_dim: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.stride
+        k = 2 * s
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, x.shape[-1], self.out_dim), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
+        p = s // 2 + s % 2  # torch padding
+        lo = k - 1 - p
+        hi = k - 1 - p + (s % 2)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,), padding=[(lo, hi)],
+            lhs_dilation=(s,), dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias
+
+
+class DecoderBlock(nn.Module):
+    """Upsampling decoder block (reference codec.py:102): Snake ->
+    transposed conv -> 3 dilated residual units."""
+
+    in_dim: int
+    out_dim: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Snake1d(self.in_dim, name="snake")(x)
+        x = UpsampleConv(self.out_dim, self.stride, name="up")(x)
+        x = ResidualUnit(self.out_dim, 1, name="res1")(x)
+        x = ResidualUnit(self.out_dim, 3, name="res2")(x)
+        x = ResidualUnit(self.out_dim, 9, name="res3")(x)
+        return x
+
+
+class ConvDecoder(nn.Module):
+    """DAC-style conv waveform decoder (reference CodecDecoder
+    use_vocos=False branch, codec.py:303-324): conv-in, halving-channel
+    DecoderBlocks, Snake, conv-out, tanh."""
+
+    in_channels: int
+    upsample_initial_channel: int = 1024
+    up_ratios: tuple[int, ...] = (5, 5, 4, 2)
+
+    @nn.compact
+    def __call__(self, x):
+        """[B, T, in_channels] -> [B, T * prod(up_ratios)] waveform."""
+        c = self.upsample_initial_channel
+        x = nn.Conv(c, kernel_size=(7,), padding="SAME", name="conv_in")(x)
+        for i, s in enumerate(self.up_ratios):
+            x = DecoderBlock(c // 2 ** i, c // 2 ** (i + 1), s, name=f"block_{i}")(x)
+        out = c // 2 ** len(self.up_ratios)
+        x = Snake1d(out, name="snake_out")(x)
+        x = nn.Conv(1, kernel_size=(7,), padding="SAME", name="conv_out")(x)
+        return jnp.tanh(x)[..., 0]
+
+
 class CodecDecoder(nn.Module):
     """RVQ over latents + Vocos decode to waveform.
 
@@ -113,6 +181,10 @@ class CodecDecoder(nn.Module):
     vocos_num_layers: int = 30
     n_fft: int = 1920
     hop: int = 480
+    # False -> DAC-style conv decoder (reference use_vocos=False branch)
+    use_vocos: bool = True
+    upsample_initial_channel: int = 1024
+    up_ratios: tuple[int, ...] = (5, 5, 4, 2)
 
     def setup(self):
         self.quantizer = ResidualVQ(
@@ -125,14 +197,22 @@ class CodecDecoder(nn.Module):
             use_l2_normalize=True,
             name="quantizer",
         )
-        self.backbone = VocosBackbone(
-            input_channels=self.in_channels,
-            dim=self.vocos_dim,
-            intermediate_dim=self.vocos_intermediate_dim,
-            num_layers=self.vocos_num_layers,
-            name="model",
-        )
-        self.head = ISTFTHead(n_fft=self.n_fft, hop=self.hop, name="head")
+        if self.use_vocos:
+            self.backbone = VocosBackbone(
+                input_channels=self.in_channels,
+                dim=self.vocos_dim,
+                intermediate_dim=self.vocos_intermediate_dim,
+                num_layers=self.vocos_num_layers,
+                name="model",
+            )
+            self.head = ISTFTHead(n_fft=self.n_fft, hop=self.hop, name="head")
+        else:
+            self.conv_decoder = ConvDecoder(
+                in_channels=self.in_channels,
+                upsample_initial_channel=self.upsample_initial_channel,
+                up_ratios=self.up_ratios,
+                name="model",
+            )
 
     def __call__(self, latents: jax.Array, n_quantizers: int | None = None):
         """Training: quantize + decode. Returns (wav, indices, commit, cb)."""
@@ -149,7 +229,9 @@ class CodecDecoder(nn.Module):
 
     def decode(self, quantized: jax.Array) -> jax.Array:
         """[B,T,in_channels] -> [B, T*hop] waveform."""
-        return self.head(self.backbone(quantized))
+        if self.use_vocos:
+            return self.head(self.backbone(quantized))
+        return self.conv_decoder(quantized)
 
     def latent2dist(self, latents: jax.Array, n_quantizers: int | None = None):
         return self.quantizer.latent2dist(latents, n_quantizers)

@@ -195,24 +195,38 @@ def codec_encoder_kwargs_from_torch(state_dict) -> dict:
 
 
 def codec_decoder_kwargs_from_torch(state_dict) -> dict:
-    """Infer CodecDecoder constructor kwargs (vocos variant) from a
-    reference state dict."""
+    """Infer CodecDecoder constructor kwargs from a reference state dict
+    (either decoder variant; up_ratios recoverable from the transposed-conv
+    kernel sizes, k = 2*stride)."""
     sd = fold_weight_norm(_np(state_dict))
     cb = sd["quantizer.quantizers.0.codebook.weight"]
     nq = 0
     while f"quantizer.quantizers.{nq}.codebook.weight" in sd:
         nq += 1
-    nl = 0
-    while f"model.convnext.{nl}.gamma" in sd:
-        nl += 1
+    common = dict(num_quantizers=nq, codebook_size=cb.shape[0],
+                  codebook_dim=cb.shape[1])
+    if "model.embed.weight" in sd:  # vocos variant
+        nl = 0
+        while f"model.convnext.{nl}.gamma" in sd:
+            nl += 1
+        return dict(
+            in_channels=sd["model.embed.weight"].shape[1],
+            vocos_dim=sd["model.embed.weight"].shape[0],
+            vocos_intermediate_dim=sd["model.convnext.0.pwconv1.weight"].shape[0],
+            vocos_num_layers=nl,
+            **common,
+        )
+    ratios = []
+    i = 1
+    while f"model.{i}.block.1.weight" in sd:
+        ratios.append(sd[f"model.{i}.block.1.weight"].shape[-1] // 2)
+        i += 1
     return dict(
-        in_channels=sd["model.embed.weight"].shape[1],
-        num_quantizers=nq,
-        codebook_size=cb.shape[0],
-        codebook_dim=cb.shape[1],
-        vocos_dim=sd["model.embed.weight"].shape[0],
-        vocos_intermediate_dim=sd["model.convnext.0.pwconv1.weight"].shape[0],
-        vocos_num_layers=nl,
+        in_channels=sd["model.0.weight"].shape[1],
+        use_vocos=False,
+        upsample_initial_channel=sd["model.0.weight"].shape[0],
+        up_ratios=tuple(ratios),
+        **common,
     )
 
 
@@ -292,28 +306,71 @@ def codec_encoder_params_from_torch(state_dict, num_blocks: int = 4) -> dict:
     return _as_jax(params)
 
 
-def codec_decoder_params_from_torch(state_dict) -> dict:
-    """CodecDecoder (use_vocos=True) state dict -> params for
-    audio/acoustic.py CodecDecoder, MINUS the ISTFT head.
+def _conv_transpose(sd, p):
+    """torch ConvTranspose1d [in,out,k] -> UpsampleConv {kernel [k,in,out]}.
 
-    The reference decode path stops at Vocos backbone hidden states
-    (acoustic/codec.py:324-331; defect noted in SURVEY.md §7) so its
-    checkpoints carry no waveform head — merge the returned tree over
-    initialized params to keep this framework's trained ``head``:
+    torch's transposed conv equals an input-dilated CORRELATION with the
+    spatially flipped kernel, so the k axis is reversed here."""
+    out = {"kernel": np.ascontiguousarray(sd[f"{p}.weight"].transpose(2, 0, 1)[::-1])}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def _conv_decoder(sd, prefix):
+    """Reference conv decoder Sequential (codec.py:303-324) -> ConvDecoder."""
+
+    def res_unit(p):
+        return {
+            "snake1": _snake(sd, f"{p}.block.0"),
+            "conv1": _conv(sd, f"{p}.block.1"),
+            "snake2": _snake(sd, f"{p}.block.2"),
+            "conv2": _conv(sd, f"{p}.block.3"),
+        }
+
+    params = {"conv_in": _conv(sd, f"{prefix}0")}
+    i = 1
+    while f"{prefix}{i}.block.1.weight" in sd:
+        b = f"{prefix}{i}.block"
+        params[f"block_{i - 1}"] = {
+            "snake": _snake(sd, f"{b}.0"),
+            "up": _conv_transpose(sd, f"{b}.1"),
+            "res1": res_unit(f"{b}.2"),
+            "res2": res_unit(f"{b}.3"),
+            "res3": res_unit(f"{b}.4"),
+        }
+        i += 1
+    params["snake_out"] = _snake(sd, f"{prefix}{i}")
+    params["conv_out"] = _conv(sd, f"{prefix}{i + 1}")
+    return params
+
+
+def codec_decoder_params_from_torch(state_dict) -> dict:
+    """CodecDecoder state dict -> params for audio/acoustic.py CodecDecoder.
+
+    Handles both decoder variants. For use_vocos=True the reference decode
+    path stops at Vocos backbone hidden states (acoustic/codec.py:324-331;
+    defect noted in SURVEY.md §7) so its checkpoints carry no waveform
+    head — merge the returned tree over initialized params to keep this
+    framework's trained ``head``:
 
         params["params"].update(converted["params"])   # quantizer + model
 
-    The conv-decoder variant (use_vocos=False, DecoderBlock transposed convs)
-    is not carried: the configured default (config.py:53 use_vocos=True) and
-    shipped checkpoints use Vocos.
+    The conv variant (use_vocos=False) converts completely (it ends in a
+    waveform).
     """
     sd = fold_weight_norm(_np(state_dict))
     cb = sd["quantizer.quantizers.0.codebook.weight"]
-    input_dim = sd["model.embed.weight"].shape[1]
+    if "model.embed.weight" in sd:  # vocos variant
+        input_dim = sd["model.embed.weight"].shape[1]
+        model = _vocos_backbone(sd, "model.")
+    else:
+        input_dim = sd["model.0.weight"].shape[1]
+        model = _conv_decoder(sd, "model.")
     return _as_jax(
         {
             "quantizer": _rvq(sd, "quantizer.", input_dim, cb.shape[1]),
-            "model": _vocos_backbone(sd, "model."),
+            "model": model,
         }
     )
 

@@ -528,3 +528,50 @@ def test_pipeline_rejects_mismatched_s2a_checkpoint():
     )
     with pytest.raises(ValueError, match="S2A checkpoint dims"):
         pl.load_torch_audio_weights(s2a_state_dict=big.state_dict())
+
+
+def test_conv_decoder_variant_matches_torch():
+    """CodecDecoder use_vocos=False (DAC-style transposed-conv decoder,
+    codec.py:303-324) parity: the UpsampleConv input-dilated formulation
+    must reproduce torch ConvTranspose1d exactly, end-to-end to waveform."""
+    ref = load_ref_maskgct()
+    from maxtext_indextts2_tpu.audio.acoustic import CodecDecoder
+    from maxtext_indextts2_tpu.audio.torch_ckpt import (
+        codec_decoder_kwargs_from_torch,
+        codec_decoder_params_from_torch,
+    )
+
+    torch.manual_seed(3)
+    td = ref.codec.CodecDecoder(
+        in_channels=10, upsample_initial_channel=16, up_ratios=[2, 3],
+        num_quantizers=2, codebook_size=16, codebook_dim=4,
+        quantizer_type="fvq", quantizer_dropout=0.0, commitment=0.15,
+        codebook_loss_weight=1.0, use_l2_normlize=True, use_vocos=False,
+    ).eval()
+
+    kwargs = codec_decoder_kwargs_from_torch(td.state_dict())
+    assert kwargs["use_vocos"] is False
+    assert kwargs["up_ratios"] == (2, 3)
+    assert kwargs["upsample_initial_channel"] == 16
+
+    jd = CodecDecoder(**kwargs)
+    params = codec_decoder_params_from_torch(td.state_dict())
+
+    emb = np.random.default_rng(5).standard_normal((2, 7, 10)).astype(np.float32)
+    with torch.no_grad():
+        t_wav = td.decode(torch.from_numpy(emb.transpose(0, 2, 1)))  # [B,1,T*6]
+    j_wav = jd.apply(params, jnp.asarray(emb), method=CodecDecoder.decode)
+    assert j_wav.shape == (2, 7 * 6)
+    np.testing.assert_allclose(
+        np.asarray(j_wav), t_wav.numpy()[:, 0, :], atol=2e-5, rtol=1e-4
+    )
+
+    # quantize/vq2emb work identically through the shared RVQ
+    with torch.no_grad():
+        for q in td.quantizer.quantizers:
+            q.codebook.weight.mul_(4.0)
+        lat = torch.from_numpy(emb.transpose(0, 2, 1))
+        _, t_ids = td.quantize(lat)
+    params = codec_decoder_params_from_torch(td.state_dict())
+    _, j_ids = jd.apply(params, jnp.asarray(emb), method=CodecDecoder.quantize)
+    np.testing.assert_array_equal(np.asarray(j_ids), t_ids.numpy())
