@@ -23,6 +23,10 @@ class QuantizeResult(NamedTuple):
     indices: jax.Array  # [B,T] int32
     commit_loss: jax.Array  # scalar
     codebook_loss: jax.Array  # scalar
+    # per-sample [B] losses (reference keeps these for quantizer-dropout
+    # masking, quantize.py:70-80); scalars above are their means
+    commit_per_sample: jax.Array | None = None
+    codebook_per_sample: jax.Array | None = None
 
 
 def _l2norm(x, axis=-1, eps=1e-12):
@@ -84,15 +88,19 @@ class FactorizedVectorQuantize(nn.Module):
         z_e, indices = self.encode_latents(x)
         z_q = self.decode_code(indices)
 
-        commit = jnp.mean(jnp.square(z_e - jax.lax.stop_gradient(z_q)))
-        codebook = jnp.mean(jnp.square(jax.lax.stop_gradient(z_e) - z_q))
+        commit_ps = jnp.mean(
+            jnp.square(z_e - jax.lax.stop_gradient(z_q)), axis=(1, 2)
+        ) * self.commitment
+        codebook_ps = jnp.mean(
+            jnp.square(jax.lax.stop_gradient(z_e) - z_q), axis=(1, 2)
+        ) * self.codebook_loss_weight
         # straight-through
         z_q = z_e + jax.lax.stop_gradient(z_q - z_e)
         out = self._project_out(z_q)
         return QuantizeResult(
             out, indices,
-            commit * self.commitment,
-            codebook * self.codebook_loss_weight,
+            jnp.mean(commit_ps), jnp.mean(codebook_ps),
+            commit_ps, codebook_ps,
         )
 
     def vq2emb(self, indices) -> jax.Array:
@@ -119,6 +127,10 @@ class ResidualVQ(nn.Module):
     commitment: float = 0.15
     codebook_loss_weight: float = 1.0
     use_l2_normalize: bool = True
+    # train-time regularizer: this fraction of each batch uses a random
+    # quantizer count in [1, Q] (reference quantize.py:193-199); active only
+    # when __call__ receives dropout_rng
+    quantizer_dropout: float = 0.0
 
     def setup(self):
         self.quantizers = [
@@ -134,20 +146,42 @@ class ResidualVQ(nn.Module):
             for i in range(self.num_quantizers)
         ]
 
-    def __call__(self, x, n_quantizers: int | None = None):
+    def __call__(self, x, n_quantizers: int | None = None, dropout_rng=None):
         """Returns (quantized_out [B,T,D], indices [Q,B,T], commit_losses [Q],
-        codebook_losses [Q], per_layer_quantized [Q,B,T,D])."""
+        codebook_losses [Q], per_layer_quantized [Q,B,T,D]).
+
+        With ``dropout_rng`` and quantizer_dropout > 0, the first
+        ceil(B*dropout) samples use a random quantizer count in [1, Q]:
+        later stages' contributions and losses are masked per sample
+        (residuals still advance unmasked — reference quantize.py:193-218).
+        """
         n = n_quantizers or self.num_quantizers
+        b = x.shape[0]
+        n_per_sample = None
+        if dropout_rng is not None and self.quantizer_dropout > 0:
+            draw = jax.random.randint(
+                dropout_rng, (b,), 1, self.num_quantizers + 1
+            )
+            n_drop = int(b * self.quantizer_dropout)
+            n_per_sample = jnp.where(
+                jnp.arange(b) < n_drop, draw, self.num_quantizers + 1
+            )
         residual = x
         out = jnp.zeros_like(x)
         all_idx, all_commit, all_cb, all_q = [], [], [], []
         for i, q in enumerate(self.quantizers[:n]):
             res = q(residual)
             residual = residual - res.quantized
-            out = out + res.quantized
+            if n_per_sample is None:
+                out = out + res.quantized
+                all_commit.append(res.commit_loss)
+                all_cb.append(res.codebook_loss)
+            else:
+                mask = (i < n_per_sample).astype(x.dtype)  # [B]
+                out = out + res.quantized * mask[:, None, None]
+                all_commit.append(jnp.mean(res.commit_per_sample * mask))
+                all_cb.append(jnp.mean(res.codebook_per_sample * mask))
             all_idx.append(res.indices)
-            all_commit.append(res.commit_loss)
-            all_cb.append(res.codebook_loss)
             all_q.append(res.quantized)
         return (
             out,

@@ -596,3 +596,41 @@ def test_reverse_diffusion_batch_sharded_matches_single_device():
     out = fn(params_r, cond_s, prompt_s, jax.random.PRNGKey(3))
     assert out.sharding.is_equivalent_to(batch_sh, out.ndim)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_residual_vq_quantizer_dropout():
+    """quantizer_dropout (reference quantize.py:193-218): dropped samples'
+    outputs only include their first n stages; losses masked accordingly;
+    no-rng calls are unaffected."""
+    from maxtext_indextts2_tpu.audio.quantize import ResidualVQ
+
+    rvq = ResidualVQ(input_dim=6, num_quantizers=3, codebook_size=8,
+                     codebook_dim=3, quantizer_dropout=0.5)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 5, 6)), jnp.float32
+    )
+    params = rvq.init(jax.random.PRNGKey(0), x)
+
+    out_plain, idx, commit, cb, per_q = rvq.apply(params, x)
+    rng = jax.random.PRNGKey(7)
+    out_drop, idx_d, commit_d, cb_d, per_q_d = rvq.apply(
+        params, x, dropout_rng=rng
+    )
+    # indices/per-stage quantized are identical (residual chain unmasked)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_d))
+    np.testing.assert_allclose(np.asarray(per_q), np.asarray(per_q_d), atol=0)
+
+    # reconstruct the mask the module used and check the output sum
+    draw = jax.random.randint(rng, (4,), 1, 4)
+    n_drop = 2  # ceil-free int(4 * 0.5)
+    n_per_sample = np.where(np.arange(4) < n_drop, np.asarray(draw), 4)
+    expect = np.zeros_like(np.asarray(out_plain))
+    for i in range(3):
+        m = (i < n_per_sample).astype(np.float32)
+        expect += np.asarray(per_q)[i] * m[:, None, None]
+    np.testing.assert_allclose(np.asarray(out_drop), expect, atol=1e-6)
+
+    # undropped samples (i >= n_drop) keep the full stack
+    np.testing.assert_allclose(
+        np.asarray(out_drop)[n_drop:], np.asarray(out_plain)[n_drop:], atol=1e-6
+    )
