@@ -176,6 +176,7 @@ class CodecDecoder(nn.Module):
     codebook_dim: int = 8
     commitment: float = 0.15
     codebook_loss_weight: float = 1.0
+    quantizer_dropout: float = 0.0
     vocos_dim: int = 512
     vocos_intermediate_dim: int = 2048
     vocos_num_layers: int = 30
@@ -195,6 +196,7 @@ class CodecDecoder(nn.Module):
             commitment=self.commitment,
             codebook_loss_weight=self.codebook_loss_weight,
             use_l2_normalize=True,
+            quantizer_dropout=self.quantizer_dropout,
             name="quantizer",
         )
         if self.use_vocos:
@@ -214,9 +216,12 @@ class CodecDecoder(nn.Module):
                 name="model",
             )
 
-    def __call__(self, latents: jax.Array, n_quantizers: int | None = None):
+    def __call__(self, latents: jax.Array, n_quantizers: int | None = None,
+                 dropout_rng=None):
         """Training: quantize + decode. Returns (wav, indices, commit, cb)."""
-        quantized, idx, commit, cb, _ = self.quantizer(latents, n_quantizers)
+        quantized, idx, commit, cb, _ = self.quantizer(
+            latents, n_quantizers, dropout_rng=dropout_rng
+        )
         wav = self.decode(quantized)
         return wav, idx, jnp.sum(commit), jnp.sum(cb)
 
@@ -246,6 +251,7 @@ class AcousticCodec(nn.Module):
     num_quantizers: int = 12
     codebook_size: int = 1024
     codebook_dim: int = 8
+    quantizer_dropout: float = 0.0
     vocos_dim: int = 512
     vocos_intermediate_dim: int = 2048
     vocos_num_layers: int = 30
@@ -260,16 +266,17 @@ class AcousticCodec(nn.Module):
             num_quantizers=self.num_quantizers,
             codebook_size=self.codebook_size,
             codebook_dim=self.codebook_dim,
+            quantizer_dropout=self.quantizer_dropout,
             vocos_dim=self.vocos_dim,
             vocos_intermediate_dim=self.vocos_intermediate_dim,
             vocos_num_layers=self.vocos_num_layers,
             name="decoder",
         )
 
-    def __call__(self, wav: jax.Array):
+    def __call__(self, wav: jax.Array, dropout_rng=None):
         """Training autoencoder path."""
         latents = self.encoder(wav)
-        recon, idx, commit, cb = self.decoder(latents)
+        recon, idx, commit, cb = self.decoder(latents, dropout_rng=dropout_rng)
         return recon, idx, commit, cb
 
     def tokenize(self, wav: jax.Array) -> jax.Array:

@@ -287,6 +287,9 @@ class Config:
     codec_hidden_size: int = 128
     codec_strides: tuple[int, ...] = (3, 4, 5, 8)
     codec_codebook_dim: int = 8
+    # train-time quantizer dropout fraction for the acoustic codec RVQ
+    # (reference CodecDecoder quantizer_dropout, acoustic/codec.py:207)
+    codec_quantizer_dropout: float = 0.0
     semantic_codebook_size: int = 8192
     semantic_codebook_dim: int = 8
     semantic_encoder_layers: int = 17  # w2v-bert tap layer (reference: semantic_utils.py:92)

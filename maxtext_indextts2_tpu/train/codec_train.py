@@ -46,7 +46,9 @@ def mel_l1(wav_a: jax.Array, wav_b: jax.Array) -> jax.Array:
 
 def train_acoustic_codec(cfg: Config, batch_fn=None) -> dict:
     codec = AcousticCodec(
-        num_quantizers=cfg.s2a_num_quantizers, codebook_size=cfg.s2a_codebook_size
+        num_quantizers=cfg.s2a_num_quantizers,
+        codebook_size=cfg.s2a_codebook_size,
+        quantizer_dropout=cfg.codec_quantizer_dropout,
     )
     hop = int(np.prod(codec.strides))
     seconds = 0.5
@@ -65,10 +67,15 @@ def train_acoustic_codec(cfg: Config, batch_fn=None) -> dict:
     tx = get_optimizer(cfg, schedule)
     opt_state = tx.init(params)
 
+    drop_key = jax.random.PRNGKey(cfg.init_weights_seed + 1)
+
     @jax.jit
-    def step_fn(params, opt_state, wav):
+    def step_fn(params, opt_state, wav, step):
         def loss_fn(p):
-            recon, idx, commit, cb = codec.apply(p, wav)
+            # per-step rng activates quantizer dropout when configured
+            recon, idx, commit, cb = codec.apply(
+                p, wav, dropout_rng=jax.random.fold_in(drop_key, step)
+            )
             n = min(recon.shape[-1], wav.shape[-1])
             l_wav = jnp.mean(jnp.abs(recon[..., :n] - wav[..., :n]))
             l_mel = mel_l1(recon[..., :n], wav[..., :n])
@@ -102,7 +109,7 @@ def train_repcodec(cfg: Config, batch_fn=None) -> dict:
     opt_state = tx.init(params)
 
     @jax.jit
-    def step_fn(params, opt_state, feats):
+    def step_fn(params, opt_state, feats, step):  # step unused (no dropout here)
         def loss_fn(p):
             recon, idx, commit, cb = codec.apply(p, feats)
             l_rec = jnp.mean(jnp.square(recon - feats))
@@ -121,7 +128,8 @@ def _loop(cfg, step_fn, params, opt_state, batch_fn, key):
     last = time.perf_counter()
     for step in range(cfg.steps):
         batch = jnp.asarray(batch_fn(step)[key])
-        params, opt_state, metrics = step_fn(params, opt_state, batch)
+        params, opt_state, metrics = step_fn(params, opt_state, batch,
+                                             jnp.asarray(step))
         now = time.perf_counter()
         logger.write_step(step, metrics, step_time=now - last)
         last = now
