@@ -300,6 +300,9 @@ class Config:
     enable_profiler: bool = False
     profiler_steps: int = 5
     skip_first_n_steps_for_profiler: int = 1
+    # re-profile every N steps after the first window (0 = one window only;
+    # reference profiler.py:111 profile_periodically_period)
+    profile_periodically_period: int = 0
     metrics_file: str = ""
     # Mirror the metrics jsonl to a bucket/dir (gs:// via gsutil, else copy);
     # reference: metric_logger.py GCS writes + profiler gsutil upload.

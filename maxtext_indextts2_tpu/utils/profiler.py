@@ -24,12 +24,19 @@ class Profiler:
         )
         self.start_step = cfg.skip_first_n_steps_for_profiler
         self.end_step = self.start_step + cfg.profiler_steps
+        # re-profile every N steps after the first window (reference
+        # profiler.py:111-115 profile_periodically_period); 0 = once
+        self.period = getattr(cfg, "profile_periodically_period", 0)
         self._active = False
+        self._window = 0
 
     def maybe_start(self, step: int):
         if self.enabled and not self._active and step == self.start_step:
-            os.makedirs(self.output_dir, exist_ok=True)
-            jax.profiler.start_trace(self.output_dir)
+            out = self.output_dir
+            if self._window:
+                out = os.path.join(out, f"period_{self._window}")
+            os.makedirs(out, exist_ok=True)
+            jax.profiler.start_trace(out)
             self._active = True
 
     def maybe_stop(self, step: int):
@@ -37,6 +44,10 @@ class Profiler:
             jax.profiler.stop_trace()
             self._active = False
             self._maybe_upload()
+            if self.period > 0:
+                self._window += 1
+                self.start_step += self.period
+                self.end_step = self.start_step + self.cfg.profiler_steps
 
     def _maybe_upload(self) -> None:
         """Ship the trace dir to cfg.metrics_upload_dir (reference:
