@@ -634,3 +634,29 @@ def test_residual_vq_quantizer_dropout():
     np.testing.assert_allclose(
         np.asarray(out_drop)[n_drop:], np.asarray(out_plain)[n_drop:], atol=1e-6
     )
+
+
+def test_mcd_metric_properties():
+    """MCD harness (benchmarks/mcd.py — BASELINE's TTS quality metric):
+    zero for identical signals, monotone in perturbation, shift-tolerant."""
+    from benchmarks.mcd import mcd
+
+    rng = np.random.default_rng(0)
+    # broadband speech-like base: white noise through a moving envelope
+    # (pure tones are floor-dominated in mel space and defeat the metric)
+    white = rng.standard_normal(24000).astype(np.float32)
+    brown = np.cumsum(white)
+    brown = (brown / np.abs(brown).max()).astype(np.float32)
+    wav = 0.5 * white * 0.05 + 0.5 * brown
+
+    assert mcd(wav, wav) == pytest.approx(0.0, abs=1e-5)
+
+    def tilt(eps):  # growing spectral-envelope change
+        return ((1 - eps) * wav + eps * 0.3 * white).astype(np.float32)
+
+    d_small, d_big = mcd(wav, tilt(0.1)), mcd(wav, tilt(0.5))
+    assert 0 < d_small < d_big
+
+    # a one-frame (10ms) shift is absorbed by the offset search
+    shifted = np.roll(wav, 240)
+    assert mcd(wav, shifted, max_shift=2) < mcd(wav, shifted, max_shift=0)
