@@ -968,3 +968,36 @@ def test_export_dir_loads_with_from_pretrained(tmp_path):
         ref = hf(tokens).logits
         got = loaded(tokens).logits
     np.testing.assert_allclose(got.numpy(), ref.numpy(), atol=1e-5)
+
+
+def test_hf_config_for_families():
+    """hf_config_for emits a loadable transformers config for exportable
+    families and None for framework-only blocks."""
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import hf_config_for
+
+    base = [
+        "base_emb_dim=64", "base_mlp_dim=128", "base_num_decoder_layers=2",
+        "base_num_query_heads=4", "base_num_kv_heads=2", "head_dim=16",
+        "vocab_size=256", "max_target_length=128",
+    ]
+    cases = {
+        "llama2": "LlamaConfig",
+        "mistral": "MistralConfig",
+        "qwen3": "Qwen3Config",
+        "gemma2": "Gemma2Config",
+        "gemma3": "Gemma3TextConfig",
+    }
+    for block, cls in cases.items():
+        cfg = load_config(base + [f"decoder_block={block}"])
+        hf_cfg = hf_config_for(cfg)
+        assert type(hf_cfg).__name__ == cls, (block, type(hf_cfg))
+        assert hf_cfg.hidden_size == 64 and hf_cfg.num_hidden_layers == 2
+
+    mix = load_config(base + ["decoder_block=mixtral", "num_experts=4",
+                              "num_experts_per_tok=2"])
+    hf_mix = hf_config_for(mix)
+    assert hf_mix.num_local_experts == 4 and hf_mix.num_experts_per_tok == 2
+
+    tts = load_config(base + ["decoder_block=tts", "audio_codebook_size=64",
+                              "semantic_codebook_size=64"])
+    assert hf_config_for(tts) is None
