@@ -225,7 +225,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true",
                     help="shrink all stages (CPU plumbing validation)")
-    ap.add_argument("--slots", type=int, default=96)  # best measured (PERF.md)
+    ap.add_argument("--slots", type=int, default=128)  # best measured (PERF.md; 160 OOMs)
     ap.add_argument("--s2a_batch", type=int, default=8)
     ap.add_argument("--s2a_dtype", default="",
                     choices=["", "int8", "int8_offline"],
