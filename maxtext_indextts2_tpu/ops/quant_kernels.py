@@ -23,12 +23,18 @@ from jax.experimental import pallas as pl
 
 
 def _quantize_rows(y, q_ref, s_ref):
-    """y: [1, bs, K] f32 -> int8 rows + [1, bs] scales into the out refs."""
+    """y: [1, bs, K] f32 -> int8 rows + [1, bs, 1] scales into the out refs.
+
+    The scale ref is [1, bs, 1] (not [1, bs]): Mosaic requires the block's
+    sublane dim be a multiple of 8 or the full array dim, which a (1, bs)
+    block over a [B, S] array violates. A trailing size-1 lane dim makes the
+    block (bs, 1) in the checked trailing dims — bs%8==0 and 1==array dim.
+    """
     amax = jnp.max(jnp.abs(y), axis=-1)  # [1, bs]
     scale = amax / 127.0
     q = jnp.round(y / jnp.maximum(scale, 1e-9)[..., None])
     q_ref[...] = q.astype(jnp.int8)
-    s_ref[...] = scale
+    s_ref[...] = scale[..., None]
 
 
 def _kernel(x_ref, q_ref, s_ref):
@@ -45,20 +51,21 @@ def row_quantize_int8(x: jax.Array, interpret: bool = False):
     b, s, k = x.shape
     bs = min(s, 256)
     grid = (b, pl.cdiv(s, bs))
-    return pl.pallas_call(
+    q, sc = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((1, bs, k), lambda i, j: (i, j, 0))],
         out_specs=[
             pl.BlockSpec((1, bs, k), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bs), lambda i, j: (i, j)),
+            pl.BlockSpec((1, bs, 1), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, s, k), jnp.int8),
-            jax.ShapeDtypeStruct((b, s), jnp.float32),
+            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
         ],
         interpret=interpret,
     )(x)
+    return q, sc[..., 0]
 
 
 # ------------------------------------------------- producer-fused variants
@@ -92,7 +99,7 @@ def ada_rmsnorm_quantize(x: jax.Array, w: jax.Array, interpret: bool = False):
     b, s, d = x.shape
     bs = min(s, 256)
     grid = (b, pl.cdiv(s, bs))
-    return pl.pallas_call(
+    q, sc = pl.pallas_call(
         _ada_quant_kernel,
         grid=grid,
         in_specs=[
@@ -101,19 +108,24 @@ def ada_rmsnorm_quantize(x: jax.Array, w: jax.Array, interpret: bool = False):
         ],
         out_specs=[
             pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bs), lambda i, j: (i, j)),
+            pl.BlockSpec((1, bs, 1), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, s, d), jnp.int8),
-            jax.ShapeDtypeStruct((b, s), jnp.float32),
+            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
         ],
         interpret=interpret,
     )(x, w[:, None, :])
+    return q, sc[..., 0]
 
 
 def _silu_mul_quant_kernel(g_ref, u_ref, q_ref, s_ref):
     g = g_ref[...]
-    y = jax.nn.silu(g) * u_ref[...]  # in input dtype, like the jnp path
+    # Mosaic can't lower bf16 logistic (f32->bf16 vector.broadcast verifier
+    # error); compute the sigmoid in f32 and round back to the input dtype,
+    # which is also what XLA does for bf16 logistic.
+    sig = jax.lax.logistic(g.astype(jnp.float32)).astype(g.dtype)
+    y = g * sig * u_ref[...]
     _quantize_rows(y.astype(jnp.float32), q_ref, s_ref)
 
 
@@ -127,7 +139,7 @@ def silu_mul_quantize(g: jax.Array, u: jax.Array, interpret: bool = False):
     b, s, k = g.shape
     bs = min(s, 256)
     grid = (b, pl.cdiv(s, bs))
-    return pl.pallas_call(
+    q, sc = pl.pallas_call(
         _silu_mul_quant_kernel,
         grid=grid,
         in_specs=[
@@ -136,11 +148,12 @@ def silu_mul_quantize(g: jax.Array, u: jax.Array, interpret: bool = False):
         ],
         out_specs=[
             pl.BlockSpec((1, bs, k), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bs), lambda i, j: (i, j)),
+            pl.BlockSpec((1, bs, 1), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, s, k), jnp.int8),
-            jax.ShapeDtypeStruct((b, s), jnp.float32),
+            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
         ],
         interpret=interpret,
     )(g, u)
+    return q, sc[..., 0]
