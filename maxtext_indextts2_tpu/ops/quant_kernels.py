@@ -22,6 +22,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
+def _row_block(s: int, k: int) -> int:
+    """Rows per block: keep each f32 input block <= 2 MB so double-buffered
+    in/out blocks fit the 16 MB VMEM scoped limit (observed 18.25M OOM at
+    bs=256, K=4096 with two f32 inputs). Multiple of 8 (sublane)."""
+    return min(s, 256, max(8, (2 * 1024 * 1024) // (4 * k)))
+
+
 def _quantize_rows(y, q_ref, s_ref):
     """y: [1, bs, K] f32 -> int8 rows + [1, bs, 1] scales into the out refs.
 
@@ -49,7 +56,7 @@ def row_quantize_int8(x: jax.Array, interpret: bool = False):
     multiple of 128 (TPU lane width).
     """
     b, s, k = x.shape
-    bs = min(s, 256)
+    bs = _row_block(s, k)
     grid = (b, pl.cdiv(s, bs))
     q, sc = pl.pallas_call(
         _kernel,
@@ -97,7 +104,7 @@ def ada_rmsnorm_quantize(x: jax.Array, w: jax.Array, interpret: bool = False):
     row_quantize_int8.
     """
     b, s, d = x.shape
-    bs = min(s, 256)
+    bs = _row_block(s, d)
     grid = (b, pl.cdiv(s, bs))
     q, sc = pl.pallas_call(
         _ada_quant_kernel,
@@ -137,7 +144,7 @@ def silu_mul_quantize(g: jax.Array, u: jax.Array, interpret: bool = False):
     ``silu(g) * u`` without the float product round-tripping HBM.
     """
     b, s, k = g.shape
-    bs = min(s, 256)
+    bs = _row_block(s, k)
     grid = (b, pl.cdiv(s, bs))
     q, sc = pl.pallas_call(
         _silu_mul_quant_kernel,
