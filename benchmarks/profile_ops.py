@@ -68,6 +68,9 @@ def main(argv=None):
     ap.add_argument("--stage", choices=["lm", "s2a", "vocoder"], default="lm")
     ap.add_argument("--slots", type=int, default=128)
     ap.add_argument("--s2a_batch", type=int, default=8)
+    ap.add_argument("--s2a_int8", default="",
+                    help='"dynamic" | "offline" (S2AConfig.int8_matmul)')
+    ap.add_argument("--s2a_bf16_weights", action="store_true")
     ap.add_argument("--steps", type=int, default=4,
                     help="repetitions inside the trace window")
     ap.add_argument("--top", type=int, default=25)
@@ -85,7 +88,9 @@ def main(argv=None):
         if args.stage == "lm":
             return t.bench_lm_decode(args.slots)
         if args.stage == "s2a":
-            return t.bench_s2a(args.s2a_batch if not t.TINY else 2)
+            return t.bench_s2a(args.s2a_batch if not t.TINY else 2,
+                               int8=args.s2a_int8 or False,
+                               bf16_weights=args.s2a_bf16_weights)
         return t.bench_vocoder(args.s2a_batch if not t.TINY else 2)
 
     warm = run_once()
