@@ -12,6 +12,7 @@ the training-MFU bench instead (220M LM vs the reference's 61.1% MFU for a
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -33,7 +34,14 @@ def main_rtf():
 
     lm = rtf.bench_lm_decode(slots)
     voc = rtf.bench_vocoder(voc_b)
-    s2a = rtf.bench_s2a(s2a_b)
+    # default is the quality-parity bf16 S2A; MTT_BENCH_S2A=int8 benches the
+    # faster int8-offline + bf16-residual serving config (PERF.md: 2.006 vs
+    # 2.381 s/pass) whose quality deviation is unscored until trained weights
+    # exist, so it is not the headline.
+    s2a_kw = {}
+    if os.environ.get("MTT_BENCH_S2A") == "int8":
+        s2a_kw = dict(int8="offline", bf16_weights=True)
+    s2a = rtf.bench_s2a(s2a_b, **s2a_kw)
     eff_rtf = (
         1.0 / max(lm["streams_capacity"], 1e-9)
         + 1.0 / max(s2a["streams_capacity"], 1e-9)

@@ -416,9 +416,16 @@ def load_config(argv: list[str] | None = None, **kwargs: Any) -> Config:
         overrides.update(_load_yaml(argv.pop(0)))
 
     late: dict[str, Any] = {}
+    fields_by_name = {f.name: f for f in dataclasses.fields(Config)}
     for key, val in os.environ.items():
         if key.startswith("MTT_") and key != "MTT_PLATFORM":
-            late[key[len("MTT_"):].lower()] = val
+            name = key[len("MTT_"):].lower()
+            # the MTT_ namespace also carries documented non-config knobs
+            # (MTT_FUSED_ADALN, MTT_FUSED_QUANT, MTT_S2A_FLASH*, MTT_BENCH*,
+            # read at their use sites) — only config-field names are
+            # overrides here; everything else is left to its consumer.
+            if name in fields_by_name:
+                late[name] = val
 
     for arg in argv:
         if "=" not in arg:
@@ -438,7 +445,6 @@ def load_config(argv: list[str] | None = None, **kwargs: Any) -> Config:
 
     overrides.update(late)
 
-    fields_by_name = {f.name: f for f in dataclasses.fields(Config)}
     clean: dict[str, Any] = {}
     for key, val in overrides.items():
         if key not in fields_by_name:

@@ -83,6 +83,18 @@ def test_env_override(monkeypatch):
     assert cfg.steps == 77
 
 
+def test_env_non_config_knobs_ignored(monkeypatch):
+    # The MTT_ namespace also carries tool knobs read at their use sites
+    # (MTT_FUSED_ADALN, MTT_BENCH_S2A, ...) — load_config must not treat
+    # them as (unknown) config overrides. CLI typos still raise.
+    monkeypatch.setenv("MTT_FUSED_ADALN", "0")
+    monkeypatch.setenv("MTT_BENCH_S2A", "int8")
+    cfg = load_config([])
+    assert cfg.steps  # loaded fine
+    with pytest.raises(ValueError, match="unknown config key"):
+        load_config(["not_a_real_key=1"])
+
+
 def test_pipeline_derived():
     cfg = load_config(
         ["ici_stage_parallelism=4", "ici_fsdp_parallelism=2", "base_num_decoder_layers=16"]
