@@ -116,6 +116,12 @@ class TTSPipeline:
                     jax.random.PRNGKey(0),
                 )
                 p = quantize_s2a_params(p, self.s2a, init_args)
+            if self.s2a.cfg.int8_matmul:
+                # bf16 residual stream halves the bytes the activation-quant
+                # pass reads — measured -11% vs int8 alone (PERF.md queue)
+                from maxtext_indextts2_tpu.audio.s2a import cast_denoiser_params
+
+                p = cast_denoiser_params(p)
             self.s2a_params = p
         if codec_encoder_state_dict is not None:
             got = tc.codec_encoder_kwargs_from_torch(codec_encoder_state_dict)
@@ -280,7 +286,7 @@ def build_tiny_pipeline(
     st.init_params()
 
     from maxtext_indextts2_tpu.audio.s2a import (
-        quantize_s2a_params, serving_s2a_config,
+        cast_denoiser_params, quantize_s2a_params, serving_s2a_config,
     )
 
     s2a_cfg = S2AConfig(
@@ -307,6 +313,9 @@ def build_tiny_pipeline(
     )
     if serve_cfg.int8_matmul == "offline":
         s2a_params = quantize_s2a_params(s2a_params, s2a, init_args)
+    if serve_cfg.int8_matmul:
+        # bf16 residual stream: measured-best int8 combo (PERF.md queue)
+        s2a_params = cast_denoiser_params(s2a_params)
 
     codec = AcousticCodec(**(codec_kwargs or dict(
         d_model=32, latent_dim=64,

@@ -65,6 +65,13 @@ def test_synthesize_with_int8_offline_s2a():
 
     kq = pl.s2a_params["params"]["denoiser"]["layers_0"]["qkv"]["kernel"]
     assert kq.dtype == jnp.int8
+    # the int8 serving combo also pre-casts the denoiser's float params to
+    # bf16 (cast_denoiser_params) so the residual stream is half-width
+    scales = pl.s2a_params["params"]["denoiser"]["layers_0"]["qkv"]["kernel_scale"]
+    assert scales.dtype == jnp.float32  # quant scales stay f32
+    norm_w = pl.s2a_params["params"]["denoiser"]["layers_0"]["input_norm"][
+        "to_weight"]["kernel"]
+    assert norm_w.dtype == jnp.bfloat16
     rng = np.random.default_rng(1)
     wav16 = rng.standard_normal(16000).astype(np.float32) * 0.1
     wav24 = rng.standard_normal(24000).astype(np.float32) * 0.1
