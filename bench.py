@@ -96,7 +96,10 @@ def main():
             "vocab_size=9344",
             "max_target_length=2048",
             "per_device_batch_size=4" if on_tpu else "per_device_batch_size=1",
-            "scan_layers=true",
+            # unrolled layers: the layer scan's carry stacking costs ~27 ms
+            # of the 131 ms step (88.8 -> 111.6 TF/s measured, PERF.md) —
+            # same lesson as serving decode
+            "scan_layers=false",
             "remat_policy=minimal",
             "attention=flash",
             "flash_block_sizes=[1024,1024]",  # best measured (PERF.md sweep)

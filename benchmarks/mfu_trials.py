@@ -18,12 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sweep import train_trial  # noqa: E402
 
 BEST = ["per_device_batch_size=4", "remat_policy=minimal", "attention=flash",
-        "flash_block_sizes=[1024,1024]"]
+        "flash_block_sizes=[1024,1024]", "scan_layers=false"]
 TRIALS = (
-    BEST,  # re-measure the recorded best (45.8% MFU)
+    BEST,  # re-measure the recorded best (56.7% MFU, unrolled)
     BEST + ["weight_dtype=bfloat16"],
-    ["per_device_batch_size=8", "remat_policy=minimal", "attention=flash",
-     "flash_block_sizes=[1024,1024]"],
+    BEST[:-1] + ["scan_layers=true"],  # the old scanned baseline (45.1%)
 )
 
 
