@@ -47,9 +47,22 @@ class CheckpointManager:
         step = self.manager.latest_step()
         if step is None:
             return None
-        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_or_state)
+
+        def to_abstract(x):
+            # keep the TARGET sharding on the abstract value: without it
+            # Orbax restores with the sharding recorded at save time, which
+            # breaks resuming onto a different mesh (resharded restore)
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            return ocp.utils.to_shape_dtype_struct(x)
+
+        target = jax.tree.map(to_abstract, abstract_or_state)
         restored = self.manager.restore(
-            step, args=ocp.args.PyTreeRestore(item=target)
+            step,
+            args=ocp.args.PyTreeRestore(
+                item=target,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(target),
+            ),
         )
         logger.info("restored checkpoint step %d from %s", step, self.directory)
         return restored

@@ -73,10 +73,16 @@ class DPODataIterator:
 
         rng = np.random.default_rng(self.cfg.data_shuffle_seed)
         s = self.cfg.max_target_length
+        v = self.cfg.vocab_size
+        # learnable preference: shared prompt prefix, chosen completions draw
+        # from the low half of the vocab, rejected from the high half — a
+        # few optimizer steps push chosen_reward above rejected_reward (the
+        # demo/e2e signal; real use passes a source of token-id pairs)
         while True:
-            base = rng.integers(1, self.cfg.vocab_size, size=s // 2).tolist()
-            yield (base + rng.integers(1, self.cfg.vocab_size, size=s - len(base)).tolist(),
-                   base + rng.integers(1, self.cfg.vocab_size, size=s - len(base)).tolist())
+            base = rng.integers(1, v, size=s // 2).tolist()
+            n = s - len(base)
+            yield (base + rng.integers(1, max(v // 2, 2), size=n).tolist(),
+                   base + rng.integers(v // 2, v, size=n).tolist())
 
     def __iter__(self):
         return self

@@ -56,6 +56,41 @@ def test_save_restore_roundtrip(tmp_path):
     )
 
 
+def test_restore_onto_different_mesh(tmp_path):
+    """Resume onto a different parallelism layout: Orbax must reshard to the
+    TARGET sharding, not replay the sharding recorded at save time
+    (regression: restored fsdp=8 arrays crashed the fsdp=4 x tensor=2
+    train step jit)."""
+    save_cfg = load_config(SMALL + [
+        f"checkpoint_dir={tmp_path}/ckpt", "async_checkpointing=false",
+        "ici_fsdp_parallelism=8",
+    ])
+    mesh_a = create_device_mesh(save_cfg)
+    state_a = _state(save_cfg, mesh_a)
+    mgr = CheckpointManager(save_cfg)
+    mgr.save(2, state_a)
+    mgr.wait()
+    mgr.close()
+
+    resume_cfg = load_config(SMALL + [
+        f"checkpoint_dir={tmp_path}/ckpt", "async_checkpointing=false",
+        "ici_fsdp_parallelism=4", "ici_tensor_parallelism=2",
+    ])
+    mesh_b = create_device_mesh(resume_cfg)
+    state_b = _state(resume_cfg, mesh_b, seed=1)
+    mgr2 = CheckpointManager(resume_cfg)
+    restored = mgr2.maybe_restore(state_b)
+    mgr2.close()
+    assert restored is not None and int(restored.step) == int(state_a.step)
+    emb = restored.params["token_embedder"]["embedding"]
+    assert emb.sharding.is_equivalent_to(
+        state_b.params["token_embedder"]["embedding"].sharding, emb.ndim
+    )
+    np.testing.assert_array_equal(
+        np.asarray(emb), np.asarray(state_a.params["token_embedder"]["embedding"])
+    )
+
+
 def test_params_only_roundtrip(tmp_path):
     cfg = load_config(SMALL)
     mesh = create_device_mesh(cfg)

@@ -18,7 +18,10 @@ smoke-testing the flow).
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(argv=None) -> dict:
