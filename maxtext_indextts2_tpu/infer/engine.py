@@ -118,9 +118,20 @@ class Engine:
         shardings = tree_logical_to_sharding(nn.get_partition_spec(abstract), self.mesh)
         path = path or cfg.load_parameters_path
         if path:
-            from maxtext_indextts2_tpu.train.checkpointing import load_params_only
+            from maxtext_indextts2_tpu.train.checkpointing import (
+                load_params_only,
+                params_checkpoint_is_scanned,
+            )
 
-            if self._ckpt_scanned:
+            ckpt_scanned = self._ckpt_scanned
+            if ckpt_scanned:
+                # trust the checkpoint over the convention: training with
+                # scan_layers=false writes unrolled layers ('layers_0'),
+                # which load directly into this engine's layout
+                on_disk = params_checkpoint_is_scanned(path)
+                if on_disk is not None:
+                    ckpt_scanned = on_disk
+            if ckpt_scanned:
                 # checkpoint on disk is scan-stacked; restore through a
                 # scanned twin, then unstack into this engine's unrolled
                 # module layout (keeping the unrolled shardings)
@@ -143,7 +154,7 @@ class Engine:
                 nn.meta.unbox(shardings),
             )
             self.params = load_params_only(path, target)
-            if self._ckpt_scanned:
+            if ckpt_scanned:
                 with self.mesh:
                     self.params = jax.jit(
                         unroll_scanned_params,

@@ -86,6 +86,32 @@ def save_params_only(path: str, params) -> None:
     ckptr.close()
 
 
+def params_checkpoint_is_scanned(path: str) -> bool | None:
+    """Whether a params-only checkpoint stores scan-stacked decoder layers.
+
+    True -> 'decoder/layers' (training default scan_layers=true);
+    False -> 'decoder/layers_0' (unrolled training or engine-written);
+    None -> no decoder subtree / unreadable metadata (caller decides).
+    """
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        tree = ckptr.metadata(os.path.abspath(path)).item_metadata.tree
+    except Exception:  # noqa: BLE001 - absent/foreign checkpoint metadata
+        return None
+    finally:
+        ckptr.close()
+    if "params" in tree:
+        tree = tree["params"]
+    dec = tree.get("decoder")
+    if not isinstance(dec, dict):
+        return None
+    if "layers" in dec:
+        return True
+    if any(k.startswith("layers_") for k in dec):
+        return False
+    return None
+
+
 def load_params_only(path: str, abstract_params=None):
     ckptr = ocp.StandardCheckpointer()
     if abstract_params is not None:

@@ -472,6 +472,42 @@ def test_serve_unroll_scanned_checkpoint_parity(tmp_path):
     assert got == want
 
 
+def test_serve_unrolled_trained_checkpoint(tmp_path):
+    """A checkpoint trained with scan_layers=false (the 220M perf recipe)
+    stores unrolled layers; an engine with the default config (scan_layers
+    true + serve_unroll_layers) must detect the on-disk layout instead of
+    trying to restore a scanned twin."""
+    import flax.linen as nn
+
+    from maxtext_indextts2_tpu.train.checkpointing import (
+        params_checkpoint_is_scanned,
+        save_params_only,
+    )
+
+    un_cfg = load_config(CFG + ["scan_layers=false"])
+    un_model = Transformer(cfg=un_cfg)
+    dummy = jnp.zeros((1, un_cfg.max_prefill_predict_length), jnp.int32)
+    params = nn.meta.unbox(
+        un_model.init(
+            jax.random.PRNGKey(un_cfg.init_weights_seed), dummy, dummy, dummy
+        )["params"]
+    )
+    path = str(tmp_path / "unrolled_ckpt")
+    save_params_only(path, params)
+    assert params_checkpoint_is_scanned(path) is False
+
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+    eng_direct = Engine(load_config(CFG + ["scan_layers=false"]))
+    eng_direct.load_params(path)
+    want = eng_direct.generate_stream(prompt, 8)
+
+    eng_default = Engine(load_config(CFG + ["scan_layers=true"]))
+    assert eng_default._ckpt_scanned  # convention says scanned...
+    eng_default.load_params(path)  # ...but the checkpoint says unrolled
+    got = eng_default.generate_stream(prompt, 8)
+    assert got == want
+
+
 def test_engine_tensor_parallel_decode_parity():
     """Serving with the weights tensor-sharded over the mesh
     (ici_tensor_parallelism=2) decodes the same stream as the replicated
