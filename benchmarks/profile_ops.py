@@ -68,8 +68,8 @@ def main(argv=None):
     ap.add_argument("--stage", choices=["lm", "s2a", "vocoder"], default="lm")
     ap.add_argument("--slots", type=int, default=128)
     ap.add_argument("--s2a_batch", type=int, default=8)
-    ap.add_argument("--s2a_int8", default="",
-                    help='"dynamic" | "offline" (S2AConfig.int8_matmul)')
+    ap.add_argument("--s2a_int8", default="", choices=["", "dynamic", "offline"],
+                    help="S2AConfig.int8_matmul")
     ap.add_argument("--s2a_bf16_weights", action="store_true")
     ap.add_argument("--steps", type=int, default=4,
                     help="repetitions inside the trace window")

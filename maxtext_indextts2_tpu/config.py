@@ -417,15 +417,21 @@ def load_config(argv: list[str] | None = None, **kwargs: Any) -> Config:
 
     late: dict[str, Any] = {}
     fields_by_name = {f.name: f for f in dataclasses.fields(Config)}
+    # the MTT_ namespace also carries documented non-config knobs, read at
+    # their use sites — only config-field names are overrides here. Anything
+    # else gets a warning so a typo'd override (MTT_STPES=...) is visible.
+    _knob_prefixes = ("MTT_FUSED_", "MTT_S2A_", "MTT_BENCH")
     for key, val in os.environ.items():
         if key.startswith("MTT_") and key != "MTT_PLATFORM":
             name = key[len("MTT_"):].lower()
-            # the MTT_ namespace also carries documented non-config knobs
-            # (MTT_FUSED_ADALN, MTT_FUSED_QUANT, MTT_S2A_FLASH*, MTT_BENCH*,
-            # read at their use sites) — only config-field names are
-            # overrides here; everything else is left to its consumer.
             if name in fields_by_name:
                 late[name] = val
+            elif not key.startswith(_knob_prefixes):
+                import warnings
+
+                warnings.warn(
+                    f"env var {key} matches no config field or known tool "
+                    "knob — ignored (typo?)", stacklevel=2)
 
     for arg in argv:
         if "=" not in arg:

@@ -55,6 +55,30 @@ def unroll_scanned_params(params):
     return walk(params)
 
 
+def stack_unrolled_params(params):
+    """Inverse of unroll_scanned_params: gather per-layer {"layers_0", ...}
+    subtrees into the scan-stacked layout ({"layers": leaves [L, ...]})."""
+    regions = ("layers", "dense_layers", "moe_layers")
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        groups: dict[str, dict[int, dict]] = {}
+        for k, v in node.items():
+            base, _, idx = k.rpartition("_")
+            if base in regions and idx.isdigit():
+                groups.setdefault(base, {})[int(idx)] = v
+            else:
+                out[k] = walk(v)
+        for base, items in groups.items():
+            ordered = [items[i] for i in range(len(items))]
+            out[base] = jax.tree.map(lambda *xs: jnp.stack(xs), *ordered)
+        return out
+
+    return walk(params)
+
+
 class Engine:
     def __init__(self, cfg: Config, mesh=None, model: Transformer | None = None, params=None):
         # Decode with unrolled layers (each layer's KV cache a separate
@@ -123,29 +147,33 @@ class Engine:
                 params_checkpoint_is_scanned,
             )
 
-            ckpt_scanned = self._ckpt_scanned
-            if ckpt_scanned:
-                # trust the checkpoint over the convention: training with
-                # scan_layers=false writes unrolled layers ('layers_0'),
-                # which load directly into this engine's layout
-                on_disk = params_checkpoint_is_scanned(path)
-                if on_disk is not None:
-                    ckpt_scanned = on_disk
-            if ckpt_scanned:
-                # checkpoint on disk is scan-stacked; restore through a
-                # scanned twin, then unstack into this engine's unrolled
-                # module layout (keeping the unrolled shardings)
+            # compare the engine's module layout with the on-disk layout and
+            # convert when they differ (either direction). Detection reads
+            # the Orbax tree metadata; if it cannot tell, fall back to the
+            # convention that float checkpoints use the training layout.
+            module_scanned = cfg.scan_layers
+            on_disk = params_checkpoint_is_scanned(path)
+            ckpt_scanned = (
+                (self._ckpt_scanned or module_scanned) if on_disk is None else on_disk
+            )
+            convert = None
+            if ckpt_scanned != module_scanned:
+                # restore through a twin in the checkpoint's layout, then
+                # convert into the engine's (keeping the module shardings)
                 import dataclasses as _dc
 
-                un_shardings = shardings
-                scan_model = Transformer(
-                    cfg=_dc.replace(cfg, scan_layers=True), mesh=self.mesh
+                module_shardings = shardings
+                twin = Transformer(
+                    cfg=_dc.replace(cfg, scan_layers=ckpt_scanned), mesh=self.mesh
                 )
                 abstract = jax.eval_shape(
-                    lambda r: scan_model.init(r, dummy, dummy, dummy)["params"], rng
+                    lambda r: twin.init(r, dummy, dummy, dummy)["params"], rng
                 )
                 shardings = tree_logical_to_sharding(
                     nn.get_partition_spec(abstract), self.mesh
+                )
+                convert = (
+                    unroll_scanned_params if ckpt_scanned else stack_unrolled_params
                 )
             abstract_unboxed = nn.meta.unbox(abstract)
             target = jax.tree.map(
@@ -154,11 +182,11 @@ class Engine:
                 nn.meta.unbox(shardings),
             )
             self.params = load_params_only(path, target)
-            if ckpt_scanned:
+            if convert is not None:
                 with self.mesh:
                     self.params = jax.jit(
-                        unroll_scanned_params,
-                        out_shardings=nn.meta.unbox(un_shardings),
+                        convert,
+                        out_shardings=nn.meta.unbox(module_shardings),
                     )(self.params)
         else:
             with self.mesh:

@@ -86,12 +86,18 @@ def save_params_only(path: str, params) -> None:
     ckptr.close()
 
 
+# scan regions used by models/decoder.py _run_region (dense/moe split for
+# DeepSeek-style first_num_dense_layers configs)
+_LAYER_REGIONS = ("layers", "dense_layers", "moe_layers")
+
+
 def params_checkpoint_is_scanned(path: str) -> bool | None:
     """Whether a params-only checkpoint stores scan-stacked decoder layers.
 
-    True -> 'decoder/layers' (training default scan_layers=true);
-    False -> 'decoder/layers_0' (unrolled training or engine-written);
+    True -> 'decoder/<region>' (training default scan_layers=true);
+    False -> 'decoder/<region>_0' (unrolled training or engine-written);
     None -> no decoder subtree / unreadable metadata (caller decides).
+    Regions: 'layers' plus the MoE split 'dense_layers'/'moe_layers'.
     """
     ckptr = ocp.StandardCheckpointer()
     try:
@@ -105,9 +111,14 @@ def params_checkpoint_is_scanned(path: str) -> bool | None:
     dec = tree.get("decoder")
     if not isinstance(dec, dict):
         return None
-    if "layers" in dec:
+    if any(r in dec for r in _LAYER_REGIONS):
         return True
-    if any(k.startswith("layers_") for k in dec):
+
+    def is_unrolled_key(k: str) -> bool:
+        base, _, idx = k.rpartition("_")
+        return base in _LAYER_REGIONS and idx.isdigit()
+
+    if any(is_unrolled_key(k) for k in dec):
         return False
     return None
 

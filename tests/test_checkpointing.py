@@ -91,6 +91,32 @@ def test_restore_onto_different_mesh(tmp_path):
     )
 
 
+def test_params_layout_detection_moe_regions(tmp_path):
+    """params_checkpoint_is_scanned must recognize the MoE region split
+    ('dense_layers'/'moe_layers') in both layouts, not just 'layers'."""
+    from maxtext_indextts2_tpu.train.checkpointing import (
+        params_checkpoint_is_scanned,
+    )
+
+    w = jnp.ones((4, 8))
+    scanned = {"decoder": {"dense_layers": {"wi": {"kernel": jnp.ones((2, 4, 8))}},
+                           "moe_layers": {"wi": {"kernel": jnp.ones((2, 4, 8))}}},
+               "token_embedder": {"embedding": w}}
+    save_params_only(str(tmp_path / "scanned"), scanned)
+    assert params_checkpoint_is_scanned(str(tmp_path / "scanned")) is True
+
+    unrolled = {"decoder": {"dense_layers_0": {"wi": {"kernel": w}},
+                            "moe_layers_0": {"wi": {"kernel": w}},
+                            "moe_layers_1": {"wi": {"kernel": w}}},
+                "token_embedder": {"embedding": w}}
+    save_params_only(str(tmp_path / "unrolled"), unrolled)
+    assert params_checkpoint_is_scanned(str(tmp_path / "unrolled")) is False
+
+    no_decoder = {"token_embedder": {"embedding": w}}
+    save_params_only(str(tmp_path / "none"), no_decoder)
+    assert params_checkpoint_is_scanned(str(tmp_path / "none")) is None
+
+
 def test_params_only_roundtrip(tmp_path):
     cfg = load_config(SMALL)
     mesh = create_device_mesh(cfg)

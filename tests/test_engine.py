@@ -507,6 +507,17 @@ def test_serve_unrolled_trained_checkpoint(tmp_path):
     got = eng_default.generate_stream(prompt, 8)
     assert got == want
 
+    # reverse direction: a SCANNED-module engine (serve_unroll_layers=false,
+    # e.g. deep models kept scanned for compile time) must stack the
+    # unrolled checkpoint into its layout
+    eng_scan = Engine(
+        load_config(CFG + ["scan_layers=true", "serve_unroll_layers=false"])
+    )
+    assert not eng_scan._ckpt_scanned and eng_scan.cfg.scan_layers
+    eng_scan.load_params(path)
+    got_scan = eng_scan.generate_stream(prompt, 8)
+    assert got_scan == want
+
 
 def test_engine_tensor_parallel_decode_parity():
     """Serving with the weights tensor-sharded over the mesh
