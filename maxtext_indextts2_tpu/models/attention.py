@@ -247,6 +247,7 @@ class Attention(nn.Module):
     flash_block_sizes: tuple[int, int] = (512, 512)
     context_parallelism: int = 1
     load_balanced_context_parallel: bool = True
+    context_parallel_algorithm: str = "allgather"  # | "ring"
     mesh: Any = None
 
     @nn.compact
@@ -576,6 +577,7 @@ class Attention(nn.Module):
                 block_q=self.flash_block_sizes[0],
                 block_kv=self.flash_block_sizes[1],
                 load_balanced=self.load_balanced_context_parallel,
+                algorithm=self.context_parallel_algorithm,
             )
         mask = make_attention_mask(
             positions,

@@ -69,6 +69,7 @@ def _attention_kwargs(cfg: Config, block, mesh, attention_type: str) -> dict[str
         flash_block_sizes=tuple(cfg.flash_block_sizes),
         context_parallelism=cfg.ici_context_parallelism,
         load_balanced_context_parallel=cfg.context_parallel_load_balance,
+        context_parallel_algorithm=cfg.context_parallel_algorithm,
         mesh=mesh,
     )
 

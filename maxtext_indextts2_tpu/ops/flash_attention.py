@@ -542,15 +542,23 @@ def flash_attention_sharded(
     positions=None,
     causal=True, sliding_window=0, chunk_size=0, logits_soft_cap=0.0,
     block_q=512, block_kv=512, load_balanced=True,
+    algorithm="allgather",
 ):
     """[B,S,N,D]-layout entry used by the Attention module.
 
     Under a mesh with context parallelism, shard Q's sequence axis over the
-    "context" axis inside shard_map and keep K/V full per device. The caller
-    is expected to have applied :func:`load_balanced_reorder` to the batch
-    (tokens+positions+segments) when load balancing is on — positions passed
-    here then make the causal mask correct without any in-kernel
-    unpermutation.
+    "context" axis inside shard_map. K/V handling depends on ``algorithm``:
+
+    - "allgather" (reference parity): K/V gathered full per device — fastest
+      while the whole KV fits HBM.
+    - "ring": K/V stay sequence-sharded and rotate around the context axis
+      (ops/ring_attention.py) — O(S/cp) attention memory for long context.
+
+    The caller is expected to have applied :func:`load_balanced_reorder` to
+    the batch (tokens+positions+segments) when load balancing is on —
+    positions passed here then make the causal mask correct without any
+    in-kernel unpermutation (both algorithms; ring carries the positions
+    around with the K/V blocks).
     """
     b, s, n, d = q.shape
     if positions is None:
@@ -577,6 +585,30 @@ def flash_attention_sharded(
     kv_spec = P(batch_axes, heads_axes, None, None)
     seq_spec = P(batch_axes, "context")
     full_seq_spec = P(batch_axes, None)
+
+    if algorithm == "ring":
+        from maxtext_indextts2_tpu.ops.ring_attention import ring_flash_attention
+
+        kv_ring_spec = P(batch_axes, heads_axes, "context", None)
+
+        def cp_ring(qh, kh, vh, qpos, kvpos, qseg, kvseg):
+            return ring_flash_attention(
+                qh, kh, vh, qpos, kvpos, qseg, kvseg,
+                "context", causal, sliding_window, chunk_size, logits_soft_cap,
+                None, block_q, block_kv,
+            )
+
+        o = jax.shard_map(
+            cp_ring,
+            mesh=mesh,
+            in_specs=(q_spec, kv_ring_spec, kv_ring_spec,
+                      seq_spec, seq_spec, seq_spec, seq_spec),
+            out_specs=q_spec,
+            check_vma=False,
+        )(qh, kh, vh, positions, positions, segment_ids, segment_ids)
+        return jnp.swapaxes(o, 1, 2)
+    if algorithm != "allgather":
+        raise ValueError(f"unknown context-parallel algorithm: {algorithm!r}")
 
     def cp_attn(qh, kh, vh, qpos, kvpos, qseg, kvseg):
         return flash_attention(
