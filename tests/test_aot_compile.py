@@ -15,6 +15,11 @@ SMALL = [
 @pytest.mark.parametrize("topo,parallel", [
     ("v5e-16", ["ici_fsdp_parallelism=8", "ici_tensor_parallelism=2"]),
     ("v5e-64", ["ici_fsdp_parallelism=16", "ici_tensor_parallelism=4"]),
+    # ring CP: proves the Pallas flash kernel + ppermute ring lower through
+    # Mosaic for real TPU hardware (not interpret mode)
+    ("v5e-8", ["ici_fsdp_parallelism=2", "ici_context_parallelism=4",
+               "context_parallel_algorithm=ring", "attention=flash",
+               "flash_block_sizes=[64,64]", "max_target_length=512"]),
 ])
 def test_aot_compile_topology(topo, parallel):
     from maxtext_indextts2_tpu.train.train_compile import (
