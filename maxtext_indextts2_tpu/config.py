@@ -182,7 +182,8 @@ class Config:
     compile_topology_num_slices: int = 1
     context_parallel_load_balance: bool = True
     # "allgather" (reference parity: K/V full per device) | "ring" (K/V stay
-    # sequence-sharded and rotate via ppermute — O(S/cp) attention memory)
+    # sequence-sharded and rotate via ppermute — O(S/cp) attention memory) |
+    # "ulysses" (all-to-all seq<->head re-shard; needs heads % cp == 0)
     context_parallel_algorithm: str = "allgather"
     expert_shard_attention_option: str = "fsdp"  # how EP axis acts in attention
     allow_split_physical_axes: bool = False
@@ -522,10 +523,10 @@ def finalize(cfg: Config, num_devices: int | None = None) -> Config:
     )
     cfg.using_sequence_parallelism = cfg.ici_sequence_parallelism > 1
     cfg.using_context_parallelism = cfg.ici_context_parallelism > 1
-    if cfg.context_parallel_algorithm not in ("allgather", "ring"):
+    if cfg.context_parallel_algorithm not in ("allgather", "ring", "ulysses"):
         raise ValueError(
-            "context_parallel_algorithm must be 'allgather' or 'ring', got "
-            f"{cfg.context_parallel_algorithm!r}"
+            "context_parallel_algorithm must be 'allgather', 'ring' or "
+            f"'ulysses', got {cfg.context_parallel_algorithm!r}"
         )
     cfg.using_expert_parallelism = (
         cfg.ici_expert_parallelism > 1 or cfg.dcn_expert_parallelism > 1

@@ -607,6 +607,47 @@ def flash_attention_sharded(
             check_vma=False,
         )(qh, kh, vh, positions, positions, segment_ids, segment_ids)
         return jnp.swapaxes(o, 1, 2)
+    if algorithm == "ulysses":
+        # DeepSpeed-Ulysses style: one all-to-all turns the sequence sharding
+        # into a head sharding (every device sees the FULL sequence for H/cp
+        # heads), attention runs unsharded per device, a second all-to-all
+        # restores sequence sharding. Two cheap collectives; needs
+        # heads % cp == 0 (per-device heads, after tensor sharding). Grads
+        # flow through the native collective transposes — no custom VJP.
+        tp = 1
+        for ax in ("tensor", "tensor_transpose", "tensor_sequence"):
+            tp *= mesh.shape.get(ax, 1)
+        hq_local = q.shape[2] // tp
+        h_local = max(k.shape[2] // tp, 1)
+        if hq_local % cp or h_local % cp:
+            raise ValueError(
+                f"ulysses needs per-device query heads ({hq_local}) and kv "
+                f"heads ({h_local}) divisible by context parallelism ({cp}); "
+                "use context_parallel_algorithm=ring instead"
+            )
+        kv_uly_spec = P(batch_axes, heads_axes, "context", None)
+
+        def cp_ulysses(qh, kh, vh, qpos, qseg):
+            q_a = jax.lax.all_to_all(qh, "context", 1, 2, tiled=True)
+            k_a = jax.lax.all_to_all(kh, "context", 1, 2, tiled=True)
+            v_a = jax.lax.all_to_all(vh, "context", 1, 2, tiled=True)
+            pos_f = jax.lax.all_gather(qpos, "context", axis=1, tiled=True)
+            seg_f = jax.lax.all_gather(qseg, "context", axis=1, tiled=True)
+            o = flash_attention(
+                q_a, k_a, v_a, pos_f, pos_f, seg_f, seg_f,
+                causal, sliding_window, chunk_size, logits_soft_cap,
+                None, block_q, block_kv,
+            )
+            return jax.lax.all_to_all(o, "context", 2, 1, tiled=True)
+
+        o = jax.shard_map(
+            cp_ulysses,
+            mesh=mesh,
+            in_specs=(q_spec, kv_uly_spec, kv_uly_spec, seq_spec, seq_spec),
+            out_specs=q_spec,
+            check_vma=False,
+        )(qh, kh, vh, positions, segment_ids)
+        return jnp.swapaxes(o, 1, 2)
     if algorithm != "allgather":
         raise ValueError(f"unknown context-parallel algorithm: {algorithm!r}")
 

@@ -15,10 +15,13 @@ SMALL = [
 @pytest.mark.parametrize("topo,parallel", [
     ("v5e-16", ["ici_fsdp_parallelism=8", "ici_tensor_parallelism=2"]),
     ("v5e-64", ["ici_fsdp_parallelism=16", "ici_tensor_parallelism=4"]),
-    # ring CP: proves the Pallas flash kernel + ppermute ring lower through
-    # Mosaic for real TPU hardware (not interpret mode)
+    # ring / ulysses CP: proves the Pallas flash kernel + ppermute ring /
+    # all-to-all re-shard lower through Mosaic for real TPU hardware
     ("v5e-8", ["ici_fsdp_parallelism=2", "ici_context_parallelism=4",
                "context_parallel_algorithm=ring", "attention=flash",
+               "flash_block_sizes=[64,64]", "max_target_length=512"]),
+    ("v5e-8", ["ici_fsdp_parallelism=2", "ici_context_parallelism=4",
+               "context_parallel_algorithm=ulysses", "attention=flash",
                "flash_block_sizes=[64,64]", "max_target_length=512"]),
 ])
 def test_aot_compile_topology(topo, parallel):

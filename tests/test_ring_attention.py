@@ -139,4 +139,41 @@ def test_ring_config_threading():
 
 def test_ring_algorithm_validation():
     with pytest.raises(ValueError, match="context_parallel_algorithm"):
-        load_config(["context_parallel_algorithm=ulysses"])
+        load_config(["context_parallel_algorithm=sequence_ring"])
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_ulysses_matches_allgather(packed):
+    """Ulysses (all-to-all seq<->head re-shard) forward parity vs the
+    all-gather CP path."""
+    mesh = _mesh()
+    q, k, v, pos, seg = _inputs(packed=packed)
+    want = _run_sharded(mesh, "allgather", q, k, v, pos, seg)
+    got = _run_sharded(mesh, "ulysses", q, k, v, pos, seg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_ulysses_gradient_parity():
+    mesh = _mesh()
+    q, k, v, pos, seg = _inputs()
+
+    def loss(algorithm, q, k, v):
+        out = _run_sharded(mesh, algorithm, q, k, v, pos, seg)
+        w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape) / out.size
+        return jnp.sum(out * w)
+
+    want = jax.grad(lambda *a: loss("allgather", *a), argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(lambda *a: loss("ulysses", *a), argnums=(0, 1, 2))(q, k, v)
+    for g, wgrad, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wgrad), atol=3e-5, err_msg=f"d{name}"
+        )
+
+
+def test_ulysses_rejects_indivisible_heads():
+    """cp=4 with only 2 kv heads: ulysses must refuse with a clear error
+    (ring handles that case)."""
+    mesh = _mesh()
+    q, k, v, pos, seg = _inputs(NKV=2)
+    with pytest.raises(ValueError, match="ulysses"):
+        _run_sharded(mesh, "ulysses", q, k, v, pos, seg)
