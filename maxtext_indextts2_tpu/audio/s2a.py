@@ -616,10 +616,13 @@ class S2AModel(nn.Module):
         self, layer, seq, mask, cum, cond_full, prompt_sum, full_mask, x_mask,
         t_now, t_next, next_mask_num, is_last, key,
         p, tlen, temperature, topk_keep, cfg_scale, rescale_cfg, steps_is_one,
+        all_valid=True,
     ):
         """One confidence-unmasking step. ``layer`` may be a traced index; all
         per-step scalars (t_now, next_mask_num, is_last) may be traced — the
-        body compiles ONCE per step-count group."""
+        body compiles ONCE per step-count group. ``next_mask_num`` may be a
+        scalar or per-row [B] (variable-length batching); ``all_valid=False``
+        makes the denoiser honor the pad masks."""
         c = self.cfg
         b = seq.shape[0]
         emb_l = jnp.take(self.token_emb, layer, axis=0)  # [K, H]
@@ -635,16 +638,27 @@ class S2AModel(nn.Module):
         xt_input = cur if p == 0 else jnp.concatenate([prompt_sum, cur], axis=1)
         embeds = self.denoiser(
             xt_input.astype(c.dtype), t_vec, layer_cond.astype(c.dtype), full_mask,
-            all_valid=True,
+            all_valid=all_valid,
         )[:, p:]
         if cfg_scale > 0 and p > 0:
             uncond = self.denoiser(
                 cur.astype(c.dtype), t_vec, layer_cond[:, p:].astype(c.dtype), x_mask,
-                all_valid=True,
+                all_valid=all_valid,
             )
-            std_pos = jnp.std(embeds)
+            if all_valid:
+                _std = jnp.std
+            else:
+                # exclude padded positions from the CFG rescale statistics
+                w = x_mask[..., None].astype(jnp.float32)
+                denom = jnp.maximum(jnp.sum(w) * embeds.shape[-1], 1.0)
+
+                def _std(x):
+                    mu = jnp.sum(x * w) / denom
+                    return jnp.sqrt(jnp.sum(jnp.square((x - mu) * w)) / denom)
+
+            std_pos = _std(embeds)
             guided = embeds + cfg_scale * (embeds - uncond)
-            rescaled = guided * std_pos / jnp.maximum(jnp.std(guided), 1e-6)
+            rescaled = guided * std_pos / jnp.maximum(_std(guided), 1e-6)
             embeds = rescale_cfg * rescaled + (1 - rescale_cfg) * guided
 
         logits = embeds.astype(jnp.float32) @ w_l + b_l
@@ -682,8 +696,11 @@ class S2AModel(nn.Module):
         ranks = jnp.zeros((b, tlen), jnp.int32).at[
             jnp.arange(b)[:, None], order
         ].set(jnp.broadcast_to(jnp.arange(tlen)[None, :], (b, tlen)))
-        new_mask = ranks < next_mask_num
-        keep_going = jnp.logical_not(is_last) & (next_mask_num > 0)
+        nmn = jnp.asarray(next_mask_num)
+        if nmn.ndim == 1:  # per-row counts (variable-length batching)
+            nmn = nmn[:, None]
+        new_mask = ranks < nmn
+        keep_going = jnp.logical_not(is_last) & (nmn > 0)
         mask = jnp.where(keep_going, new_mask, jnp.zeros_like(new_mask))
         seq = jnp.where(mask, 0, seq)
         return seq, mask
@@ -699,6 +716,8 @@ class S2AModel(nn.Module):
         cfg: float = 1.0,
         rescale_cfg: float = 1.0,
         unroll: bool = False,
+        x_mask=None,
+        prompt_mask=None,
     ):
         """Iterative per-layer confidence unmasking. Returns [B, T, Q].
 
@@ -709,6 +728,14 @@ class S2AModel(nn.Module):
         time drops by an order of magnitude while keeping one fused XLA
         program. ``unroll=True`` traces every step (same math, same rng keys;
         used for parity testing).
+
+        Variable-length batching (beyond the reference's python sampler):
+        pass ``x_mask`` [B, T] / ``prompt_mask`` [B, P] to batch requests of
+        different lengths padded to common T/P — padded positions are
+        excluded from attention, sampling, and the per-row re-masking counts
+        (``next_mask_num`` becomes ceil-free ``floor(schedule * row_len)``).
+        With both masks None the math (and rng stream) is bit-identical to
+        the fixed-length path.
         """
         c = self.cfg
         b, p, q = prompt_code.shape
@@ -716,19 +743,33 @@ class S2AModel(nn.Module):
         tlen = total - p
         assert len(n_timesteps) == c.num_quantizers
 
+        variable = x_mask is not None or prompt_mask is not None
+        if x_mask is None:
+            x_mask = jnp.ones((b, tlen), jnp.int32)
+        x_mask = x_mask.astype(jnp.int32)
+        if prompt_mask is None:
+            prompt_mask = jnp.ones((b, p), jnp.int32)
+        prompt_mask = prompt_mask.astype(jnp.int32)
+        tlen_rows = jnp.sum(x_mask, axis=1).astype(jnp.float32)  # [B]
+
         cond_full = jnp.take(self.cond_emb, cond_code, axis=0)  # [B,P+T,H]
         prompt_sum = self.embed_tokens_upto_stacked(prompt_code)  # [B,P,H]
-        x_mask = jnp.ones((b, tlen), jnp.int32)
-        full_mask = jnp.ones((b, total), jnp.int32)
+        full_mask = (jnp.concatenate([prompt_mask, x_mask], axis=1)
+                     if p > 0 else x_mask)
         topk_keep = max(1, int((1.0 - filter_thres) * c.codebook_size))
 
         def step_args(steps):
             t_list = [1.0 - i / steps for i in range(steps)] + [0.0]
             return dict(
                 t_now=np.asarray(t_list[:-1], np.float32),
+                # fixed-length path: exact reference ints; variable path:
+                # the per-row count is floor(sin_next * row_len) in-body
                 next_mask_num=np.asarray(
                     [int(float(np.sin(t * np.pi / 2)) * tlen) for t in t_list[1:]],
                     np.int32,
+                ),
+                sin_next=np.asarray(
+                    [float(np.sin(t * np.pi / 2)) for t in t_list[1:]], np.float32
                 ),
                 is_last=np.asarray(
                     [i == steps - 1 for i in range(steps)], bool
@@ -739,15 +780,18 @@ class S2AModel(nn.Module):
             cond_full=cond_full, prompt_sum=prompt_sum, full_mask=full_mask,
             x_mask=x_mask, p=p, tlen=tlen, temperature=temperature,
             topk_keep=topk_keep, cfg_scale=cfg, rescale_cfg=rescale_cfg,
+            all_valid=not variable,
         )
 
         def run_layer(layer, cum, steps, sargs, steps_is_one):
             seq = jnp.zeros((b, tlen), jnp.int32)
-            mask = jnp.ones((b, tlen), bool)
+            mask = x_mask.astype(bool)
 
             def body(carry, xs):
                 seq, mask = carry
-                i, t_now, nmn, last = xs
+                i, t_now, nmn, sin_next, last = xs
+                if variable:
+                    nmn = jnp.floor(sin_next * tlen_rows).astype(jnp.int32)
                 key = jax.random.fold_in(
                     jax.random.fold_in(rng, layer * 1000), i
                 )
@@ -760,7 +804,8 @@ class S2AModel(nn.Module):
 
             xs = (
                 jnp.arange(steps), jnp.asarray(sargs["t_now"]),
-                jnp.asarray(sargs["next_mask_num"]), jnp.asarray(sargs["is_last"]),
+                jnp.asarray(sargs["next_mask_num"]),
+                jnp.asarray(sargs["sin_next"]), jnp.asarray(sargs["is_last"]),
             )
             if unroll:
                 carry = (seq, mask)

@@ -273,6 +273,10 @@ class Config:
     inference_microbenchmark_prefill_lengths: tuple[int, ...] = (64, 128, 256, 512, 1024)
     inference_server_port: int = 9000
     serving_mode: str = "interleaved"  # interleaved | disaggregated (prefill thread)
+    # /tts requests batch into one masked S2A pass (pipeline.synthesize_batch):
+    # up to tts_batch_max requests collected within tts_batch_window_ms
+    tts_batch_max: int = 8  # measured S2A operating point (PERF.md)
+    tts_batch_window_ms: int = 50
 
     # ---------------------------------------------------------------- s2a / codec
     s2a_num_quantizers: int = 12

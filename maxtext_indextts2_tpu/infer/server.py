@@ -215,6 +215,74 @@ class Orchestrator:
         return "\n".join(lines) + "\n"
 
 
+@dataclass
+class _TTSRequest:
+    body: dict
+    done: threading.Event = field(default_factory=threading.Event)
+    result: tuple | None = None
+    error: str | None = None
+
+
+class TTSBatcher:
+    """Collect /tts requests into one masked S2A pass.
+
+    Requests arriving within ``window_ms`` of each other (up to
+    ``max_batch``) run as ONE pipeline.synthesize_batch call — batch-8 S2A
+    is ~5x the per-request throughput (PERF.md). The reference has no TTS
+    serving path at all (its S2A sampler is offline torch).
+    """
+
+    def __init__(self, pipeline, max_batch: int = 8, window_ms: int = 50):
+        self.pipeline = pipeline
+        self.max_batch = max(1, max_batch)
+        self.window_s = window_ms / 1e3
+        self.queue: queue.Queue[_TTSRequest] = queue.Queue()
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.batches = 0
+        self.requests = 0
+
+    def start(self):
+        self.thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self.thread.join(timeout=5)
+
+    def submit(self, body: dict) -> _TTSRequest:
+        req = _TTSRequest(body=body)
+        self.queue.put(req)
+        return req
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self.queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                wait = deadline - time.monotonic()
+                if wait <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=wait))
+                except queue.Empty:
+                    break
+            try:
+                results = self.pipeline.synthesize_batch([r.body for r in batch])
+                for req, res in zip(batch, results):
+                    req.result = res
+            except Exception as e:  # noqa: BLE001 - surface to every caller
+                for req in batch:
+                    req.error = f"{type(e).__name__}: {e}"
+            self.batches += 1
+            self.requests += len(batch)
+            for req in batch:
+                req.done.set()
+
+
 def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
           tts_pipeline=None):
     """Blocking HTTP server (reference: maxengine_server.main).
@@ -230,6 +298,12 @@ def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
         mode=cfg.serving_mode,
     )
     orch.start()
+    tts_batcher = None
+    if tts_pipeline is not None:
+        tts_batcher = TTSBatcher(
+            tts_pipeline, cfg.tts_batch_max, cfg.tts_batch_window_ms
+        )
+        tts_batcher.start()
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -265,16 +339,18 @@ def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
             length = int(self.headers.get("Content-Length", 0))
             try:
                 body = json.loads(self.rfile.read(length) or "{}")
-                wav, info = tts_pipeline.synthesize(
-                    body["text"],
-                    np.asarray(body["prompt_wav_16k"], np.float32),
-                    np.asarray(body["prompt_wav_24k"], np.float32),
-                    max_new_tokens=int(body.get("max_new_tokens", 256)),
-                )
-                payload = json.dumps(
-                    {"wav": np.asarray(wav).tolist(), "info": info}
-                ).encode()
-                code = 200
+                body["text"]  # validate before enqueueing
+                req = tts_batcher.submit(body)
+                req.done.wait(timeout=600)
+                if req.error is not None:
+                    payload = json.dumps({"error": req.error}).encode()
+                    code = 500
+                else:
+                    wav, info = req.result
+                    payload = json.dumps(
+                        {"wav": np.asarray(wav).tolist(), "info": info}
+                    ).encode()
+                    code = 200
             except (json.JSONDecodeError, KeyError, ValueError) as e:
                 payload = json.dumps({"error": f"bad request: {e}"}).encode()
                 code = 400
@@ -305,6 +381,8 @@ def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
         server.serve_forever()
     finally:
         orch.stop()
+        if tts_batcher is not None:
+            tts_batcher.stop()
 
 
 def main(argv=None):

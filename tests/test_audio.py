@@ -293,6 +293,49 @@ def test_reverse_diffusion_scan_matches_unrolled():
     np.testing.assert_array_equal(np.asarray(out_scan), np.asarray(out_unroll))
 
 
+def test_reverse_diffusion_variable_length_batching():
+    """Variable-length batched sampling (x_mask/prompt_mask — beyond the
+    reference's python sampler): (a) masks of all-ones reproduce the
+    fixed-length path exactly, (b) a row's valid output is independent of
+    the padded tail's contents AND of the other rows in the batch."""
+    from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
+
+    cfg = S2AConfig(num_quantizers=4, hidden_size=32, num_layers=1, num_heads=2,
+                    codebook_size=16, cond_codebook_size=32)
+    model = S2AModel(cfg)
+    b, p, t = 2, 4, 12
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.randint(rng, (b, p + t, 4), 0, 16)
+    cond = jax.random.randint(rng, (b, p + t), 0, 32)
+    params = model.init(rng, x0, jnp.ones((b, p + t), jnp.int32), cond, rng)
+    prompt = x0[:, :p, :]
+    kw = dict(method=model.reverse_diffusion, n_timesteps=(3, 2, 2, 2))
+    srng = jax.random.PRNGKey(7)
+
+    # (a) all-ones masks == fixed path (same shapes -> same rng draws)
+    fixed = model.apply(params, cond, prompt, srng, **kw)
+    ones = model.apply(params, cond, prompt, srng,
+                       x_mask=jnp.ones((b, t), jnp.int32),
+                       prompt_mask=jnp.ones((b, p), jnp.int32), **kw)
+    np.testing.assert_array_equal(np.asarray(fixed), np.asarray(ones))
+
+    # (b) row 0 valid for 8/12 target + 3/4 prompt positions; row 1 full
+    x_mask = jnp.asarray([[1] * 8 + [0] * 4, [1] * 12], jnp.int32)
+    p_mask = jnp.asarray([[1, 1, 1, 0], [1, 1, 1, 1]], jnp.int32)
+    out1 = model.apply(params, cond, prompt, srng,
+                       x_mask=x_mask, prompt_mask=p_mask, **kw)
+    # scribble over row 0's padded cond/prompt tail; valid output unchanged
+    cond2 = cond.at[0, p + 8:].set(5).at[0, p - 1].set(3)
+    prompt2 = prompt.at[0, p - 1].set(7)
+    out2 = model.apply(params, cond2, prompt2, srng,
+                       x_mask=x_mask, prompt_mask=p_mask, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(out1[0, :8]), np.asarray(out2[0, :8]))
+    # and row 1 (untouched, full-length) is unaffected by row 0's edits
+    np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
+    assert int(out1.min()) >= 0 and int(out1.max()) < 16
+
+
 def test_semantic_tokenizer_batch_matches_single():
     """Single-wav vs padded-batch tokenization must agree on the valid
     region (reference: root test_batch_tokenizer.py)."""

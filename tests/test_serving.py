@@ -104,6 +104,51 @@ def test_http_server_roundtrip(engine):
         httpd.shutdown()
         orch.stop()
 
+def test_tts_batcher_groups_concurrent_requests():
+    """Concurrent /tts submissions within the window run as ONE
+    synthesize_batch call; results route back to their own request."""
+    from maxtext_indextts2_tpu.infer.server import TTSBatcher
+
+    calls = []
+
+    class FakePipeline:
+        def synthesize_batch(self, bodies):
+            calls.append(len(bodies))
+            return [(np.full(3, float(len(b["text"]))), {"n": len(bodies)})
+                    for b in bodies]
+
+    b = TTSBatcher(FakePipeline(), max_batch=8, window_ms=200)
+    b.start()
+    try:
+        reqs = [b.submit({"text": "x" * n}) for n in (1, 2, 3)]
+        for r in reqs:
+            assert r.done.wait(timeout=30)
+            assert r.error is None
+        assert calls == [3]  # one batch served all three
+        for n, r in zip((1, 2, 3), reqs):
+            wav, info = r.result
+            assert wav[0] == float(n) and info["n"] == 3
+    finally:
+        b.stop()
+
+
+def test_tts_batcher_error_propagates():
+    from maxtext_indextts2_tpu.infer.server import TTSBatcher
+
+    class BrokenPipeline:
+        def synthesize_batch(self, bodies):
+            raise RuntimeError("boom")
+
+    b = TTSBatcher(BrokenPipeline(), max_batch=4, window_ms=10)
+    b.start()
+    try:
+        r = b.submit({"text": "x"})
+        assert r.done.wait(timeout=30)
+        assert r.error is not None and "boom" in r.error
+    finally:
+        b.stop()
+
+
 def test_grpc_server_streaming_decode(engine):
     """gRPC Decode streams tokens and matches greedy single-stream decode
     (reference: jetstream Orchestrator.Decode server-streaming rpc)."""

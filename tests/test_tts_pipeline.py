@@ -36,6 +36,34 @@ def test_synthesize_end_to_end(pipeline):
     assert info["audio_seconds"] == pytest.approx(len(wav) / 24000.0)
 
 
+def test_synthesize_batch_heterogeneous(pipeline):
+    """Batched synthesis of different-length requests: one masked S2A pass,
+    per-row truncated wavs (beyond the reference, whose sampler is
+    single-utterance offline torch)."""
+    rng = np.random.default_rng(1)
+
+    def req(sec16, sec24, text, mnt):
+        return {
+            "text": text,
+            "prompt_wav_16k": rng.standard_normal(int(16000 * sec16)).astype(np.float32) * 0.1,
+            "prompt_wav_24k": rng.standard_normal(int(24000 * sec24)).astype(np.float32) * 0.1,
+            "max_new_tokens": mnt,
+        }
+
+    reqs = [req(1.0, 1.0, "short", 6), req(0.8, 0.8, "a longer sentence", 14),
+            req(1.2, 1.2, "mid", 10)]
+    out = pipeline.synthesize_batch(reqs, length_bucket=16)
+    assert len(out) == 3
+    for wav, info in out:
+        assert info["batch"] == 3
+        assert len(wav) == info["semantic_tokens"] * 480  # per-row truncation
+        if len(wav):
+            assert np.isfinite(wav).all()
+    # rows may stop generation at different points; the batch padded to one
+    # bucket regardless
+    assert len({info["semantic_tokens"] for _, info in out}) >= 1
+
+
 def test_lm_prompt_construction(pipeline):
     m = pipeline.mapping
     prompt = pipeline.text_and_prompt_to_lm_prompt("ab", np.array([0, 5]))
