@@ -209,8 +209,8 @@ class TTSPipeline:
         ids += [m.audio_to_embedding(int(a)) for a in prompt_semantic]
         return np.asarray(ids, np.int32)
 
-    def generate_semantic(self, lm_prompt: np.ndarray, max_new_tokens: int) -> list[int]:
-        out_embedding_ids = self.engine.generate_stream(lm_prompt, max_new_tokens)
+    def map_semantic(self, out_embedding_ids: list[int]) -> list[int]:
+        """LM embedding ids -> audio ids, stopping at the first non-audio."""
         audio_ids = []
         for e in out_embedding_ids:
             a = int(self._e2a[e]) if 0 <= e < len(self._e2a) else -1
@@ -218,6 +218,9 @@ class TTSPipeline:
                 break  # EOS / non-audio token terminates generation
             audio_ids.append(a)
         return audio_ids
+
+    def generate_semantic(self, lm_prompt: np.ndarray, max_new_tokens: int) -> list[int]:
+        return self.map_semantic(self.engine.generate_stream(lm_prompt, max_new_tokens))
 
     # ------------------------------------------------------------ pipeline
     def synthesize(
@@ -272,6 +275,7 @@ class TTSPipeline:
         requests: list[dict],
         rng: jax.Array | None = None,
         length_bucket: int = 64,
+        generate_fn=None,
     ) -> list[tuple[np.ndarray, dict]]:
         """Batched synthesis of heterogeneous requests — ONE masked S2A pass.
 
@@ -283,12 +287,17 @@ class TTSPipeline:
         truncated to its row's true length. Batch-8 S2A is the measured
         serving operating point (PERF.md) — the per-request path runs S2A
         at batch 1, ~5x below it.
+
+        ``generate_fn(lm_prompts, max_tokens) -> list[list[int]]`` overrides
+        the LM stage (raw embedding ids) — the server passes an
+        Orchestrator-backed one so the batch's generations share the
+        continuous-batching decode slots instead of running serially.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         hop = int(np.prod(self.codec.strides))
         t0 = time.perf_counter()
 
-        sems, acs, gens = [], [], []
+        sems, acs = [], []
         for r in requests:
             w16 = np.asarray(r["prompt_wav_16k"], np.float32)
             sem, sem_len = self.semantic_tokenizer.tokenize(w16[None])
@@ -298,10 +307,17 @@ class TTSPipeline:
             ac = self._jit_tok(self.codec_params, jnp.asarray(w24)[None])
             acs.append(jnp.transpose(ac, (1, 2, 0))[0])  # [P_i, Q]
         t1 = time.perf_counter()
-        for r, sem in zip(requests, sems):
-            lm_prompt = self.text_and_prompt_to_lm_prompt(r["text"], sem)
-            gens.append(self.generate_semantic(
-                lm_prompt, int(r.get("max_new_tokens", 256))))
+        lm_prompts = [
+            self.text_and_prompt_to_lm_prompt(r["text"], sem)
+            for r, sem in zip(requests, sems)
+        ]
+        mnts = [int(r.get("max_new_tokens", 256)) for r in requests]
+        if generate_fn is None:
+            outs = [self.engine.generate_stream(pr, m)
+                    for pr, m in zip(lm_prompts, mnts)]
+        else:
+            outs = generate_fn(lm_prompts, mnts)
+        gens = [self.map_semantic(o) for o in outs]
         t2 = time.perf_counter()
 
         b = len(requests)

@@ -232,15 +232,32 @@ class TTSBatcher:
     serving path at all (its S2A sampler is offline torch).
     """
 
-    def __init__(self, pipeline, max_batch: int = 8, window_ms: int = 50):
+    def __init__(self, pipeline, max_batch: int = 8, window_ms: int = 50,
+                 orchestrator: "Orchestrator | None" = None):
         self.pipeline = pipeline
         self.max_batch = max(1, max_batch)
         self.window_s = window_ms / 1e3
+        self.orch = orchestrator
         self.queue: queue.Queue[_TTSRequest] = queue.Queue()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.batches = 0
         self.requests = 0
+
+    def _generate_via_orch(self, lm_prompts, max_tokens):
+        """Stage-1 LM generation through the continuous-batching
+        orchestrator: the whole batch shares decode slots instead of
+        generating serially."""
+        reqs = [
+            self.orch.submit(np.asarray(p, np.int32), int(m))
+            for p, m in zip(lm_prompts, max_tokens)
+        ]
+        for r in reqs:
+            r.done.wait(timeout=600)
+        for r in reqs:
+            if r.error is not None:
+                raise RuntimeError(f"LM generation failed: {r.error}")
+        return [r.tokens for r in reqs]
 
     def start(self):
         self.thread.start()
@@ -271,7 +288,10 @@ class TTSBatcher:
                 except queue.Empty:
                     break
             try:
-                results = self.pipeline.synthesize_batch([r.body for r in batch])
+                kw = {"generate_fn": self._generate_via_orch} if self.orch else {}
+                results = self.pipeline.synthesize_batch(
+                    [r.body for r in batch], **kw
+                )
                 for req, res in zip(batch, results):
                     req.result = res
             except Exception as e:  # noqa: BLE001 - surface to every caller
@@ -301,7 +321,8 @@ def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
     tts_batcher = None
     if tts_pipeline is not None:
         tts_batcher = TTSBatcher(
-            tts_pipeline, cfg.tts_batch_max, cfg.tts_batch_window_ms
+            tts_pipeline, cfg.tts_batch_max, cfg.tts_batch_window_ms,
+            orchestrator=orch,
         )
         tts_batcher.start()
 

@@ -132,6 +132,38 @@ def test_tts_batcher_groups_concurrent_requests():
         b.stop()
 
 
+def test_tts_batcher_lm_via_orchestrator(engine):
+    """With an orchestrator attached, the batcher's stage-1 LM generation
+    goes through the shared continuous-batching slots (generate_fn hook) and
+    matches direct engine decode."""
+    from maxtext_indextts2_tpu.infer.server import TTSBatcher
+
+    captured = {}
+
+    class FakePipeline:
+        def synthesize_batch(self, bodies, generate_fn=None):
+            assert generate_fn is not None
+            prompts = [np.asarray(b["prompt"], np.int32) for b in bodies]
+            captured["tokens"] = generate_fn(prompts, [5] * len(bodies))
+            return [(np.zeros(1), {}) for _ in bodies]
+
+    orch = Orchestrator(engine)
+    orch.start()
+    b = TTSBatcher(FakePipeline(), max_batch=4, window_ms=100, orchestrator=orch)
+    b.start()
+    try:
+        reqs = [b.submit({"text": "a", "prompt": [3, 5, 7]}),
+                b.submit({"text": "b", "prompt": [2, 4, 6]})]
+        for r in reqs:
+            assert r.done.wait(timeout=120) and r.error is None, r.error
+        want = [engine.generate_stream(np.array([3, 5, 7], np.int32), 5),
+                engine.generate_stream(np.array([2, 4, 6], np.int32), 5)]
+        assert captured["tokens"] == want
+    finally:
+        b.stop()
+        orch.stop()
+
+
 def test_tts_batcher_error_propagates():
     from maxtext_indextts2_tpu.infer.server import TTSBatcher
 

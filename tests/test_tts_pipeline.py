@@ -63,6 +63,18 @@ def test_synthesize_batch_heterogeneous(pipeline):
     # bucket regardless
     assert len({info["semantic_tokens"] for _, info in out}) >= 1
 
+    # generate_fn hook (the server's orchestrator-backed LM stage): canned
+    # embedding ids flow through map_semantic and size the wavs exactly
+    audio_emb = [pipeline.mapping.audio_to_embedding(a) for a in (1, 2, 3, 4, 5)]
+
+    def canned(lm_prompts, mnts):
+        assert len(lm_prompts) == 2 and mnts == [6, 14]
+        return [audio_emb[:3], audio_emb[:5]]
+
+    out2 = pipeline.synthesize_batch(reqs[:2], length_bucket=16, generate_fn=canned)
+    assert [i["semantic_tokens"] for _, i in out2] == [3, 5]
+    assert [len(w) for w, _ in out2] == [3 * 480, 5 * 480]
+
 
 def test_lm_prompt_construction(pipeline):
     m = pipeline.mapping
