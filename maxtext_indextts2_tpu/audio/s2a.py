@@ -334,11 +334,17 @@ def _self_attention(
         ).astype(x.dtype).reshape(b, s, cfg.hidden_size)
         return _dense(cfg, cfg.hidden_size, "out")(o)
 
-    # NOTE: a pad-to-256-and-flash variant was measured SLOWER here (4.58 vs
-    # 3.77 s/pass at s=650, d=64: pallas kernel 0.97 ms/layer + pad/transpose
-    # copies vs 0.75 ms for the materialized path — PERF.md "S2A anatomy").
-    # Flash only pays at the sizes below.
-    if jax.default_backend() == "tpu" and s >= 512 and s % 256 == 0:
+    # NOTE: flash attention is OPT-IN here (MTT_S2A_SEQ_FLASH=1) — measured
+    # SLOWER than the materialized bf16 path at serving sizes in every form:
+    # pad-to-256 4.58 vs 3.77 s/pass at s=650, and the automatic s%256==0
+    # route made the tlen=512 uncond call 3.70 vs 2.44 s/pass (d=64 halves
+    # MXU efficiency for the kernel; PERF.md "S2A anatomy" + "masked
+    # bucketed pass"). Worth retrying only at multi-thousand-token sequences
+    # where the [B,N,S,S] materialization becomes the bottleneck.
+    if (
+        jax.default_backend() == "tpu" and s >= 512 and s % 256 == 0
+        and os.environ.get("MTT_S2A_SEQ_FLASH", "0") == "1"
+    ):
         from maxtext_indextts2_tpu.ops.flash_attention import flash_attention
 
         seg = pad_mask.astype(jnp.int32)
