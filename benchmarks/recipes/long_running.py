@@ -47,10 +47,21 @@ def run(argv=None) -> dict:
         [m["step_time_s"] for m in metrics_hist if m.get("step_time_s")],
         np.float64,
     )
-    # skip the compile step when judging stability
-    st = step_times[1:] if step_times.size > 1 else step_times
+    # Stability is judged over STEADY steps only: drop the compile step and
+    # checkpoint-boundary steps (save dispatch makes those a known-slower
+    # population — a real soak regression shows up as drift in the steady
+    # ones; checkpoint cost is reported separately below).
+    period = max(int(cfg.checkpoint_period), 1)
+    steady, ckpt_steps = [], []
+    for m in metrics_hist:
+        if not m.get("step_time_s") or m["step"] == 0:
+            continue
+        is_ckpt = m["step"] % period == 0 or m["step"] == cfg.steps - 1
+        (ckpt_steps if is_ckpt else steady).append(m["step_time_s"])
+    st = np.asarray(steady if steady else step_times[1:], np.float64)
     p50 = float(np.percentile(st, 50)) if st.size else float("nan")
     p95 = float(np.percentile(st, 95)) if st.size else float("nan")
+    ckpt_p95 = float(np.percentile(ckpt_steps, 95)) if ckpt_steps else 0.0
     loss = float(np.asarray(final_metrics["loss"]))
     ckpts = [d for d in sorted(os.listdir(ckpt_dir)) if d.isdigit()]
     return {
@@ -58,6 +69,7 @@ def run(argv=None) -> dict:
         "wall_s": round(wall, 2),
         "step_p50_s": round(p50, 4),
         "step_p95_s": round(p95, 4),
+        "ckpt_step_p95_s": round(ckpt_p95, 4),
         "goodput": round(min(float(np.sum(step_times)) / max(wall, 1e-9), 1.0), 3),
         "final_loss": round(loss, 4),
         "checkpoints": len(ckpts),
