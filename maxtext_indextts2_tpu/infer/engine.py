@@ -530,12 +530,36 @@ class Engine:
         return prefix, first_token
 
     # ------------------------------------------------------- decode state
+    @property
+    def _tokens_per_page(self) -> int:
+        return int(self.cfg.pagedattn_tokens_per_page)
+
+    @property
+    def _max_pages_per_slot(self) -> int:
+        tpp = self._tokens_per_page
+        return (int(self.cfg.max_target_length) + tpp - 1) // tpp
+
     def init_decode_state(self):
         cfg = self.cfg
         slots = self.num_slots
+        paged = cfg.paged_attention
+        if paged:
+            from maxtext_indextts2_tpu.infer.page_manager import init_page_state
+
+            assert cfg.pagedattn_num_pages > slots, (
+                "page pool must exceed the slot count "
+                f"({cfg.pagedattn_num_pages} pages, {slots} slots)"
+            )
 
         def init_fn():
             dummy = jnp.zeros((slots, 1), jnp.int32)
+            ps = (
+                init_page_state(
+                    cfg.pagedattn_num_pages, slots, self._max_pages_per_slot
+                )
+                if paged
+                else None
+            )
             _, vars_ = self.model.apply(
                 {"params": self.params},
                 dummy,
@@ -543,14 +567,18 @@ class Engine:
                 jnp.ones((slots, 1), jnp.int32),
                 mode=MODE_AUTOREGRESSIVE,
                 mutable=["cache"],
+                page_state=ps,
             )
             cache = jax.tree.map(jnp.zeros_like, vars_["cache"])
-            return {
+            state = {
                 "cache": cache,
                 "tokens": jnp.zeros((slots,), jnp.int32),
                 "pos": jnp.zeros((slots,), jnp.int32),
                 "active": jnp.zeros((slots,), jnp.bool_),
             }
+            if paged:
+                state["page_state"] = ps
+            return state
 
         with self.mesh:
             return jax.jit(init_fn)()
@@ -576,12 +604,16 @@ class Engine:
         return jax.lax.dynamic_update_slice(full, pre.astype(full.dtype), tuple(start))
 
     def _insert_impl(self, decode_state, prefix, slot):
-        cache = jax.tree.map(
-            lambda full, pre: self._insert_leaf(full, pre, slot),
-            decode_state["cache"],
-            prefix["cache"],
-        )
-        return {
+        if self.cfg.paged_attention:
+            cache, page_state = self._insert_paged(decode_state, prefix, slot)
+        else:
+            cache = jax.tree.map(
+                lambda full, pre: self._insert_leaf(full, pre, slot),
+                decode_state["cache"],
+                prefix["cache"],
+            )
+            page_state = None
+        out = {
             "cache": cache,
             "tokens": jax.lax.dynamic_update_index_in_dim(
                 decode_state["tokens"], prefix["token"][0], slot, 0
@@ -593,6 +625,47 @@ class Engine:
                 decode_state["active"], True, slot, 0
             ),
         }
+        if page_state is not None:
+            out["page_state"] = page_state
+        return out
+
+    def _insert_paged(self, decode_state, prefix, slot):
+        """Allocate pages for the prefilled prompt and scatter its dense
+        prefix KV ([1, S, nkv, d] per layer) into the page pool. Only the
+        prefill bucket's pages are touched — decode grows pages as needed."""
+        from maxtext_indextts2_tpu.infer.page_manager import allocate_prefill
+
+        cfg = self.cfg
+        tpp = self._tokens_per_page
+        true_len = prefix["pos"][0]
+        page_state, page_ids = allocate_prefill(
+            decode_state["page_state"], slot, true_len, tpp, self._max_pages_per_slot
+        )
+        # prompts never exceed the prefill bucket; scatter only those pages
+        bucket = min(
+            ((cfg.max_prefill_predict_length + tpp - 1) // tpp) * tpp,
+            cfg.max_target_length,
+        )
+        n_pages = bucket // tpp
+
+        def scatter(pages, dense):
+            tiles = dense[0, :bucket].reshape(n_pages, tpp, *dense.shape[2:])
+            return pages.at[page_ids[:n_pages]].set(tiles.astype(pages.dtype))
+
+        def walk(dec, pre):
+            if not isinstance(dec, dict):
+                return dec
+            out = {}
+            for name, v in dec.items():
+                if name == "key_pages":
+                    out[name] = scatter(v, pre["cached_key"])
+                elif name == "value_pages":
+                    out[name] = scatter(v, pre["cached_value"])
+                else:
+                    out[name] = walk(v, pre.get(name, {})) if isinstance(v, dict) else v
+            return out
+
+        return walk(decode_state["cache"], prefix["cache"]), page_state
 
     def insert(self, prefix, decode_state, slot: int):
         if self._p_insert is None:
@@ -605,6 +678,16 @@ class Engine:
         cfg = self.cfg
         tokens = decode_state["tokens"][:, None]
         pos = decode_state["pos"][:, None]
+        page_state = None
+        if cfg.paged_attention:
+            from maxtext_indextts2_tpu.infer.page_manager import allocate_decode_step
+
+            # advance every active slot one token (growing pages at
+            # boundaries) BEFORE the model call: the write position inside
+            # attention is seq_lens - 1
+            page_state = allocate_decode_step(
+                decode_state["page_state"], self._tokens_per_page
+            )
         logits, vars_ = self.model.apply(
             {"params": params, "cache": decode_state["cache"]},
             tokens,
@@ -612,6 +695,7 @@ class Engine:
             jnp.ones_like(tokens),
             mode=MODE_AUTOREGRESSIVE,
             mutable=["cache"],
+            page_state=page_state,
         )
         new_tokens = sample_tokens(
             logits[:, 0], rng, cfg.decode_sampling_strategy,
@@ -625,6 +709,8 @@ class Engine:
             "pos": decode_state["pos"] + active.astype(jnp.int32),
             "active": active,
         }
+        if page_state is not None:
+            new_state["page_state"] = page_state
         return new_state, new_tokens
 
     def generate(self, decode_state):

@@ -208,6 +208,38 @@ class KVCache(nn.Module):
         return ck.value, cv.value, seg.value, idx.value, None
 
 
+class PagedKVCacheVars(nn.Module):
+    """Paged decode KV cache as flax "cache" variables: a shared page pool
+    [num_pages, tokens_per_page, nkv, d] per layer, indexed by the engine's
+    PageState (page_map/seq_lens live OUTSIDE the cache — one table serves
+    every layer). Instantiated under the same ``kv_cache`` scope name as the
+    dense KVCache so engine insert can walk aligned paths.
+    (Reference: MaxText/inference/paged_attention.py PagedAttentionOp:99.)"""
+
+    num_pages: int
+    tokens_per_page: int
+    num_kv_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def update(self, k: jax.Array, v: jax.Array, page_state):
+        """k,v: [num_slots, 1, nkv, d] — write each active slot's new token at
+        seq_lens-1 (the engine advances seq_lens via allocate_decode_step
+        BEFORE the model call). Returns (key_pages, value_pages)."""
+        from maxtext_indextts2_tpu.infer.paged_attention import (
+            PagedKVCache,
+            write_decode_step,
+        )
+
+        shape = (self.num_pages, self.tokens_per_page, self.num_kv_heads, self.head_dim)
+        kp = self.variable("cache", "key_pages", jnp.zeros, shape, self.dtype)
+        vp = self.variable("cache", "value_pages", jnp.zeros, shape, self.dtype)
+        cache = write_decode_step(PagedKVCache(kp.value, vp.value), page_state, k, v)
+        kp.value, vp.value = cache.key_pages, cache.value_pages
+        return cache
+
+
 class Attention(nn.Module):
     """Multi-head attention with RoPE and cached decode."""
 
@@ -248,6 +280,13 @@ class Attention(nn.Module):
     context_parallelism: int = 1
     load_balanced_context_parallel: bool = True
     context_parallel_algorithm: str = "allgather"  # | "ring"
+    # Paged KV cache (reference: MaxText/inference/paged_attention.py:99).
+    # Decode KV lives in a shared [num_pages, tokens_per_page] pool instead
+    # of per-slot [B, max_target_length] buffers: HBM scales with LIVE tokens,
+    # so long-context serving fits where the dense cache cannot allocate.
+    paged_attention: bool = False
+    pagedattn_num_pages: int = 64
+    pagedattn_tokens_per_page: int = 32
     mesh: Any = None
 
     @nn.compact
@@ -260,6 +299,7 @@ class Attention(nn.Module):
         mode: str = MODE_TRAIN,
         deterministic: bool = True,
         cache_offset=None,  # chunked prefill: this chunk's global start
+        page_state=None,  # paged decode: infer.page_manager.PageState
     ) -> jax.Array:
         q = DenseGeneral(
             features=(self.num_query_heads, self.head_dim),
@@ -361,6 +401,36 @@ class Attention(nn.Module):
         if mode == MODE_TRAIN:
             out = self._train_attention(q, k, v, positions, segment_ids)
             out = out.astype(self.dtype)
+        elif mode == MODE_AUTOREGRESSIVE and self.paged_attention:
+            assert page_state is not None, "paged decode needs a PageState"
+            assert self.sliding_window_size == 0 and self.chunk_attn_window_size == 0, (
+                "paged decode supports global causal attention only"
+            )
+            cache = PagedKVCacheVars(
+                num_pages=self.pagedattn_num_pages,
+                tokens_per_page=self.pagedattn_tokens_per_page,
+                num_kv_heads=self.num_kv_heads,
+                head_dim=self.head_dim,
+                dtype=self.dtype,
+                name="kv_cache",
+            ).update(k, v, page_state)
+            if jax.default_backend() == "tpu" and self.attn_logits_soft_cap == 0.0:
+                from maxtext_indextts2_tpu.ops.ragged_decode_attention import (
+                    paged_decode_attention_v2,
+                )
+
+                out = paged_decode_attention_v2(
+                    q[:, 0], cache.key_pages, cache.value_pages,
+                    page_state.page_map, page_state.seq_lens,
+                )[:, None].astype(self.dtype)
+            else:
+                from maxtext_indextts2_tpu.infer.paged_attention import (
+                    paged_decode_attention,
+                )
+
+                out = paged_decode_attention(
+                    q, cache, page_state, self.attn_logits_soft_cap
+                ).astype(self.dtype)
         else:
             cache = KVCache(
                 max_length=self.max_target_length,

@@ -67,6 +67,9 @@ def _attention_kwargs(cfg: Config, block, mesh, attention_type: str) -> dict[str
         quantize_kvcache=cfg.quantize_kvcache,
         lora_rank=cfg.lora_rank,
         flash_block_sizes=tuple(cfg.flash_block_sizes),
+        paged_attention=cfg.paged_attention,
+        pagedattn_num_pages=cfg.pagedattn_num_pages,
+        pagedattn_tokens_per_page=cfg.pagedattn_tokens_per_page,
         context_parallelism=cfg.ici_context_parallelism,
         load_balanced_context_parallel=cfg.context_parallel_load_balance,
         context_parallel_algorithm=cfg.context_parallel_algorithm,
@@ -91,16 +94,17 @@ class DecoderLayer(nn.Module):
         mode: str = MODE_TRAIN,
         deterministic: bool = True,
         cache_offset=None,
+        page_state=None,
     ):
         x = inputs
         for i, attention_type in enumerate(self.block.attention_pattern):
             x = self._sublayer(x, positions, segment_ids, mode, deterministic, i,
-                               attention_type, cache_offset)
+                               attention_type, cache_offset, page_state)
         # (carry, ys) contract so the module is directly nn.scan-able
         return x, None
 
     def _sublayer(self, x, positions, segment_ids, mode, deterministic, idx,
-                  attention_type, cache_offset=None):
+                  attention_type, cache_offset=None, page_state=None):
         cfg, block = self.cfg, self.block
         dtype = jnp.dtype(cfg.dtype)
         norm = functools.partial(
@@ -127,7 +131,7 @@ class DecoderLayer(nn.Module):
                 **_attention_kwargs(cfg, block, self.mesh, attention_type),
                 name=f"self_attention_{idx}",
             )(h, h, positions, segment_ids, mode=mode, deterministic=deterministic,
-              cache_offset=cache_offset)
+              cache_offset=cache_offset, page_state=page_state)
         if block.use_post_attn_norm:
             attn_out = norm(name=f"post_self_attention_norm_{idx}")(attn_out)
         x = x + attn_out
@@ -198,6 +202,7 @@ class Decoder(nn.Module):
         mode: str = MODE_TRAIN,
         deterministic: bool = True,
         cache_offset=None,
+        page_state=None,
     ) -> jax.Array:
         cfg, block = self.cfg, self.block
         group = len(block.attention_pattern)
@@ -217,12 +222,12 @@ class Decoder(nn.Module):
                 continue
             y = self._run_region(
                 name, num_units, use_moe, y, positions, segment_ids, mode,
-                deterministic, cache_offset
+                deterministic, cache_offset, page_state
             )
         return y
 
     def _run_region(self, name, num_units, use_moe, y, positions, segment_ids, mode,
-                    deterministic, cache_offset=None):
+                    deterministic, cache_offset=None, page_state=None):
         cfg = self.cfg
         layer_kwargs = dict(cfg=cfg, block=self.block, mesh=self.mesh, use_moe=use_moe)
 
@@ -253,16 +258,33 @@ class Decoder(nn.Module):
                 layer_cls,
                 variable_axes={"params": 0, "cache": 0, "intermediates": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast,) * 5,
+                in_axes=(nn.broadcast,) * 6,
                 length=num_units,
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )
             y, _ = scan_fn(**layer_kwargs, name=name)(
-                y, positions, segment_ids, mode, deterministic, cache_offset
+                y, positions, segment_ids, mode, deterministic, cache_offset,
+                page_state
             )
         else:
+            # unrolled layers need remat too — without it every layer's
+            # activations stay live through the backward pass (measured:
+            # identical 8.4 GB temp for remat minimal vs full at 1.28B
+            # because neither applied here). prevent_cse must be TRUE here:
+            # outside a scan body XLA CSEs the rematerialized forward with
+            # the original, keeping every saved buffer alive anyway.
+            if mode == MODE_TRAIN and cfg.remat_policy != "none":
+                layer_cls = nn.remat(
+                    DecoderLayer,
+                    prevent_cse=True,
+                    policy=_remat_policy(cfg.remat_policy),
+                    static_argnums=(4, 5),
+                )
+            else:
+                layer_cls = DecoderLayer
             for i in range(num_units):
-                y, _ = DecoderLayer(**layer_kwargs, name=f"{name}_{i}")(
-                    y, positions, segment_ids, mode, deterministic, cache_offset
+                y, _ = layer_cls(**layer_kwargs, name=f"{name}_{i}")(
+                    y, positions, segment_ids, mode, deterministic, cache_offset,
+                    page_state
                 )
         return y

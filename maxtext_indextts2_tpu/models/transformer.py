@@ -98,6 +98,7 @@ class Transformer(nn.Module):
         target_weights: jax.Array | None = None,
         cache_offset=None,  # chunked prefill: global start of this chunk
         vision_embeddings: jax.Array | None = None,  # [B, T_img, E] soft tokens
+        page_state=None,  # paged decode: infer.page_manager.PageState
     ) -> jax.Array:
         cfg = self.cfg
         emb = self.token_embedder(tokens)
@@ -116,7 +117,8 @@ class Transformer(nn.Module):
             emb = emb + self.position_embedder(positions)
 
         y = self.decoder(emb, positions, segment_ids, mode=mode,
-                         deterministic=deterministic, cache_offset=cache_offset)
+                         deterministic=deterministic, cache_offset=cache_offset,
+                         page_state=page_state)
 
         if cfg.mtp_num_layers > 0 and mode == MODE_TRAIN and targets is not None:
             self._mtp_loss(y, tokens, targets, target_weights, positions, segment_ids,

@@ -445,6 +445,161 @@ def ragged_decode_attention_v2(
     return out.transpose(1, 0, 2, 3).reshape(b_sz, nq, d)
 
 
+def _kernel_paged(
+    lengths_ref,  # SMEM [B]
+    page_map_ref,  # SMEM [B, max_pages]
+    q_ref,  # VMEM [1, nq, nkv*d]
+    k_pages_hbm,  # ANY [num_pages, tpp, nkv, d]
+    v_pages_hbm,
+    o_ref,
+    k_buf,  # VMEM [2, tpp, nkv, d]
+    v_buf,
+    par_ref,  # SMEM [1] DMA buffer parity
+    sem,
+    *,
+    tpp: int,
+    scale: float,
+):
+    """Flash-decoding over a PAGED KV cache: identical online-softmax loop to
+    _kernel_v2 but each block DMA is indirected through the slot's page table
+    (page_map in SMEM via scalar prefetch). One grid step per slot; invalid
+    pages cost nothing."""
+    b = pl.program_id(0)
+    n_slots = pl.num_programs(0)
+
+    def slot_pages(bb):
+        length = lengths_ref[bb]
+        return length, (jnp.maximum(length, 1) + tpp - 1) // tpp
+
+    length, nb = slot_pages(b)
+
+    def dmas(buf, bb, j):
+        page = page_map_ref[bb, j]
+        return [
+            pltpu.make_async_copy(
+                k_pages_hbm.at[page], k_buf.at[buf], sem.at[0, buf]
+            ),
+            pltpu.make_async_copy(
+                v_pages_hbm.at[page], v_buf.at[buf], sem.at[1, buf]
+            ),
+        ]
+
+    @pl.when(b == 0)
+    def _first():
+        par_ref[0] = 0
+        for op in dmas(0, 0, 0):
+            op.start()
+
+    p0 = par_ref[0]
+    q = q_ref[0]  # [nq, nkv*d]
+    nq = q.shape[0]
+
+    def body(i, carry):
+        m, l, acc = carry
+        buf = jax.lax.rem(p0 + i, 2)
+        nxt = jax.lax.rem(p0 + i + 1, 2)
+
+        @pl.when(i + 1 < nb)
+        def _prefetch():
+            for op in dmas(nxt, b, i + 1):
+                op.start()
+
+        @pl.when((i + 1 == nb) & (b + 1 < n_slots))
+        def _prefetch_next_slot():
+            for op in dmas(nxt, b + 1, 0):
+                op.start()
+
+        for op in dmas(buf, b, i):
+            op.wait()
+
+        k = k_buf[buf].reshape(tpp, -1)  # [tpp, nkv*d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [nq, tpp]
+        kv_pos = i * tpp + jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(kv_pos < length, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        v_blk = v_buf[buf].reshape(tpp, -1)
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
+        return m_new, l, acc
+
+    d_out = q.shape[1]
+    m0 = jnp.full((nq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((nq, 1), jnp.float32)
+    acc0 = jnp.zeros((nq, d_out), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, acc0))
+    par_ref[0] = jax.lax.rem(p0 + nb, 2)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_decode_attention_v2(
+    q: jax.Array,  # [B, nq, d]
+    key_pages: jax.Array,  # [num_pages, tpp, nkv, d]
+    value_pages: jax.Array,
+    page_map: jax.Array,  # [B, max_pages_per_slot] int32
+    lengths: jax.Array,  # [B] int32 (valid tokens per slot)
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash-decoding attention over a paged KV cache (reference capability:
+    MaxText/inference/paged_attention_kernel_v2.py:18-27, redesigned as the
+    v2 per-slot dynamic loop with page-table indirection). Cost scales with
+    each slot's VALID length — independent of both max context and the page
+    pool size — while the cache itself is allocated page-by-page, so the HBM
+    footprint scales with live tokens instead of slots x max_context."""
+    b_sz, nq, d = q.shape
+    num_pages, tpp, nkv, _ = key_pages.shape
+    assert nq % nkv == 0, (nq, nkv)
+    group = nq // nkv
+
+    # GQA pre-expansion as in v1/v2 (one dot per block, no in-kernel transpose)
+    q_grouped = q.reshape(b_sz, nkv, group, d)
+    q_exp = (
+        q_grouped[:, :, None, :, :]
+        * jnp.eye(nkv, dtype=q.dtype)[None, :, :, None, None]
+    )
+    q_exp = q_exp.transpose(0, 2, 3, 1, 4).reshape(b_sz, nq, nkv * d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # lengths, page_map
+        grid=(b_sz,),
+        in_specs=[
+            pl.BlockSpec((1, nq, nkv * d), lambda b, lens, pm: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, nq, nkv * d), lambda b, lens, pm: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, tpp, nkv, d), key_pages.dtype),
+            pltpu.VMEM((2, tpp, nkv, d), value_pages.dtype),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out_exp = pl.pallas_call(
+        functools.partial(_kernel_paged, tpp=tpp, scale=1.0 / (d ** 0.5)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_sz, nq, nkv * d), q.dtype),
+        interpret=interpret,
+        name="paged_decode_v2",
+    )(lengths.astype(jnp.int32), page_map.astype(jnp.int32), q_exp,
+      key_pages, value_pages)
+
+    out = out_exp.reshape(b_sz, nkv, group, nkv, d)
+    idx = jnp.arange(nkv)
+    out = out[:, idx, :, idx, :]
+    return out.transpose(1, 0, 2, 3).reshape(b_sz, nq, d)
+
+
 def ragged_decode_attention_reference(q, k, v, lengths, sliding_window: int = 0):
     """jnp reference for tests: masked full-length attention."""
     b_sz, nq, d = q.shape

@@ -578,3 +578,64 @@ def test_serve_params_dtype_keeps_quant_scales():
               if "scale" in jax.tree_util.keystr(p).lower()]
     assert scales and all(x.dtype == jnp.float32 for x in scales)
     assert any(x.dtype == jnp.int8 for _, x in leaves)
+
+
+def test_paged_decode_matches_dense():
+    """cfg.paged_attention=true routes decode through the paged KV cache
+    (page pool + PageState); greedy decode must match the dense-cache engine
+    token for token (reference capability:
+    MaxText/inference/paged_attention.py:99)."""
+    dense = Engine(load_config(CFG))
+    dense.load_params()
+    paged_cfg = load_config(CFG + [
+        "paged_attention=true",
+        "pagedattn_num_pages=32",
+        "pagedattn_tokens_per_page=8",
+    ])
+    paged = Engine(paged_cfg, mesh=dense.mesh, model=None, params=None)
+    paged.params = dense.params  # identical weights
+
+    state = paged.init_decode_state()
+    assert "page_state" in state
+    assert any(
+        "key_pages" in jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(state["cache"])
+    ), "paged decode state must hold page pools, not dense buffers"
+
+    prompt_a = np.array([3, 5, 7, 11, 13], np.int32)
+    prompt_b = np.array([2, 4, 6], np.int32)
+    want_a = dense.generate_stream(prompt_a, 10)
+    want_b = dense.generate_stream(prompt_b, 10)
+
+    # two slots decoding concurrently through the shared page pool
+    pre_a, _ = paged.prefill(prompt_a, len(prompt_a))
+    pre_b, _ = paged.prefill(prompt_b, len(prompt_b))
+    state = paged.insert(pre_a, state, 0)
+    state = paged.insert(pre_b, state, 1)
+    got_a = [int(np.asarray(pre_a["token"])[0])]
+    got_b = [int(np.asarray(pre_b["token"])[0])]
+    for _ in range(9):
+        state, toks = paged.generate(state)
+        got_a.append(int(np.asarray(toks)[0]))
+        got_b.append(int(np.asarray(toks)[1]))
+    assert got_a == want_a
+    assert got_b == want_b
+
+
+def test_paged_pages_grow_across_boundaries():
+    """Decoding past a page boundary allocates new pages and stays correct
+    (covers allocate_decode_step growth inside the serving loop)."""
+    cfg = load_config(CFG + [
+        "paged_attention=true",
+        "pagedattn_num_pages=32",
+        "pagedattn_tokens_per_page=4",  # prompt 5 -> 2 pages; +8 tokens -> 4
+    ])
+    dense = Engine(load_config(CFG))
+    dense.load_params()
+    paged = Engine(cfg, mesh=dense.mesh)
+    paged.params = dense.params
+
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+    want = dense.generate_stream(prompt, 8)
+    got = paged.generate_stream(prompt, 8)
+    assert got == want

@@ -253,3 +253,41 @@ def test_kernel_v2_int8_kv_matches_dequantized(window):
         k_scale=ks, v_scale=vs, sliding_window=window,
     )
     np.testing.assert_allclose(out, ref, atol=5e-5)
+
+
+def test_paged_kernel_matches_reference():
+    """paged_decode_attention_v2 (page-table-indirect flash decoding) must
+    match masked attention over the contiguous equivalent."""
+    from maxtext_indextts2_tpu.ops.ragged_decode_attention import (
+        paged_decode_attention_v2,
+    )
+
+    rng = np.random.default_rng(11)
+    B, nq, nkv, d = 4, 8, 2, 128
+    tpp, max_pages, num_pages = 64, 8, 64
+    S = tpp * max_pages
+    lengths = jnp.asarray([1, 63, 200, 512], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, nkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, nkv, d)), jnp.float32)
+
+    # scatter each slot's valid tokens into a shuffled page pool
+    perm = rng.permutation(np.arange(1, num_pages))  # page 0 reserved null
+    key_pages = np.zeros((num_pages, tpp, nkv, d), np.float32)
+    value_pages = np.zeros((num_pages, tpp, nkv, d), np.float32)
+    page_map = np.zeros((B, max_pages), np.int32)
+    nxt = 0
+    for b in range(B):
+        n = -(-int(lengths[b]) // tpp)
+        for j in range(n):
+            page = int(perm[nxt]); nxt += 1
+            page_map[b, j] = page
+            key_pages[page] = np.asarray(k[b, j * tpp:(j + 1) * tpp])
+            value_pages[page] = np.asarray(v[b, j * tpp:(j + 1) * tpp])
+
+    out = paged_decode_attention_v2(
+        q, jnp.asarray(key_pages), jnp.asarray(value_pages),
+        jnp.asarray(page_map), lengths, interpret=True,
+    )
+    ref = ragged_decode_attention_reference(q, k, v, lengths)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
