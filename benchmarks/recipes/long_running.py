@@ -50,13 +50,18 @@ def run(argv=None) -> dict:
     # Stability is judged over STEADY steps only: drop the compile step and
     # checkpoint-boundary steps (save dispatch makes those a known-slower
     # population — a real soak regression shows up as drift in the steady
-    # ones; checkpoint cost is reported separately below).
+    # ones; checkpoint cost is reported separately below). The final step's
+    # save dispatches AFTER its step_time_s is recorded, so it counts as
+    # steady. Under async checkpointing the background Orbax write can bleed
+    # into the step right after the boundary, so that one is excluded too.
     period = max(int(cfg.checkpoint_period), 1)
     steady, ckpt_steps = [], []
     for m in metrics_hist:
         if not m.get("step_time_s") or m["step"] == 0:
             continue
-        is_ckpt = m["step"] % period == 0 or m["step"] == cfg.steps - 1
+        is_ckpt = m["step"] % period == 0 or (
+            cfg.async_checkpointing and m["step"] % period == 1
+        )
         (ckpt_steps if is_ckpt else steady).append(m["step_time_s"])
     st = np.asarray(steady if steady else step_times[1:], np.float64)
     p50 = float(np.percentile(st, 50)) if st.size else float("nan")

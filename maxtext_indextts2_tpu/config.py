@@ -209,10 +209,11 @@ class Config:
     warmup_steps_fraction: float = 0.1
     learning_rate_schedule_steps: int = -1
     z_loss_weight: float = 0.0
-    opt_type: str = "adamw"  # adamw | sgd
+    opt_type: str = "adamw"  # adamw | adam_pax | sgd
     adam_b1: float = 0.9
     adam_b2: float = 0.95
     adam_eps: float = 1e-8
+    adam_eps_root: float = 0.0  # adam_pax: eps INSIDE the sqrt
     adam_weight_decay: float = 0.1
     scan_layers: bool = True
     param_scan_axis: int = 1
@@ -303,6 +304,9 @@ class Config:
     semantic_encoder_layers: int = 17  # w2v-bert tap layer (reference: semantic_utils.py:92)
 
     jax_cache_dir: str = "/tmp/jax_cache"  # persistent compile cache ("" = off)
+    # Shardy partitioner toggle (reference: base.yml:712 + train.py:724).
+    # "" keeps the JAX-version default; "true"/"false" force shardy/GSPMD.
+    shardy: str = ""
 
     # ---------------------------------------------------------------- observability
     enable_profiler: bool = False
@@ -481,9 +485,9 @@ def finalize(cfg: Config, num_devices: int | None = None) -> Config:
     """Validate and compute derived quantities."""
     if num_devices is None:
         if cfg.compile_topology:
-            from maxtext_indextts2_tpu.train.train_compile import TOPOLOGIES
+            from maxtext_indextts2_tpu.train.train_compile import resolve_topology
 
-            num_devices = TOPOLOGIES[cfg.compile_topology][1] * cfg.compile_topology_num_slices
+            num_devices = resolve_topology(cfg.compile_topology)[1] * cfg.compile_topology_num_slices
             cfg.num_slices = cfg.compile_topology_num_slices
         else:
             import jax
@@ -567,6 +571,14 @@ def finalize(cfg: Config, num_devices: int | None = None) -> Config:
 
     if cfg.jax_cache_dir:
         _enable_compilation_cache(cfg.jax_cache_dir)
+
+    if cfg.shardy != "":
+        import jax
+
+        jax.config.update(
+            "jax_use_shardy_partitioner",
+            str(cfg.shardy).lower() in ("1", "true", "yes"),
+        )
 
     if cfg.moe_mlp_dim == 0:
         cfg.moe_mlp_dim = cfg.mlp_dim

@@ -134,7 +134,9 @@ def _loop(cfg, step_fn, params, opt_state, batch_fn, key):
         logger.write_step(step, metrics, step_time=now - last)
         last = now
     logger.close()
-    return {k: np.asarray(v) for k, v in metrics.items()}
+    out = {k: np.asarray(v) for k, v in metrics.items()}
+    out["params"] = params  # trained weights, for reconstruction/MCD recipes
+    return out
 
 
 def main(argv=None):
@@ -151,7 +153,8 @@ def main(argv=None):
     cfg = load_config(keep)
     fn = train_acoustic_codec if target == "acoustic" else train_repcodec
     metrics = fn(cfg)
-    print({k: float(np.asarray(v).mean()) for k, v in metrics.items()})
+    print({k: float(np.asarray(v).mean()) for k, v in metrics.items()
+           if k != "params"})
 
 
 if __name__ == "__main__":

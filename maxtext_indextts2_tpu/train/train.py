@@ -248,7 +248,11 @@ def _global_norm(tree) -> jax.Array:
 def _clip_by_global_norm(grads, max_norm):
     norm = _global_norm(grads)
     scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
-    return jax.tree.map(lambda g: g * scale, grads), norm
+    # cast the f32 scale per-leaf: a non-weak f32 scalar would promote bf16
+    # grads (and through adam, the whole optimizer state) to f32 — measured
+    # +5.2 GB on a 1.28B bf16 model AND a broken donation alias (dtype
+    # mismatch state-in vs state-out => both live => OOM)
+    return jax.tree.map(lambda g: g * scale.astype(g.dtype), grads), norm
 
 
 def jit_train_step(model, cfg, mesh, state_shardings):

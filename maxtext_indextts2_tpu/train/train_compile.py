@@ -21,34 +21,79 @@ from maxtext_indextts2_tpu.config import Config, load_config
 from maxtext_indextts2_tpu.models import Transformer
 from maxtext_indextts2_tpu.train.train import batch_sharding, train_step
 
-# name -> (topology name, chips per host, num slices attr)
-TOPOLOGIES = {
-    "v4-8": ("v4:2x2x1", 4),
-    "v4-16": ("v4:2x2x2", 8),
-    "v4-128": ("v4:4x4x4", 64),
-    "v5e-8": ("v5e:2x4", 8),
-    "v5e-16": ("v5e:4x4", 16),
-    "v5e-64": ("v5e:8x8", 64),
-    "v5e-256": ("v5e:16x16", 256),
-    "v5p-8": ("v5p:2x2x1", 4),
-    "v5p-128": ("v5p:4x4x4", 64),
-    "v5p-256": ("v5p:4x4x8", 128),
-    "v5p-512": ("v5p:4x8x8", 256),
-    # trillium (reference: accelerator_to_spec_map.py v6e entries)
-    "v6e-8": ("v6e:2x4", 8),
-    "v6e-64": ("v6e:8x8", 64),
-    "v6e-256": ("v6e:16x16", 256),
-}
+# Topology resolution covers the reference's full accelerator map breadth
+# (reference: MaxText/accelerator_to_spec_map.py:28-174) without a hand-kept
+# table: any "<gen>-<cores>" name resolves to a valid ICI torus.
+# v4/v5p are 3D tori with 2 cores/chip ("megacore"); v5e/v6e are 2D with
+# 1 core/chip (max 16x16 per slice).
+_CORES_PER_CHIP = {"v4": 2, "v5p": 2, "v5e": 1, "v6e": 1}
+_PLATFORM_PREFIX = {"v4": "v4", "v5p": "v5", "v5e": "v5e", "v6e": "v6e"}
+_SMALL_3D = {1: (1, 1, 1), 2: (1, 1, 2), 4: (2, 2, 1), 8: (2, 2, 2),
+             16: (2, 2, 4), 32: (2, 4, 4)}
+
+
+def _torus_3d(chips: int) -> tuple[int, int, int]:
+    """Balanced 3D torus factorization, every dim a multiple of 4 above the
+    small special cases (matches real v4/v5p deployments: 4x4x4, 4x4x8,
+    4x8x8, 8x8x8, 8x16x16, 16x16x24, ...)."""
+    if chips in _SMALL_3D:
+        return _SMALL_3D[chips]
+    best = None
+    a = 4
+    while a * a * a <= chips:
+        if chips % a == 0:
+            rest = chips // a
+            b = a
+            while b * b <= rest:
+                if rest % b == 0:
+                    c = rest // b
+                    if c % 4 == 0 and (best is None or c - a < best[2] - best[0]):
+                        best = (a, b, c)
+                b += 4
+        a += 4
+    if best is None:
+        raise ValueError(f"no valid 3D torus for {chips} chips")
+    return best
+
+
+def _torus_2d(chips: int) -> tuple[int, int]:
+    """2D v5e/v6e slice shape: powers of two up to 16x16 (256 chips)."""
+    if chips > 256:
+        raise ValueError(
+            f"v5e/v6e slices max out at 256 chips ({chips} requested); "
+            "use compile_topology_num_slices for multi-slice targets"
+        )
+    x = 1
+    while x * x < chips:
+        x *= 2
+    y = chips // x
+    if x * y != chips:
+        raise ValueError(f"no valid 2D slice shape for {chips} chips")
+    return (y, x)
+
+
+def resolve_topology(name: str) -> tuple[str, int]:
+    """"v5p-512" -> ("v5:4x8x8", 256 chips)."""
+    gen, _, cores_s = name.partition("-")
+    if gen not in _CORES_PER_CHIP or not cores_s.isdigit():
+        raise ValueError(f"unknown topology {name!r} (want e.g. v5e-256, v5p-512)")
+    chips = int(cores_s) // _CORES_PER_CHIP[gen]
+    dims = _torus_3d(chips) if gen in ("v4", "v5p") else _torus_2d(chips)
+    shape = "x".join(str(d) for d in dims)
+    return f"{_PLATFORM_PREFIX[gen]}:{shape}", chips
 
 
 def get_topology_mesh(cfg: Config, topology: str, num_slices: int = 1) -> Mesh:
-    """Abstract device mesh for a named topology (CPU-side, no TPUs)."""
+    """Abstract device mesh for a named topology (CPU-side, no TPUs).
+    num_slices > 1 produces a DCN-connected multi-slice device set
+    (reference: train_compile.py get_topology_desc(num_slices=...))."""
     from jax.experimental import topologies
-    
+
     from maxtext_indextts2_tpu.parallel.mesh import create_device_mesh
 
-    name, num_chips = TOPOLOGIES[topology]
-    topo = topologies.get_topology_desc(name)
+    name, num_chips = resolve_topology(topology)
+    kwargs = {"num_slices": num_slices} if num_slices > 1 else {}
+    topo = topologies.get_topology_desc(name, **kwargs)
     return create_device_mesh(cfg, topo.devices)
 
 

@@ -61,3 +61,41 @@ def test_aot_hlo_deterministic():
         lowered = aot_compile_train_step(cfg, mesh, lower_only=True)
         texts.append(lowered.as_text())
     assert texts[0] == texts[1]
+
+
+def test_resolve_topology_breadth():
+    """Any <gen>-<cores> name resolves to a valid torus (reference map
+    breadth: accelerator_to_spec_map.py:28-174 incl. v5p-12288-class)."""
+    from maxtext_indextts2_tpu.train.train_compile import resolve_topology
+
+    cases = {
+        "v4-8": ("v4:2x2x1", 4),
+        "v4-128": ("v4:4x4x4", 64),
+        "v5p-8": ("v5:2x2x1", 4),
+        "v5p-128": ("v5:4x4x4", 64),
+        "v5p-512": ("v5:4x8x8", 256),
+        "v5p-1024": ("v5:8x8x8", 512),
+        "v5p-4096": ("v5:8x16x16", 2048),
+        "v5p-8192": ("v5:16x16x16", 4096),
+        "v5p-12288": ("v5:16x16x24", 6144),
+        "v5e-8": ("v5e:2x4", 8),
+        "v5e-256": ("v5e:16x16", 256),
+        "v6e-256": ("v6e:16x16", 256),
+    }
+    for name, (want_shape, want_chips) in cases.items():
+        shape, chips = resolve_topology(name)
+        assert chips == want_chips, (name, shape, chips)
+        # dims may be permuted vs the canonical listing; compare the product
+        # and dim multiset
+        got = sorted(int(d) for d in shape.split(":")[1].split("x"))
+        want = sorted(int(d) for d in want_shape.split(":")[1].split("x"))
+        assert got == want and shape.startswith(want_shape.split(":")[0] + ":"), (
+            name, shape, want_shape,
+        )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        resolve_topology("v7x-8")
+    with pytest.raises(ValueError):
+        resolve_topology("v5e-512")  # beyond one slice

@@ -168,3 +168,102 @@ def test_zero1_fsdp_ag_once_matches_plain():
     m_plain = train_loop(load_config(base))
     m_zero1 = train_loop(load_config(base + ["zero1_fsdp_ag_once=true"]))
     np.testing.assert_allclose(m_plain["loss"], m_zero1["loss"], rtol=1e-3)
+
+
+def test_adam_pax_matches_bias_corrected_adam():
+    """adam_pax (praxis sharded_adam semantics, reference
+    MaxText/optimizers.py:54): with eps_root=0 and no weight decay its
+    updates must equal textbook bias-corrected Adam's m_hat/(sqrt(v_hat)+eps)
+    — the folded-decay formulation is algebraically identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxtext_indextts2_tpu.train.optimizers import adam_pax
+
+    b1, b2, eps, lr = 0.9, 0.95, 1e-8, 0.01
+    tx = adam_pax(lambda _: lr, b1, b2, eps, 0.0, 0.0)
+    params = {"w": jnp.asarray([[1.0, -2.0], [0.5, 3.0]], jnp.float32)}
+    state = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    m = np.zeros((2, 2)); v = np.zeros((2, 2))
+    for t in range(1, 6):
+        g = rng.normal(size=(2, 2)).astype(np.float32)
+        upd, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        m_hat = m / (1 - b1 ** t)
+        v_hat = v / (1 - b2 ** t)
+        want = -lr * m_hat / (np.sqrt(v_hat) + eps)
+        np.testing.assert_allclose(np.asarray(upd["w"]), want, rtol=2e-5, atol=1e-7)
+
+
+def test_adam_pax_weight_decay_not_decoupled():
+    """adam_pax adds weight decay to the PRE-lr update (pax convention),
+    unlike adamw's decoupled decay."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxtext_indextts2_tpu.train.optimizers import adam_pax
+
+    lr, wd = 0.1, 0.5
+    tx = adam_pax(lambda _: lr, 0.9, 0.95, 1e-8, 0.0, wd)
+    params = {"w": jnp.asarray([2.0], jnp.float32)}
+    state = tx.init(params)
+    g = np.asarray([1.0], np.float32)
+    upd, _ = tx.update({"w": jnp.asarray(g)}, state, params)
+    # t=1: m_hat = g, v_hat = g^2 -> adam term = 1.0 (+eps); decay adds wd*w
+    want = -lr * (1.0 / (1.0 + 1e-8) + wd * 2.0)
+    np.testing.assert_allclose(np.asarray(upd["w"]), [want], rtol=1e-5)
+
+
+def test_adam_pax_trains():
+    """opt_type=adam_pax runs a real train step and the loss is finite."""
+    import jax
+    import numpy as np
+
+    from maxtext_indextts2_tpu.config import load_config
+    from maxtext_indextts2_tpu.models import Transformer
+    from maxtext_indextts2_tpu.parallel import create_device_mesh
+    from maxtext_indextts2_tpu.train.data.synthetic import SyntheticDataIterator
+    from maxtext_indextts2_tpu.train.train import (
+        batch_sharding, jit_train_step, setup_train_state,
+    )
+
+    cfg = load_config(SMALL + ["opt_type=adam_pax"])
+    mesh = create_device_mesh(cfg)
+    model = Transformer(cfg=cfg, mesh=mesh)
+    state, (shardings, _) = setup_train_state(cfg, model, mesh, jax.random.PRNGKey(0))
+    p = jit_train_step(model, cfg, mesh, shardings)
+    batch = jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh)),
+        next(SyntheticDataIterator(cfg)),
+    )
+    with mesh:
+        # SMALL's warmup is 1 step, so schedule(0) == 0 — the first update
+        # is a no-op; compare step 3 against step 1
+        state, m = p(state, batch, jax.random.PRNGKey(1))
+        state, _ = p(state, batch, jax.random.PRNGKey(2))
+        state, m3 = p(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(np.asarray(m3["loss"])))
+    assert float(np.asarray(m3["loss"])) < float(np.asarray(m["loss"]))
+
+
+def test_grad_clip_keeps_bf16_grad_dtype():
+    """The global-norm clip scale must not promote bf16 grads to f32 —
+    promotion bloats adam state 2x and breaks train-step donation aliasing
+    (measured OOM at 1.28B on one v5e chip)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maxtext_indextts2_tpu.train.train import _clip_by_global_norm
+
+    grads = {"a": jnp.ones((4, 4), jnp.bfloat16) * 100.0}
+    clipped, norm = _clip_by_global_norm(grads, 1.0)
+    assert clipped["a"].dtype == jnp.bfloat16
+    assert norm.dtype == jnp.float32
+    np.testing.assert_allclose(
+        float(jnp.sqrt(jnp.sum(jnp.square(clipped["a"].astype(jnp.float32))))),
+        1.0, rtol=1e-2,
+    )
