@@ -33,12 +33,24 @@ def create_device_mesh(cfg: Config, devices=None) -> Mesh:
 
     multi_slice = cfg.num_slices > 1
     if multi_slice:
-        mesh_devices = mesh_utils.create_hybrid_device_mesh(
-            ici,
-            dcn,
-            devices,
-            allow_split_physical_axes=cfg.allow_split_physical_axes,
-        )
+        try:
+            mesh_devices = mesh_utils.create_hybrid_device_mesh(
+                ici,
+                dcn,
+                devices,
+                allow_split_physical_axes=cfg.allow_split_physical_axes,
+            )
+        except (AttributeError, ValueError, NotImplementedError):
+            # Virtual CPU devices (tests, dryruns) carry no slice_index; lay
+            # slices out DCN-major per axis by plain reshape — the axis
+            # SIZES (dcn[i] * ici[i]) and orderings are what sharding
+            # validation needs, physical locality doesn't exist here.
+            shape = [d * i for d, i in zip(dcn, ici)]
+            # [slices, per-slice ici...] -> interleave each dcn axis ahead
+            # of its ici axis, then merge pairwise
+            arr = np.asarray(devices).reshape(dcn + ici)
+            order = [x for pair in zip(range(len(dcn)), range(len(dcn), 2 * len(dcn))) for x in pair]
+            mesh_devices = arr.transpose(order).reshape(shape)
     else:
         try:
             mesh_devices = mesh_utils.create_device_mesh(
