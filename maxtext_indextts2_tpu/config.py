@@ -236,6 +236,13 @@ class Config:
     load_full_state_path: str = ""
     checkpoint_max_to_keep: int = 5
     save_final_checkpoint: bool = True
+    # Emergency checkpointing (reference: MaxText/checkpointing.py:144
+    # create_orbax_emergency_checkpoint_manager): a second, high-frequency
+    # save tier on fast LOCAL disk; restore-on-resume prefers whichever tier
+    # has the newest step. Survives preemption between persistent saves.
+    enable_emergency_checkpoint: bool = False
+    local_checkpoint_directory: str = ""  # fast local-disk tier
+    local_checkpoint_period: int = 0  # 0 -> checkpoint_period // 10 (min 1)
 
     # ---------------------------------------------------------------- data
     dataset_type: str = "synthetic"  # synthetic | hf | grain | tfds | c4_mlperf | emilia_audio

@@ -75,6 +75,96 @@ class CheckpointManager:
         self.manager.close()
 
 
+class EmergencyCheckpointManager:
+    """Two-tier emergency checkpointing (reference: MaxText/checkpointing.py
+    :144 create_orbax_emergency_checkpoint_manager + :183 replicator variant,
+    rebuilt on plain Orbax so it runs anywhere).
+
+    - LOCAL tier: fast disk, saved every ``local_period`` steps, keeps 2.
+    - PERSISTENT tier: durable storage, saved every ``persistent_period``.
+    - Restore prefers whichever tier holds the NEWEST step, so a preemption
+      between persistent saves loses at most ``local_period`` steps.
+    """
+
+    def __init__(self, cfg: Config):
+        local_dir = cfg.local_checkpoint_directory or os.path.join(
+            cfg.checkpoint_dir, "..", "local_emergency"
+        )
+        self.local_period = max(
+            1, cfg.local_checkpoint_period or cfg.checkpoint_period // 10
+        )
+        self.persistent_period = max(1, cfg.checkpoint_period)
+        self.local_dir = os.path.abspath(local_dir)
+        os.makedirs(self.local_dir, exist_ok=True)
+        self.local = ocp.CheckpointManager(
+            self.local_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=2,
+                enable_async_checkpointing=cfg.async_checkpointing,
+            ),
+        )
+        self.persistent = CheckpointManager(cfg)
+
+    def save(self, step: int, state, force: bool = False) -> bool:
+        """Save to whichever tiers are due at this step. The train loop owns
+        the cadence ((step+1) % local_period), so the local save is always
+        forced — Orbax's own save_interval_steps gate is modulo-step-number
+        and would silently reject the loop's odd-numbered steps."""
+        saved_local = self.local.save(
+            step, args=ocp.args.PyTreeSave(item=state), force=True
+        )
+        saved_persistent = False
+        if force or (step + 1) % self.persistent_period == 0:
+            saved_persistent = self.persistent.save(step, state, force=force)
+        if saved_local:
+            logger.info("emergency local save at step %d -> %s", step, self.local_dir)
+        return saved_local or saved_persistent
+
+    def latest_step(self) -> int | None:
+        steps = [s for s in (self.local.latest_step(),
+                             self.persistent.latest_step()) if s is not None]
+        return max(steps) if steps else None
+
+    def maybe_restore(self, abstract_or_state):
+        """Restore from the tier with the newest step (local wins ties —
+        it is the cheaper read and at least as fresh)."""
+        local_step = self.local.latest_step()
+        persistent_step = self.persistent.latest_step()
+        if local_step is None and persistent_step is None:
+            return None
+        if persistent_step is None or (
+            local_step is not None and local_step >= persistent_step
+        ):
+            def to_abstract(x):
+                if isinstance(x, jax.Array):
+                    return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+                return ocp.utils.to_shape_dtype_struct(x)
+
+            target = jax.tree.map(to_abstract, abstract_or_state)
+            restored = self.local.restore(
+                local_step,
+                args=ocp.args.PyTreeRestore(
+                    item=target,
+                    restore_args=ocp.checkpoint_utils.construct_restore_args(target),
+                ),
+            )
+            logger.info(
+                "restored EMERGENCY local checkpoint step %d from %s",
+                local_step, self.local_dir,
+            )
+            return restored
+        return self.persistent.maybe_restore(abstract_or_state)
+
+    def wait(self):
+        self.local.wait_until_finished()
+        self.persistent.wait()
+
+    def close(self):
+        self.local.wait_until_finished()
+        self.local.close()
+        self.persistent.close()
+
+
 def save_params_only(path: str, params) -> None:
     """Write a params-only checkpoint (inference artifact).
 

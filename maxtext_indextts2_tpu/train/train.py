@@ -345,10 +345,21 @@ def train_loop(cfg: Config, mesh: Mesh | None = None) -> dict:
         )
 
     checkpointer = None
+    save_period = cfg.checkpoint_period
     if cfg.enable_checkpointing:
-        from maxtext_indextts2_tpu.train.checkpointing import CheckpointManager
+        if cfg.enable_emergency_checkpoint:
+            from maxtext_indextts2_tpu.train.checkpointing import (
+                EmergencyCheckpointManager,
+            )
 
-        checkpointer = CheckpointManager(cfg)
+            checkpointer = EmergencyCheckpointManager(cfg)
+            # the manager routes each save to the tier(s) due at that step;
+            # the loop only needs the faster cadence
+            save_period = checkpointer.local_period
+        else:
+            from maxtext_indextts2_tpu.train.checkpointing import CheckpointManager
+
+            checkpointer = CheckpointManager(cfg)
         restored = checkpointer.maybe_restore(state)
         if restored is not None:
             state = restored
@@ -379,10 +390,15 @@ def train_loop(cfg: Config, mesh: Mesh | None = None) -> dict:
             )
 
             if checkpointer is not None and (
-                (step + 1) % cfg.checkpoint_period == 0
+                (step + 1) % save_period == 0
                 or (cfg.save_final_checkpoint and step == cfg.steps - 1)
             ):
-                checkpointer.save(step, state)
+                # force on the final step so the emergency manager writes the
+                # durable tier even off its persistent cadence
+                checkpointer.save(
+                    step, state,
+                    force=cfg.save_final_checkpoint and step == cfg.steps - 1,
+                )
 
             # periodic eval + early stop (reference: train.py:673-692)
             if cfg.eval_interval > 0 and (step + 1) % cfg.eval_interval == 0:
