@@ -303,13 +303,16 @@ class TTSBatcher:
                 req.done.set()
 
 
-def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
-          tts_pipeline=None):
-    """Blocking HTTP server (reference: maxengine_server.main).
+def make_server(cfg: Config, port: int | None = None,
+                engine: Engine | None = None, tts_pipeline=None):
+    """Build the HTTP server without blocking. Returns (httpd, orch,
+    tts_batcher) — callers run httpd.serve_forever() themselves (serve())
+    or in a thread (benchmarks/latency_slo.py drives load against it).
 
-    Endpoints: POST /generate (token LM) and, when a TTS pipeline is
-    provided, POST /tts {"text": ..., "prompt_wav_16k": [...],
-    "prompt_wav_24k": [...]} -> {"wav": [...], "info": {...}}.
+    Endpoints: POST /generate (token LM), POST /generate_stream (ndjson
+    per-token streaming) and, when a TTS pipeline is provided, POST /tts
+    {"text": ..., "prompt_wav_16k": [...], "prompt_wav_24k": [...]} ->
+    {"wav": [...], "info": {...}}.
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -331,7 +334,7 @@ def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
             if self.path == "/tts" and tts_pipeline is not None:
                 self._do_tts()
                 return
-            if self.path != "/generate":
+            if self.path not in ("/generate", "/generate_stream"):
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -344,6 +347,29 @@ def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
                 self.send_header("Content-Length", str(len(msg)))
                 self.end_headers()
                 self.wfile.write(msg)
+                return
+            if self.path == "/generate_stream":
+                # per-token streaming (ndjson, connection closes at end):
+                # the first line leaves as soon as prefill+insert lands, so
+                # clients measure true TTFB (reference capability: JetStream
+                # server-streaming Decode, maxengine_server.py:68-81)
+                req = orch.submit(
+                    prompt, int(body.get("max_new_tokens", 32)), stream=True
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.end_headers()
+                while True:
+                    tok = req.stream_q.get()
+                    if tok is None:
+                        break
+                    try:
+                        self.wfile.write(
+                            json.dumps({"token": tok}).encode() + b"\n"
+                        )
+                        self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        break
                 return
             req = orch.submit(prompt, int(body.get("max_new_tokens", 32)))
             req.done.wait(timeout=600)
@@ -398,6 +424,13 @@ def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
             pass
 
     server = ThreadingHTTPServer(("0.0.0.0", port or cfg.inference_server_port), Handler)
+    return server, orch, tts_batcher
+
+
+def serve(cfg: Config, port: int | None = None, engine: Engine | None = None,
+          tts_pipeline=None):
+    """Blocking HTTP server (reference: maxengine_server.main)."""
+    server, orch, tts_batcher = make_server(cfg, port, engine, tts_pipeline)
     try:
         server.serve_forever()
     finally:
