@@ -248,6 +248,12 @@ class Config:
     dataset_type: str = "synthetic"  # synthetic | hf | grain | tfds | c4_mlperf | emilia_audio
     dataset_path: str = ""
     dataset_split: str = "train"
+    eval_split: str = ""  # hf eval iterator split ("" = no eval data)
+    # columns to read per split (reference: base.yml train_data_columns);
+    # first entry is the text column for grain/hf pretraining rows
+    train_data_columns: tuple = ("text",)
+    eval_data_columns: tuple = ("text",)
+    grain_file_type: str = "auto"  # auto | arrayrecord | parquet | jsonl
     eos_id: int = 2  # loss-mask sentinel for c4_mlperf rows (byte tokenizer eos)
     tokenizer_type: str = "none"  # none | sentencepiece | huggingface | tiktoken
     tokenizer_path: str = ""
@@ -372,8 +378,8 @@ def _coerce(name: str, value: Any, target_type: Any) -> Any:
         if isinstance(value, str):
             value = [v.strip() for v in value.strip("[]() ").split(",") if v.strip()]
         items = list(value)
-        if name == "mlp_activations":
-            return tuple(str(v) for v in items)
+        if name in ("mlp_activations", "train_data_columns", "eval_data_columns"):
+            return tuple(str(v).strip("'\"") for v in items)
         return tuple(int(v) for v in items)
     if isinstance(value, str):
         t = str(target_type)

@@ -24,6 +24,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 import numpy as np
 
 from maxtext_indextts2_tpu.models import rope as rope_lib
@@ -613,6 +614,10 @@ class Attention(nn.Module):
                 )
 
         out = shard(out, "activation_batch", "activation_length", "activation_heads", "activation_kv_head_dim")
+        # remat anchor: saving this (64 MB/layer at 1B/batch-8) lets the
+        # backward skip recomputing qkv projections + the flash fwd kernel
+        # (policy save_attn_out in models/decoder.py)
+        out = checkpoint_name(out, "attn_out")
         return DenseGeneral(
             features=inputs_q.shape[-1],
             axis=(-2, -1),

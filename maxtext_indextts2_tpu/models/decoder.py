@@ -172,11 +172,15 @@ def _remat_policy(name: str):
     policies = {
         "full": None,  # nn.remat default: save nothing
         "minimal": jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
-        "save_dot_except_mlp": jax.checkpoint_policies.save_only_these_names(
-            "query_proj", "key_proj", "value_proj", "out_proj"
+        # anchors: "attn_out" (models/attention.py, 64 MB/layer @1B b8) —
+        # backward skips recomputing qkv proj + the flash fwd kernel;
+        # "mlp_pre_wo" (models/layers.py, 256 MB/layer) — also skips the
+        # wi_0/wi_1 matmuls, the big recompute, when HBM allows
+        "save_attn_out": jax.checkpoint_policies.save_only_these_names(
+            "attn_out"
         ),
-        "save_qkv_proj": jax.checkpoint_policies.save_only_these_names(
-            "query_proj", "key_proj", "value_proj"
+        "save_attn_and_mlp": jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "mlp_pre_wo"
         ),
     }
     return policies.get(name)

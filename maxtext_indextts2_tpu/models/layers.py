@@ -14,6 +14,7 @@ from collections.abc import Callable, Iterable, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 import numpy as np
 
 from maxtext_indextts2_tpu.parallel.sharding import shard
@@ -332,6 +333,9 @@ class MlpBlock(nn.Module):
         for a in acts[1:]:
             x = x * a
         x = shard(x, "activation_batch", "activation_length", "activation_mlp")
+        # remat anchor (see models/decoder.py _remat_policy): 256 MB/layer at
+        # 1B/batch-8 — only worth saving when HBM allows (save_attn_and_mlp)
+        x = checkpoint_name(x, "mlp_pre_wo")
         if self.intermediate_dropout_rate > 0.0 and not deterministic:
             x = nn.Dropout(rate=self.intermediate_dropout_rate)(x, deterministic=False)
         out = DenseGeneral(

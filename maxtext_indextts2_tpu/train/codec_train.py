@@ -44,11 +44,14 @@ def mel_l1(wav_a: jax.Array, wav_b: jax.Array) -> jax.Array:
     return loss / 3.0
 
 
-def train_acoustic_codec(cfg: Config, batch_fn=None) -> dict:
+def train_acoustic_codec(cfg: Config, batch_fn=None, codec_kwargs=None) -> dict:
+    """codec_kwargs: extra AcousticCodec fields (e.g. small vocos dims for
+    CPU-trainable recipes — benchmarks/recipes/mcd_parity.py)."""
     codec = AcousticCodec(
         num_quantizers=cfg.s2a_num_quantizers,
         codebook_size=cfg.s2a_codebook_size,
         quantizer_dropout=cfg.codec_quantizer_dropout,
+        **(codec_kwargs or {}),
     )
     hop = int(np.prod(codec.strides))
     seconds = 0.5
@@ -65,6 +68,12 @@ def train_acoustic_codec(cfg: Config, batch_fn=None) -> dict:
     params = codec.init(rng, jnp.asarray(batch_fn(0)["wav"]))
     schedule = create_learning_rate_schedule(cfg)
     tx = get_optimizer(cfg, schedule)
+    if cfg.gradient_clipping_threshold > 0:
+        # RVQ/codec losses spike early (measured 300 -> 14k at lr 1e-3);
+        # the main trainer clips, these loops must too
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.gradient_clipping_threshold), tx
+        )
     opt_state = tx.init(params)
 
     drop_key = jax.random.PRNGKey(cfg.init_weights_seed + 1)
@@ -106,6 +115,12 @@ def train_repcodec(cfg: Config, batch_fn=None) -> dict:
     params = codec.init(rng, jnp.asarray(batch_fn(0)["feats"]))
     schedule = create_learning_rate_schedule(cfg)
     tx = get_optimizer(cfg, schedule)
+    if cfg.gradient_clipping_threshold > 0:
+        # RVQ/codec losses spike early (measured 300 -> 14k at lr 1e-3);
+        # the main trainer clips, these loops must too
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.gradient_clipping_threshold), tx
+        )
     opt_state = tx.init(params)
 
     @jax.jit

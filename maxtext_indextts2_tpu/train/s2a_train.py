@@ -64,6 +64,12 @@ def train_s2a(cfg: Config, batch_fn=None) -> dict:
     )
     schedule = create_learning_rate_schedule(cfg)
     tx = get_optimizer(cfg, schedule)
+    if cfg.gradient_clipping_threshold > 0:
+        # RVQ/codec losses spike early (measured 300 -> 14k at lr 1e-3);
+        # the main trainer clips, these loops must too
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.gradient_clipping_threshold), tx
+        )
     opt_state = tx.init(params)
 
     @jax.jit
