@@ -101,7 +101,9 @@ def train_s2a(cfg: Config, batch_fn=None) -> dict:
 
         save_params_only(cfg.checkpoint_dir + "/s2a_params", params)
     logger.close()
-    return {k: np.asarray(v) for k, v in metrics.items()}
+    out = {k: np.asarray(v) for k, v in metrics.items()}
+    out["params"] = params  # trained weights, for sampling/quality recipes
+    return out
 
 
 def main(argv=None):
@@ -109,7 +111,8 @@ def main(argv=None):
 
     cfg = load_config(argv if argv is not None else sys.argv[1:])
     metrics = train_s2a(cfg)
-    print({k: float(np.asarray(v).mean()) for k, v in metrics.items()})
+    print({k: float(np.asarray(v).mean()) for k, v in metrics.items()
+           if k != "params"})
 
 
 if __name__ == "__main__":

@@ -102,3 +102,20 @@ def test_pipeline_derived():
     assert cfg.using_pipeline_parallelism
     assert cfg.num_pipeline_repeats == 4
     assert cfg.num_pipeline_microbatches == 4
+
+
+def test_shardy_toggle():
+    """cfg.shardy flips jax_use_shardy_partitioner (reference: base.yml:712 +
+    train.py:724); '' leaves the JAX default untouched."""
+    import jax
+
+    from maxtext_indextts2_tpu.config import load_config
+
+    default = jax.config.jax_use_shardy_partitioner
+    try:
+        load_config(["shardy=false"])
+        assert jax.config.jax_use_shardy_partitioner is False
+        load_config(["shardy=true"])
+        assert jax.config.jax_use_shardy_partitioner is True
+    finally:
+        jax.config.update("jax_use_shardy_partitioner", default)
