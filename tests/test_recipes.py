@@ -21,3 +21,37 @@ def test_long_running_recipe():
     out = long_running.run(["steps=12", "checkpoint_period=5"])
     assert out["ok"], out
     assert out["checkpoints"] >= 2
+
+
+def test_workload_generator_commands():
+    """Workload generation (reference: benchmarks/maxtext_xpk_runner.py):
+    commands are well-formed and EVERY tuned model's overrides validate
+    through the real config schema on its target topology — the libraries
+    cannot drift from the config."""
+    import shlex
+
+    import benchmarks.workload_gen as wg
+    from maxtext_indextts2_tpu.config import load_config
+
+    cmds = wg.generate_sweep("v5e", "v5e-256", (1, 2))
+    assert len(cmds) == 2 * len(wg.V5E_MODELS)
+    for cmd in cmds:
+        assert cmd.startswith("xpk workload create ")
+        assert "--device-type=v5e-256" in cmd
+        assert "python -m maxtext_indextts2_tpu.train.train" in cmd
+
+    topology = {"v5e": "v5e-256", "v5p": "v5p-512", "v6e": "v6e-256"}
+    for platform, library in wg.PLATFORM_LIBRARIES.items():
+        for model in library.values():
+            overrides = [f"{k}={v}" for k, v in model.overrides.items()]
+            cfg = load_config(overrides + [
+                f"compile_topology={topology[platform]}",
+            ])
+            assert cfg.global_batch_size_to_train_on > 0
+
+    wl = wg.WorkloadConfig(model=wg.V5E_MODELS["tts-1b-bf16"],
+                           topology="v5e-8")
+    mh = wg.generate_multihost_cmd(wl)
+    assert "multihost_runner.py" in mh and "--tpu-prefix=" in mh
+    # the embedded train command round-trips through shlex
+    assert any("train.train" in tok for tok in shlex.split(mh))
