@@ -81,10 +81,14 @@ def run(argv=None) -> dict:
         lambda idx: codec.apply(codec_params, idx, method=codec.detokenize)
     )
 
-    # ---- 2. corpus -> (semantic, acoustic) pairs
+    # ---- 2. corpus -> (semantic, acoustic) pairs. The semantic condition
+    # is a COARSENED view of RVQ layer 0 (//4): if it were layer 0 itself
+    # the task is near-deterministic and the model trains to zero loss,
+    # making the int8-vs-f32 comparison trivial (observed: token agreement
+    # exactly 1.0). The lossy condition leaves real sampling entropy.
     codes = np.asarray(tokenize(jnp.asarray(train_pool)))  # [Q, N, T]
     acoustic = codes.transpose(1, 2, 0).astype(np.int32)  # [N, T, Q]
-    semantic = codes[0].astype(np.int32)  # [N, T]
+    semantic = (codes[0] // 4).astype(np.int32)  # [N, T], CB//4 values
     t_frames = semantic.shape[1]
 
     # ---- 3. S2A
@@ -122,7 +126,7 @@ def run(argv=None) -> dict:
     hold_codes = np.asarray(tokenize(jnp.asarray(holdout)))  # [Q, M, T]
     p = t_frames // 4
     prompt = jnp.asarray(hold_codes.transpose(1, 2, 0)[:, :p, :], jnp.int32)
-    cond = jnp.asarray(hold_codes[0], jnp.int32)  # [M, T]
+    cond = jnp.asarray(hold_codes[0] // 4, jnp.int32)  # [M, T]
     rng = jax.random.PRNGKey(17)
     steps = (4,) * Q
 

@@ -105,3 +105,114 @@ def fuse_vision_embeddings(
         vision_embeddings, rank[..., None], axis=1
     )
     return jnp.where(image_mask[..., None], gathered, token_embeddings)
+
+
+# ------------------------------------------------------------------ family
+# Per-family preprocessing + prompt conventions (reference:
+# multimodal_utils.py pre_process_gemma3_image:318, pre_process_llama4_image
+# :336, reformat_prompt:413, get_tokens_for_this_image:507).
+
+GEMMA3_IMAGE_SIZE = 896
+GEMMA3_TOKENS_PER_IMAGE = 256
+LLAMA4_TILE_SIZE = 336
+LLAMA4_MAX_TILES = 16
+LLAMA4_PATCHES_PER_TILE = 144  # (336/14)^2 / 4 pixel-shuffle
+
+
+def supported_tile_grids(max_tiles: int = LLAMA4_MAX_TILES) -> list[tuple[int, int]]:
+    """All (rows, cols) grids with rows*cols <= max_tiles (llama4's
+    candidate canvases; reference find_supported_resolutions:151)."""
+    grids = []
+    for n in range(1, max_tiles + 1):
+        for rows in range(1, n + 1):
+            if n % rows == 0:
+                grids.append((rows, n // rows))
+    return sorted(set(grids))
+
+
+def best_tile_grid(height: int, width: int,
+                   tile: int = LLAMA4_TILE_SIZE,
+                   max_tiles: int = LLAMA4_MAX_TILES) -> tuple[int, int]:
+    """Pick the tile grid whose canvas best fits the image (reference
+    get_best_resolution:170): prefer canvases the image fits into WITHOUT
+    downscaling (scale >= 1, least upscaling wins); otherwise the largest
+    downscale. Ties: fewer wasted pixels, then fewer tiles."""
+    best = None
+    for rows, cols in supported_tile_grids(max_tiles):
+        ch, cw = rows * tile, cols * tile
+        scale = min(ch / height, cw / width)
+        eff_h, eff_w = height * scale, width * scale
+        waste = ch * cw - eff_h * eff_w
+        # scale >= 1 sorts ahead (False < True reversed via 0/1), then the
+        # scale distance from 1 in the preferred direction
+        key = (0 if scale >= 1 else 1,
+               scale if scale >= 1 else -scale,
+               waste, rows * cols)
+        if best is None or key < best[0]:
+            best = (key, (rows, cols))
+    return best[1]
+
+
+def preprocess_image_gemma3(image) -> jax.Array:
+    """gemma3: single 896x896 bilinear resize, SigLIP [-1,1] normalize.
+    Returns [1, 896, 896, 3]."""
+    return preprocess_image(
+        image, ImagePreprocessConfig(image_size=GEMMA3_IMAGE_SIZE, num_tiles=1)
+    )
+
+
+def preprocess_image_llama4(image) -> tuple[jax.Array, tuple[int, int]]:
+    """llama4: aspect-ratio best-fit tiling at 336px + a global thumbnail
+    when tiled. Returns ([n_tiles(+1), 336, 336, 3], (rows, cols))."""
+    img = jnp.asarray(image)
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 255.0
+    h, w = img.shape[0], img.shape[1]
+    rows, cols = best_tile_grid(h, w)
+    s = LLAMA4_TILE_SIZE
+    canvas = jax.image.resize(img, (rows * s, cols * s, 3), method="bilinear")
+    tiles = (
+        canvas.reshape(rows, s, cols, s, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * cols, s, s, 3)
+    )
+    out = 2.0 * tiles - 1.0  # llama4: [0,1] -> [-1,1]
+    if rows * cols > 1:
+        glob = 2.0 * jax.image.resize(img, (s, s, 3), method="bilinear") - 1.0
+        out = jnp.concatenate([out, glob[None]], axis=0)
+    return out, (rows, cols)
+
+
+def tokens_for_image(family: str, aspect_ratio: tuple[int, int] = (1, 1)) -> int:
+    """Total image-token count one image expands to, incl. llama4's
+    per-tile separator structure (reference get_num_tokens_for_this_image
+    :566: per tile 1 separator + patches; plus begin/end + global tile)."""
+    if family == "gemma3":
+        # <start_of_image> ... 256 soft tokens ... <end_of_image> — the soft
+        # tokens are what the embedding fusion replaces
+        return GEMMA3_TOKENS_PER_IMAGE
+    if family == "llama4":
+        rows, cols = aspect_ratio
+        n_tiles = rows * cols
+        per_tile = LLAMA4_PATCHES_PER_TILE + 1  # tile separator token
+        total = n_tiles * per_tile
+        if n_tiles > 1:
+            total += LLAMA4_PATCHES_PER_TILE + 1  # global thumbnail
+        return total + 2  # image begin/end markers
+    raise ValueError(f"unknown multimodal family: {family}")
+
+
+def format_vision_prompt(prompt: str, family: str,
+                         placeholder: str = "<image>") -> str:
+    """Rewrite a generic prompt's image placeholder into the family's
+    convention (reference reformat_prompt:413 / reformat_response:435)."""
+    if family == "gemma3":
+        body = prompt.replace(placeholder, "\n\n<start_of_image>\n\n")
+        return f"<start_of_turn>user\n{body}<end_of_turn>\n<start_of_turn>model\n"
+    if family == "llama4":
+        body = prompt.replace(placeholder, "<|image|>")
+        return (
+            "<|begin_of_text|><|header_start|>user<|header_end|>\n\n"
+            f"{body}<|eot|><|header_start|>assistant<|header_end|>\n\n"
+        )
+    raise ValueError(f"unknown multimodal family: {family}")

@@ -159,3 +159,45 @@ def test_multimodal_preprocess_and_fuse():
     np.testing.assert_allclose(np.asarray(fused[0, 1]), np.asarray(vis_emb[0, 0]))
     np.testing.assert_allclose(np.asarray(fused[0, 3]), np.asarray(vis_emb[0, 2]))
     np.testing.assert_allclose(np.asarray(fused[0, 0]), 0.0)
+
+
+def test_multimodal_family_utils():
+    """Per-family multimodal utils (reference multimodal_utils.py:318-596):
+    llama4 best-fit tiling, token counts with tile separators, prompt
+    conventions."""
+    import numpy as np
+
+    from maxtext_indextts2_tpu.utils.multimodal import (
+        best_tile_grid,
+        format_vision_prompt,
+        preprocess_image_gemma3,
+        preprocess_image_llama4,
+        supported_tile_grids,
+        tokens_for_image,
+    )
+
+    grids = supported_tile_grids(4)
+    assert (1, 1) in grids and (2, 2) in grids and (1, 4) in grids
+    # wide image picks a wide grid; square picks square
+    assert best_tile_grid(336, 1344, max_tiles=4) == (1, 4)
+    assert best_tile_grid(672, 672, max_tiles=4) == (2, 2)
+
+    img = np.random.default_rng(0).integers(0, 255, (448, 896, 3), np.uint8)
+    g = preprocess_image_gemma3(img)
+    assert g.shape == (1, 896, 896, 3)
+    tiles, ar = preprocess_image_llama4(img)
+    assert ar[0] * ar[1] >= 1 and tiles.shape[1:] == (336, 336, 3)
+    if ar[0] * ar[1] > 1:
+        assert tiles.shape[0] == ar[0] * ar[1] + 1  # + global thumbnail
+    assert float(tiles.max()) <= 1.0 and float(tiles.min()) >= -1.0
+
+    assert tokens_for_image("gemma3") == 256
+    one = tokens_for_image("llama4", (1, 1))
+    four = tokens_for_image("llama4", (2, 2))
+    assert one == 144 + 1 + 2
+    assert four == 4 * 145 + 145 + 2  # tiles + global + begin/end
+
+    p = format_vision_prompt("what is in <image>?", "gemma3")
+    assert "<start_of_image>" in p and "<start_of_turn>user" in p
+    p4 = format_vision_prompt("what is in <image>?", "llama4")
+    assert "<|image|>" in p4 and "<|begin_of_text|>" in p4
