@@ -54,7 +54,9 @@ def run(argv=None) -> dict:
     s2a_steps = int(kv.get("s2a_steps", "400"))
     margin_db = float(kv.get("margin_db", "2.0"))
 
-    train_pool = make_pool(seed=7, n=64)
+    # large pool: with 64 waves the tiny S2A memorizes to zero loss and the
+    # int8-vs-f32 comparison degenerates to bit-identical sampling
+    train_pool = make_pool(seed=7, n=int(kv.get("pool", "512")))
     holdout = make_pool(seed=991, n=4)
 
     # ---- 1. codec
