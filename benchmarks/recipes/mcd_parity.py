@@ -99,7 +99,12 @@ def run(argv=None) -> dict:
     )
 
     def reconstruct(params, wavs):
-        recon, _idx, _c, _cb = codec.apply(params, jnp.asarray(wavs))
+        # DISCRETE path: tokenize -> detokenize. The training forward's
+        # straight-through output leaks continuous encoder latents and
+        # flatters the metric even with a collapsed codebook; synthesis
+        # only ever sees tokens (reference full_inference.py:148-198).
+        idx = codec.apply(params, jnp.asarray(wavs), method=codec.tokenize)
+        recon = codec.apply(params, idx, method=codec.detokenize)
         n = min(recon.shape[-1], wavs.shape[-1])
         return np.asarray(recon[..., :n], np.float32)
 

@@ -571,13 +571,21 @@ def flash_attention_sharded(
     vh = jnp.swapaxes(v, 1, 2)
 
     cp = mesh.shape.get("context", 1) if mesh is not None else 1
-    if mesh is None or cp == 1:
+    if mesh is None or mesh.devices.size == 1:
+        # single device: no shard_map wrapper needed
         o = flash_attention(
             qh, kh, vh, positions, positions, segment_ids, segment_ids,
             causal, sliding_window, chunk_size, logits_soft_cap,
             None, block_q, block_kv,
         )
         return jnp.swapaxes(o, 1, 2)
+    # Multi-device: the kernel must run INSIDE shard_map even with cp == 1.
+    # A pallas_call is opaque to GSPMD, which replicates its operands — at
+    # fsdp64 x tp4 that manifested as a 62.8 GB all-gather of the global
+    # activations in the flagship v5e-256 AOT compile. The specs below
+    # degenerate cleanly when an axis has size 1.
+    if cp == 1 and algorithm in ("ring", "ulysses"):
+        algorithm = "allgather"  # ring/ulysses are pure overhead without CP
 
     batch_axes = ("data", "fsdp", "fsdp_transpose", "expert")
     heads_axes = ("tensor", "tensor_transpose", "tensor_sequence")

@@ -44,9 +44,48 @@ def mel_l1(wav_a: jax.Array, wav_b: jax.Array) -> jax.Array:
     return loss / 3.0
 
 
-def train_acoustic_codec(cfg: Config, batch_fn=None, codec_kwargs=None) -> dict:
+def _reseed_dead_codes(params, usage, rng, threshold: int = 0,
+                       jitter: float = 0.05):
+    """Replace unused RVQ codebook rows with jittered copies of busy rows.
+
+    Straight-through FVQ has no gradient path to never-selected rows, so a
+    codebook that starts badly collapses to a handful of codes (measured:
+    1 distinct code per layer after 150 tiny-scale steps). The standard fix
+    (reference quantize_extended.py EuclideanCodebook dead-code expiry, here
+    applied to the acoustic codec's FVQ stack): every reseed period, dead
+    rows (usage <= threshold over the window) are re-seeded near rows that
+    ARE used, splitting their clusters.
+
+    usage: [Q, K] selection counts. Returns updated params (host-side).
+    """
+    p = params["params"] if "params" in params else params
+    vqs = p["decoder"]["quantizer"]
+    rng = np.random.default_rng(rng)
+    for q in range(usage.shape[0]):
+        name = f"vq_{q}"
+        if name not in vqs:
+            continue
+        cb = np.array(vqs[name]["codebook"])
+        used = usage[q] > threshold
+        if used.all() or not used.any():
+            continue
+        dead = np.where(~used)[0]
+        busy = np.where(used)[0]
+        donors = rng.choice(busy, size=dead.size,
+                            p=usage[q][busy] / usage[q][busy].sum())
+        noise = rng.standard_normal((dead.size, cb.shape[1])).astype(cb.dtype)
+        cb[dead] = cb[donors] + jitter * noise * np.linalg.norm(
+            cb[donors], axis=-1, keepdims=True
+        )
+        vqs[name]["codebook"] = jnp.asarray(cb)
+    return params
+
+
+def train_acoustic_codec(cfg: Config, batch_fn=None, codec_kwargs=None,
+                         reseed_period: int = 20) -> dict:
     """codec_kwargs: extra AcousticCodec fields (e.g. small vocos dims for
-    CPU-trainable recipes — benchmarks/recipes/mcd_parity.py)."""
+    CPU-trainable recipes — benchmarks/recipes/mcd_parity.py).
+    reseed_period: dead-codebook-row reseeding cadence (0 = off)."""
     codec = AcousticCodec(
         num_quantizers=cfg.s2a_num_quantizers,
         codebook_size=cfg.s2a_codebook_size,
@@ -89,13 +128,21 @@ def train_acoustic_codec(cfg: Config, batch_fn=None, codec_kwargs=None) -> dict:
             l_wav = jnp.mean(jnp.abs(recon[..., :n] - wav[..., :n]))
             l_mel = mel_l1(recon[..., :n], wav[..., :n])
             loss = l_mel + 0.1 * l_wav + commit + cb
-            return loss, {"mel_l1": l_mel, "wav_l1": l_wav, "commit": commit}
+            # per-layer code-usage histogram for dead-code reseeding
+            usage = jax.vmap(
+                lambda rows: jnp.bincount(
+                    rows.reshape(-1), length=cfg.s2a_codebook_size
+                )
+            )(idx)
+            return loss, {"mel_l1": l_mel, "wav_l1": l_wav, "commit": commit,
+                          "_usage": usage}
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, {"loss": loss, **aux}
 
-    return _loop(cfg, step_fn, params, opt_state, batch_fn, key="wav")
+    return _loop(cfg, step_fn, params, opt_state, batch_fn, key="wav",
+                 reseed_period=reseed_period)
 
 
 def train_repcodec(cfg: Config, batch_fn=None) -> dict:
@@ -137,14 +184,22 @@ def train_repcodec(cfg: Config, batch_fn=None) -> dict:
     return _loop(cfg, step_fn, params, opt_state, batch_fn, key="feats")
 
 
-def _loop(cfg, step_fn, params, opt_state, batch_fn, key):
+def _loop(cfg, step_fn, params, opt_state, batch_fn, key, reseed_period=0):
     logger = MetricLogger(cfg)
     metrics = {}
+    usage_acc = None
     last = time.perf_counter()
     for step in range(cfg.steps):
         batch = jnp.asarray(batch_fn(step)[key])
         params, opt_state, metrics = step_fn(params, opt_state, batch,
                                              jnp.asarray(step))
+        usage = metrics.pop("_usage", None)  # never logged/returned
+        if usage is not None and reseed_period:
+            usage = np.asarray(usage)
+            usage_acc = usage if usage_acc is None else usage_acc + usage
+            if (step + 1) % reseed_period == 0 and step < cfg.steps - 1:
+                params = _reseed_dead_codes(params, usage_acc, rng=step)
+                usage_acc = None
         now = time.perf_counter()
         logger.write_step(step, metrics, step_time=now - last)
         last = now
