@@ -254,3 +254,31 @@ def test_grpc_synthesize_chunked_wav(engine):
         gs._WAV_CHUNK_SAMPLES = old_chunk
         server.stop(grace=0)
         orch.stop()
+
+
+def test_orchestrator_paged_engine(engine):
+    """Continuous batching through the PAGED engine: the orchestrator's
+    submit/prefill/insert/generate loop must produce the same greedy tokens
+    as the dense engine (paged_attention=true end-to-end at the serving
+    layer, not just Engine unit parity)."""
+    import time
+
+    paged_cfg = load_config(CFG + [
+        "paged_attention=true", "pagedattn_num_pages=32",
+        "pagedattn_tokens_per_page=8",
+    ])
+    paged = Engine(paged_cfg, mesh=engine.mesh)
+    paged.params = engine.params
+
+    orch = Orchestrator(paged, steps_per_dispatch=2)
+    orch.start()
+    try:
+        prompts = [np.array([3, 5, 7], np.int32), np.array([11, 13], np.int32)]
+        reqs = [orch.submit(p, 6) for p in prompts]
+        for r in reqs:
+            assert r.done.wait(timeout=120), "request did not finish"
+        for p, r in zip(prompts, reqs):
+            assert r.error is None, r.error
+            assert r.tokens == engine.generate_stream(p, 6)
+    finally:
+        orch.stop()
