@@ -80,6 +80,22 @@ def run(argv=None) -> dict:
     engine = Engine(cfg)
     engine.load_params()
 
+    # Pre-compile the serving programs OUTSIDE any socket timeout: through
+    # the axon relay the first compile of each sharded program can take
+    # minutes (prefill, insert, generate, generate_n are four programs — a
+    # lazily-compiled warmup request can exceed any sane HTTP timeout).
+    t0 = time.perf_counter()
+    warm_prompt = np.arange(1, prompt_len + 1, dtype=np.int32)
+    prefix, _ = engine.prefill(warm_prompt, prompt_len)
+    state = engine.init_decode_state()
+    state = engine.insert(prefix, state, 0)
+    state, _ = engine.generate(state)
+    state, toks = engine.generate_n(state, 4)  # orchestrator steps_per_dispatch
+    np.asarray(toks)  # host fetch: force the relay to finish
+    del state, prefix
+    print(f"[latency_slo] warmup compile {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
     port = int(kv.get("port", "18321"))
     httpd, orch, _ = make_server(cfg, port=port, engine=engine)
     server_thread = threading.Thread(target=httpd.serve_forever, daemon=True)

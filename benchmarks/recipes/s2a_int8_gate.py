@@ -38,25 +38,21 @@ Q = 4  # quantizer layers in the tiny stack
 CB = 256
 
 
-def run(argv=None) -> dict:
+def train_tiny_stack(kv) -> dict:
+    """Train the tiny codec + S2A on synthetic speech-like audio and prepare
+    held-out sampling inputs. Shared by this gate and the schedule gate
+    (benchmarks/recipes/s2a_schedule_gate.py)."""
     import jax
     import jax.numpy as jnp
 
-    from benchmarks.mcd import mcd
     from maxtext_indextts2_tpu.audio.acoustic import AcousticCodec
-    from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
+    from maxtext_indextts2_tpu.audio.s2a import S2AConfig
     from maxtext_indextts2_tpu.config import load_config
     from maxtext_indextts2_tpu.train.codec_train import train_acoustic_codec
     from maxtext_indextts2_tpu.train.s2a_train import train_s2a
 
-    # Recorded result (2026-08-19, these defaults): token agreement 0.90
-    # (real sampling entropy — s2a loss 3.18), MCD f32-vs-gt 20.64 dB,
-    # int8-vs-gt 21.34 dB (+0.70), int8-vs-f32 2.18 dB (the same-utterance
-    # self-similarity band is ~7.6 dB) -> int8 certified, ok=true.
-    kv = dict(a.split("=", 1) for a in (argv or []))
     codec_steps = int(kv.get("codec_steps", "250"))
     s2a_steps = int(kv.get("s2a_steps", "200"))
-    margin_db = float(kv.get("margin_db", "2.0"))
 
     # large pool: with 64 waves the tiny S2A memorizes to zero loss and the
     # int8-vs-f32 comparison degenerates to bit-identical sampling
@@ -123,16 +119,44 @@ def run(argv=None) -> dict:
         num_quantizers=Q, hidden_size=128, num_layers=3, num_heads=4,
         codebook_size=CB, cond_codebook_size=CB, dtype=jnp.float32,
     )
-    m_f32 = S2AModel(base)
-    m_int8 = S2AModel(dataclasses.replace(
-        base, dtype=jnp.bfloat16, int8_matmul="dynamic"
-    ))
 
-    # ---- 4. sample held-out utterances (prompt = first quarter)
+    # ---- 4. held-out sampling inputs (prompt = first quarter)
     hold_codes = np.asarray(tokenize(jnp.asarray(holdout)))  # [Q, M, T]
     p = t_frames // 4
     prompt = jnp.asarray(hold_codes.transpose(1, 2, 0)[:, :p, :], jnp.int32)
     cond = jnp.asarray(hold_codes[0] // 4, jnp.int32)  # [M, T]
+
+    def decode(gen):  # [M, T-p, Q] + prompt -> wav
+        full = np.concatenate([np.asarray(prompt), gen], axis=1)  # [M, T, Q]
+        return np.asarray(detok(jnp.asarray(full.transpose(2, 0, 1))))
+
+    return dict(
+        base=base, s2a_params=s2a_params, prompt=prompt, cond=cond,
+        decode=decode, holdout=holdout,
+        s2a_loss=float(s2a_out["loss"]), codec_loss=float(codec_out["loss"]),
+    )
+
+
+def run(argv=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.mcd import mcd
+    from maxtext_indextts2_tpu.audio.s2a import S2AModel
+
+    # Recorded result (2026-08-19, these defaults): token agreement 0.90
+    # (real sampling entropy — s2a loss 3.18), MCD f32-vs-gt 20.64 dB,
+    # int8-vs-gt 21.34 dB (+0.70), int8-vs-f32 2.18 dB (the same-utterance
+    # self-similarity band is ~7.6 dB) -> int8 certified, ok=true.
+    kv = dict(a.split("=", 1) for a in (argv or []))
+    margin_db = float(kv.get("margin_db", "2.0"))
+
+    stack = train_tiny_stack(kv)
+    s2a_params, prompt, cond = stack["s2a_params"], stack["prompt"], stack["cond"]
+    m_f32 = S2AModel(stack["base"])
+    m_int8 = S2AModel(dataclasses.replace(
+        stack["base"], dtype=jnp.bfloat16, int8_matmul="dynamic"
+    ))
     rng = jax.random.PRNGKey(17)
     steps = (4,) * Q
 
@@ -146,12 +170,9 @@ def run(argv=None) -> dict:
     out_int8 = np.asarray(sample(m_int8))
     token_agreement = float((out_f32 == out_int8).mean())
 
-    def decode(gen):  # [M, T-p, Q] + prompt -> wav
-        full = np.concatenate([np.asarray(prompt), gen], axis=1)  # [M, T, Q]
-        return np.asarray(detok(jnp.asarray(full.transpose(2, 0, 1))))
-
-    wav_f32 = decode(out_f32)
-    wav_int8 = decode(out_int8)
+    wav_f32 = stack["decode"](out_f32)
+    wav_int8 = stack["decode"](out_int8)
+    holdout = stack["holdout"]
     n = min(wav_f32.shape[-1], holdout.shape[-1])
     gt = holdout[..., :n]
 
@@ -166,8 +187,8 @@ def run(argv=None) -> dict:
         "mcd_int8_vs_gt_db": round(mcd_int8, 3),
         "mcd_int8_vs_f32_db": round(mcd_cross, 3),
         "token_agreement": round(token_agreement, 4),
-        "s2a_final_loss": round(float(s2a_out["loss"]), 4),
-        "codec_final_loss": round(float(codec_out["loss"]), 4),
+        "s2a_final_loss": round(stack["s2a_loss"], 4),
+        "codec_final_loss": round(stack["codec_loss"], 4),
         # int8 must not be meaningfully worse than f32 against ground truth,
         # and the two outputs must be closer to each other than either is to
         # the ground truth (same content, numerics-level divergence only)

@@ -138,11 +138,14 @@ def bench_lm_decode(slots: int, decode_attention: str = "ragged",
 
 def bench_s2a(batch: int, seconds: float = 10.0, int8=False,
               bf16_weights: bool = False,
-              timesteps: tuple[int, ...] | None = None) -> dict:
+              timesteps: tuple[int, ...] | None = None,
+              cfg_until: float = 1.0) -> dict:
     """int8: False | "dynamic" | "offline" (see S2AConfig.int8_matmul).
     bf16_weights: serve-time cast_denoiser_params (bf16 residual stream).
     timesteps: per-quantizer-layer step schedule override (quality/speed
-    lever; default is the reference schedule (10, 4*11))."""
+    lever; default is the reference schedule (10, 4*11)).
+    cfg_until: CFG truncation fraction (uncond calls only on the first
+    ceil(cfg_until*steps) steps per layer; 1.0 = reference behavior)."""
     from maxtext_indextts2_tpu.audio.s2a import (
         S2AConfig, S2AModel, cast_denoiser_params, quantize_s2a_params,
     )
@@ -188,13 +191,14 @@ def bench_s2a(batch: int, seconds: float = 10.0, int8=False,
     # host-side during lowering (catastrophic through the relay)
     f = jax.jit(lambda pr, c, pm, r: model.apply(
         pr, c, pm, r, method=model.reverse_diffusion,
-        n_timesteps=timesteps, cfg=1.0,
+        n_timesteps=timesteps, cfg=1.0, cfg_until=cfg_until,
     ))
     dt = time_fn(lambda: f(params, cond, prompt, rng), n1=1, n2=3)
     return {
         "batch": batch,
         "utterance_s": seconds,
         "timesteps": list(timesteps),
+        "cfg_until": cfg_until,
         "pass_s": round(dt, 3),
         "streams_capacity": round(batch * seconds / dt, 2),
         "rtf_per_utterance": round(dt / seconds / batch, 4),
@@ -234,6 +238,9 @@ def main():
                     help="pre-cast denoiser params to bf16 (cast_denoiser_params)")
     ap.add_argument("--s2a_timesteps", default="",
                     help="comma list, e.g. 8,2,2,2,2,2,2,2,2,2,2,2 (speed/quality lever)")
+    ap.add_argument("--s2a_cfg_until", type=float, default=1.0,
+                    help="CFG truncation fraction (quality/speed lever; gate "
+                         "via benchmarks/recipes/s2a_schedule_gate.py)")
     ap.add_argument("--voc_batch", type=int, default=8)
     ap.add_argument("--target_chips", type=int, default=8)  # v5e-8
     args = ap.parse_args()
@@ -250,7 +257,8 @@ def main():
     ts = (tuple(int(x) for x in args.s2a_timesteps.split(","))
           if args.s2a_timesteps else None)
     s2a = bench_s2a(args.s2a_batch, int8=int8,
-                    bf16_weights=args.s2a_bf16_weights, timesteps=ts)
+                    bf16_weights=args.s2a_bf16_weights, timesteps=ts,
+                    cfg_until=args.s2a_cfg_until)
     print(json.dumps(s2a), flush=True)
 
     per_chip = min(lm["streams_capacity"], s2a["streams_capacity"],

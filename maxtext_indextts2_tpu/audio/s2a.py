@@ -721,6 +721,7 @@ class S2AModel(nn.Module):
         filter_thres: float = 0.98,
         cfg: float = 1.0,
         rescale_cfg: float = 1.0,
+        cfg_until: float = 1.0,
         unroll: bool = False,
         x_mask=None,
         prompt_mask=None,
@@ -742,6 +743,17 @@ class S2AModel(nn.Module):
         (``next_mask_num`` becomes ceil-free ``floor(schedule * row_len)``).
         With both masks None the math (and rng stream) is bit-identical to
         the fixed-length path.
+
+        ``cfg_until`` (beyond the reference sampler): apply classifier-free
+        guidance only on the first ``ceil(cfg_until * steps)`` unmasking
+        steps of each layer; later steps skip the unconditional denoiser
+        call entirely (a static split — two scans — so the late-step program
+        contains no uncond branch). Guidance steers WHICH tokens are
+        committed, and most positions commit early under the sin schedule;
+        the late steps refine the low-confidence tail where the conditional
+        distribution already dominates. ``cfg_until=1.0`` is bit-identical
+        to the reference behavior. Quality must be certified per-config via
+        benchmarks/recipes/s2a_schedule_gate.py before serving with <1.0.
         """
         c = self.cfg
         b, p, q = prompt_code.shape
@@ -785,28 +797,34 @@ class S2AModel(nn.Module):
         common = dict(
             cond_full=cond_full, prompt_sum=prompt_sum, full_mask=full_mask,
             x_mask=x_mask, p=p, tlen=tlen, temperature=temperature,
-            topk_keep=topk_keep, cfg_scale=cfg, rescale_cfg=rescale_cfg,
+            topk_keep=topk_keep, rescale_cfg=rescale_cfg,
             all_valid=not variable,
         )
 
         def run_layer(layer, cum, steps, sargs, steps_is_one):
             seq = jnp.zeros((b, tlen), jnp.int32)
             mask = x_mask.astype(bool)
+            # static CFG cutoff: uncond calls only on the first cfg_steps
+            cfg_steps = steps if cfg <= 0 else min(
+                steps, int(np.ceil(cfg_until * steps))
+            )
 
-            def body(carry, xs):
-                seq, mask = carry
-                i, t_now, nmn, sin_next, last = xs
-                if variable:
-                    nmn = jnp.floor(sin_next * tlen_rows).astype(jnp.int32)
-                key = jax.random.fold_in(
-                    jax.random.fold_in(rng, layer * 1000), i
-                )
-                seq, mask = self._sample_step(
-                    layer, seq, mask, cum, t_now=t_now, t_next=0.0,
-                    next_mask_num=nmn, is_last=last, key=key,
-                    steps_is_one=steps_is_one, **common,
-                )
-                return (seq, mask), None
+            def make_body(scale):
+                def body(carry, xs):
+                    seq, mask = carry
+                    i, t_now, nmn, sin_next, last = xs
+                    if variable:
+                        nmn = jnp.floor(sin_next * tlen_rows).astype(jnp.int32)
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(rng, layer * 1000), i
+                    )
+                    seq, mask = self._sample_step(
+                        layer, seq, mask, cum, t_now=t_now, t_next=0.0,
+                        next_mask_num=nmn, is_last=last, key=key,
+                        steps_is_one=steps_is_one, cfg_scale=scale, **common,
+                    )
+                    return (seq, mask), None
+                return body
 
             xs = (
                 jnp.arange(steps), jnp.asarray(sargs["t_now"]),
@@ -816,10 +834,17 @@ class S2AModel(nn.Module):
             if unroll:
                 carry = (seq, mask)
                 for i in range(steps):
-                    carry, _ = body(carry, jax.tree.map(lambda a: a[i], xs))
+                    carry, _ = make_body(cfg if i < cfg_steps else 0.0)(
+                        carry, jax.tree.map(lambda a: a[i], xs)
+                    )
                 seq, mask = carry
+            elif cfg_steps >= steps:
+                (seq, mask), _ = jax.lax.scan(make_body(cfg), (seq, mask), xs)
             else:
-                (seq, mask), _ = jax.lax.scan(body, (seq, mask), xs)
+                head = jax.tree.map(lambda a: a[:cfg_steps], xs)
+                tail = jax.tree.map(lambda a: a[cfg_steps:], xs)
+                (seq, mask), _ = jax.lax.scan(make_body(cfg), (seq, mask), head)
+                (seq, mask), _ = jax.lax.scan(make_body(0.0), (seq, mask), tail)
             return seq
 
         # group consecutive layers by step count

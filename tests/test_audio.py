@@ -293,6 +293,34 @@ def test_reverse_diffusion_scan_matches_unrolled():
     np.testing.assert_array_equal(np.asarray(out_scan), np.asarray(out_unroll))
 
 
+def test_reverse_diffusion_cfg_until():
+    """Static CFG truncation: cfg_until=1.0 is bit-identical to the default
+    path; cfg_until<1.0 matches the unrolled sampler (same rng stream, the
+    late steps just skip the uncond call) and changes the output vs full CFG
+    (proving the truncation is live)."""
+    from maxtext_indextts2_tpu.audio.s2a import S2AConfig, S2AModel
+
+    cfg = S2AConfig(num_quantizers=3, hidden_size=32, num_layers=1, num_heads=2,
+                    codebook_size=16, cond_codebook_size=32)
+    model = S2AModel(cfg)
+    b, p, t = 2, 3, 12
+    rng = jax.random.PRNGKey(1)
+    x0 = jax.random.randint(rng, (b, p + t, 3), 0, 16)
+    cond = jax.random.randint(rng, (b, p + t), 0, 32)
+    params = model.init(rng, x0, jnp.ones((b, p + t), jnp.int32), cond, rng)
+    prompt = x0[:, :p, :]
+    kw = dict(method=model.reverse_diffusion, n_timesteps=(4, 3, 3))
+    srng = jax.random.PRNGKey(11)
+    full = model.apply(params, cond, prompt, srng, **kw)
+    full_until = model.apply(params, cond, prompt, srng, cfg_until=1.0, **kw)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(full_until))
+    half = model.apply(params, cond, prompt, srng, cfg_until=0.5, **kw)
+    half_unroll = model.apply(params, cond, prompt, srng, cfg_until=0.5,
+                              unroll=True, **kw)
+    np.testing.assert_array_equal(np.asarray(half), np.asarray(half_unroll))
+    assert not np.array_equal(np.asarray(half), np.asarray(full))
+
+
 def test_reverse_diffusion_variable_length_batching():
     """Variable-length batched sampling (x_mask/prompt_mask — beyond the
     reference's python sampler): (a) masks of all-ones reproduce the
