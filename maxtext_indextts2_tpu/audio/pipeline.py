@@ -61,6 +61,7 @@ class TTSPipeline:
                 method=self.s2a.reverse_diffusion,
                 n_timesteps=tuple(self.cfg.s2a_timesteps)[: self.s2a.cfg.num_quantizers],
                 cfg=self.cfg.s2a_cfg_scale,
+                cfg_until=self.cfg.s2a_cfg_until,
             )
         )
         self._jit_s2a_masked = jax.jit(
@@ -69,6 +70,7 @@ class TTSPipeline:
                 method=self.s2a.reverse_diffusion,
                 n_timesteps=tuple(self.cfg.s2a_timesteps)[: self.s2a.cfg.num_quantizers],
                 cfg=self.cfg.s2a_cfg_scale,
+                cfg_until=self.cfg.s2a_cfg_until,
                 x_mask=x_mask, prompt_mask=prompt_mask,
             )
         )

@@ -488,7 +488,9 @@ def _kth_largest(x, k: int):
     if k >= c or v % c or v <= c:
         return jax.lax.top_k(x, k)[0][..., -1:]
     xr = x.reshape(*x.shape[:-1], v // c, c)
-    cand = jnp.sort(xr, axis=-1)[..., c - k:].reshape(*x.shape[:-1], -1)
+    # explicit width (not -1): reshape(-1) raises on zero-size inputs, and a
+    # zero-length target (empty LM generation) must flow through like top_k
+    cand = jnp.sort(xr, axis=-1)[..., c - k:].reshape(*x.shape[:-1], (v // c) * k)
     return jnp.sort(cand, axis=-1)[..., -k, None]
 
 

@@ -301,6 +301,10 @@ class Config:
     s2a_codebook_size: int = 1024
     s2a_timesteps: tuple[int, ...] = (10, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4)
     s2a_cfg_scale: float = 2.5
+    # CFG truncation: uncond denoiser calls only on the first
+    # ceil(s2a_cfg_until*steps) unmasking steps per layer (1.0 = reference
+    # sampling). Certify <1.0 via benchmarks/recipes/s2a_schedule_gate.py.
+    s2a_cfg_until: float = 1.0
     s2a_mask_schedule: str = "cosine"
     # serving numerics for the S2A stage: "" (f32), "bfloat16" (bf16 attention
     # logits + bf16-cast denoiser params), "int8" (dynamic quant matmuls),

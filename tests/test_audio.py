@@ -595,6 +595,9 @@ def test_kth_largest_matches_top_k():
         np.asarray(_kth_largest(x, 20)),
         np.asarray(jax.lax.top_k(x, 20)[0][..., -1:]),
     )
+    # zero-length target (empty LM generation): must not raise, like top_k
+    empty = jnp.zeros((1, 0, 1024), jnp.float32)
+    assert _kth_largest(empty, 20).shape == (1, 0, 1)
 
 
 def test_s2a_attention_kernel_matches_einsum():
