@@ -30,7 +30,8 @@ if os.environ.get("QUEUE_TINY"):  # CPU plumbing validation
     t.TINY = True
 
 kwargs = json.loads(sys.argv[1])
-out = t.bench_s2a(8 if not t.TINY else 2, **kwargs)
+batch = int(kwargs.pop("batch", 8 if not t.TINY else 2))
+out = t.bench_s2a(batch, **kwargs)
 print(json.dumps({"stage": sys.argv[2], **out}), flush=True)
 EOF
 }
@@ -38,8 +39,14 @@ EOF
 BASE='"int8": "offline", "bf16_weights": true'
 RED='[8,2,2,2,2,2,2,2,2,2,2,2]'
 
-run "1/4 full schedule (re-baseline)" "{$BASE}" full
-run "2/4 full + cfg_until=0.5" "{$BASE, \"cfg_until\": 0.5}" cfg_half
-run "3/4 reduced 8+2x11" "{$BASE, \"timesteps\": $RED}" reduced
-run "4/4 reduced + cfg_until=0.5" \
+run "1/6 full schedule (re-baseline)" "{$BASE}" full
+run "2/6 full + cfg_until=0.5" "{$BASE, \"cfg_until\": 0.5}" cfg_half
+run "3/6 reduced 8+2x11" "{$BASE, \"timesteps\": $RED}" reduced
+run "4/6 reduced + cfg_until=0.5" \
   "{$BASE, \"timesteps\": $RED, \"cfg_until\": 0.5}" reduced_cfg_half
+# batch sweep at the winning structure: S2A measured 40-49% MXU at b8 —
+# a larger batch may lift utilization (streams scale if pass_s sublinear)
+run "5/6 reduced_cfg_half batch 16" \
+  "{$BASE, \"timesteps\": $RED, \"cfg_until\": 0.5, \"batch\": 16}" rch_b16
+run "6/6 reduced_cfg_half batch 32" \
+  "{$BASE, \"timesteps\": $RED, \"cfg_until\": 0.5, \"batch\": 32}" rch_b32
