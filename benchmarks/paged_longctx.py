@@ -71,9 +71,12 @@ def bench_config(slots: int, max_ctx: int, valid: int, paged: bool) -> dict:
         prefix, _ = eng.prefill(prompt, len(prompt))
         state = eng.insert(prefix, state, s)
     # advance every slot to `valid` so both caches hold the same live tokens
+    # (in 64-step dispatches: generate_n compiles one program per n)
     n_advance = max(0, valid - len(prompt))
-    if n_advance:
-        state, _ = eng.generate_n(state, min(n_advance, 64))
+    while n_advance > 0:
+        step = min(n_advance, 64)
+        state, _ = eng.generate_n(state, step)
+        n_advance -= step
 
     N = 16
     rng = jax.random.PRNGKey(0)

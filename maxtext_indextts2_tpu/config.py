@@ -217,7 +217,9 @@ class Config:
     adam_weight_decay: float = 0.1
     scan_layers: bool = True
     param_scan_axis: int = 1
-    remat_policy: str = "full"  # full | minimal | save_dot_except_mlp | none
+    # full | minimal | save_attn_out | save_attn_and_mlp | none
+    # (legacy aliases save_dot_except_mlp/save_qkv_proj -> save_attn_out)
+    remat_policy: str = "full"
     zero1_fsdp_ag_once: bool = False
     data_shuffle_seed: int = 0
     init_weights_seed: int = 0
@@ -250,9 +252,10 @@ class Config:
     dataset_split: str = "train"
     eval_split: str = ""  # hf eval iterator split ("" = no eval data)
     # columns to read per split (reference: base.yml train_data_columns);
-    # first entry is the text column for grain/hf pretraining rows
-    train_data_columns: tuple = ("text",)
-    eval_data_columns: tuple = ("text",)
+    # first present column wins per example — the default probes "text"
+    # then "content" (common for code corpora)
+    train_data_columns: tuple = ("text", "content")
+    eval_data_columns: tuple = ("text", "content")
     grain_file_type: str = "auto"  # auto | arrayrecord | parquet | jsonl
     eos_id: int = 2  # loss-mask sentinel for c4_mlperf rows (byte tokenizer eos)
     tokenizer_type: str = "none"  # none | sentencepiece | huggingface | tiktoken

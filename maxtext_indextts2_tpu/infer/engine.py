@@ -98,6 +98,20 @@ class Engine:
         # quantized serving checkpoints (tools/quantize_checkpoint.py) are
         # written from an engine and already carry the engine's layout
         self._ckpt_scanned = unroll and not cfg.checkpoint_is_quantized
+        if cfg.paged_attention:
+            # _insert_paged scatters the dense [1, S, nkv, d] prefill KV into
+            # the page pool: scanned ([L, ...]) layouts and int8-quantized
+            # caches (codes + separate scale leaves) have no scatter path.
+            assert not cfg.scan_layers, (
+                "paged_attention=true requires scan_layers=false "
+                "(per-layer page pools; scanned caches carry a leading layer "
+                "axis the page scatter cannot address)"
+            )
+            assert not cfg.quantize_kvcache, (
+                "paged_attention=true is incompatible with quantize_kvcache "
+                "(the page pool stores raw KV; int8 codes + scales would be "
+                "scattered without dequantization)"
+            )
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else create_device_mesh(cfg)
         self.model = model or Transformer(cfg=cfg, mesh=self.mesh)
@@ -109,6 +123,7 @@ class Engine:
         self._p_generate = None
         self._p_generate_n = {}
         self._p_insert = None
+        self._p_release = None
 
     # ------------------------------------------------------------- params
     def load_params(self, path: str | None = None, cast_dtype=None):
@@ -673,6 +688,26 @@ class Engine:
         with self.mesh:
             return self._p_insert(decode_state, prefix, jnp.asarray(slot, jnp.int32))
 
+    def _release_impl(self, decode_state, slot):
+        out = dict(decode_state)
+        out["active"] = jax.lax.dynamic_update_index_in_dim(
+            decode_state["active"], False, slot, 0
+        )
+        if self.cfg.paged_attention:
+            from maxtext_indextts2_tpu.infer.page_manager import release_slot
+
+            out["page_state"] = release_slot(decode_state["page_state"], slot)
+        return out
+
+    def release_slot(self, decode_state, slot: int):
+        """Mark a finished request's slot inactive and (paged mode) return
+        its pages to the pool. Without this, a finished slot keeps its pages
+        until the slot is reused by a later prefill."""
+        if self._p_release is None:
+            self._p_release = jax.jit(self._release_impl, donate_argnums=(0,))
+        with self.mesh:
+            return self._p_release(decode_state, jnp.asarray(slot, jnp.int32))
+
     # ------------------------------------------------------------ generate
     def _generate_impl(self, params, decode_state, rng):
         cfg = self.cfg
@@ -684,9 +719,11 @@ class Engine:
 
             # advance every active slot one token (growing pages at
             # boundaries) BEFORE the model call: the write position inside
-            # attention is seq_lens - 1
+            # attention is seq_lens - 1. Finished slots (active=False) stop
+            # consuming pages.
             page_state = allocate_decode_step(
-                decode_state["page_state"], self._tokens_per_page
+                decode_state["page_state"], self._tokens_per_page,
+                active=decode_state["active"],
             )
         logits, vars_ = self.model.apply(
             {"params": params, "cache": decode_state["cache"]},

@@ -86,10 +86,19 @@ def allocate_prefill(
     )
 
 
-def allocate_decode_step(state: PageState, tokens_per_page: int) -> PageState:
-    """Advance every active slot by one token, growing pages at boundaries."""
-    new_lens = jnp.where(state.seq_lens > 0, state.seq_lens + 1, 0)
-    needs_page = (state.seq_lens > 0) & (state.seq_lens % tokens_per_page == 0)
+def allocate_decode_step(
+    state: PageState, tokens_per_page: int, active=None
+) -> PageState:
+    """Advance each live slot by one token, growing pages at boundaries.
+
+    ``active`` ([num_slots] bool) restricts advancement to live requests —
+    without it a finished-but-not-released slot keeps consuming a page every
+    tokens_per_page steps for as long as anything else decodes."""
+    live = state.seq_lens > 0
+    if active is not None:
+        live = live & active
+    new_lens = jnp.where(live, state.seq_lens + 1, state.seq_lens)
+    needs_page = live & (state.seq_lens % tokens_per_page == 0)
 
     def grow(i, carry):
         status, page_map = carry

@@ -57,6 +57,16 @@ class Orchestrator:
         self.queue: queue.Queue[_Request] = queue.Queue()
         self.slots: list[_Request | None] = [None] * engine.num_slots
         self.remaining = np.zeros(engine.num_slots, np.int32)
+        # paged admission control: the device page allocator has no error
+        # path inside jit (exhaustion would silently hand out the reserved
+        # null page), so admission reserves each request's WORST-CASE page
+        # count host-side and refuses admission past the pool size.
+        self._paged = bool(engine.cfg.paged_attention)
+        if self._paged:
+            self._tpp = int(engine.cfg.pagedattn_tokens_per_page)
+            self._pages_total = int(engine.cfg.pagedattn_num_pages) - 1  # null
+            self._pages_reserved = np.zeros(engine.num_slots, np.int64)
+        self._held_prefix = None  # disaggregated: refused head-of-line prefix
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.decode_state = None
@@ -128,11 +138,24 @@ class Orchestrator:
             req.stream_q.put(None)
         req.done.set()
 
+    def _pages_needed(self, req: _Request) -> int:
+        return -(-(len(req.prompt) + req.max_new_tokens) // self._tpp)
+
+    def _can_admit(self, req: _Request) -> bool:
+        if not self._paged:
+            return True
+        return (
+            int(self._pages_reserved.sum()) + self._pages_needed(req)
+            <= self._pages_total
+        )
+
     def _admit(self, slot, req, prefix, first_tok):
         self.decode_state = self.engine.insert(prefix, self.decode_state, slot)
         self._emit(req, first_tok)
         self.slots[slot] = req
         self.remaining[slot] = req.max_new_tokens - 1
+        if self._paged:
+            self._pages_reserved[slot] = self._pages_needed(req)
         if self.remaining[slot] <= 0 or first_tok == self.eos_id:
             self._finish(slot)
 
@@ -145,17 +168,25 @@ class Orchestrator:
                 if slot is None:
                     break
                 if self.mode == "disaggregated":
-                    try:
-                        req, prefix, first_tok = self.prefix_queue.get_nowait()
-                    except queue.Empty:
-                        break
+                    if self._held_prefix is None:
+                        try:
+                            self._held_prefix = self.prefix_queue.get_nowait()
+                        except queue.Empty:
+                            break
+                    req, prefix, first_tok = self._held_prefix
+                    if not self._can_admit(req):
+                        break  # head-of-line waits for pages to free up
+                    self._held_prefix = None
                     self._admit(slot, req, prefix, first_tok)
                     admitted = True
                     continue
                 try:
-                    req = self.queue.get_nowait()
-                except queue.Empty:
+                    req = self.queue.queue[0]  # peek before committing prefill
+                except IndexError:
                     break
+                if not self._can_admit(req):
+                    break  # head-of-line waits for pages to free up
+                req = self.queue.get_nowait()
                 try:
                     self.stats["prefills_total"] += 1
                     prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
@@ -173,13 +204,28 @@ class Orchestrator:
             # no request is waiting and no slot is about to finish
             active = [i for i, r in enumerate(self.slots) if r is not None]
             n = self.steps_per_dispatch
-            if (self.eos_id is None and self.queue.empty()
-                    and all(self.remaining[i] >= n for i in active)):
-                self.decode_state, toks_n = self.engine.generate_n(self.decode_state, n)
-                toks_n = np.asarray(toks_n)  # [n, slots]
-            else:
-                self.decode_state, toks = self.engine.generate(self.decode_state)
-                toks_n = np.asarray(toks)[None, :]
+            try:
+                if (self.eos_id is None and self.queue.empty()
+                        and all(self.remaining[i] >= n for i in active)):
+                    self.decode_state, toks_n = self.engine.generate_n(
+                        self.decode_state, n
+                    )
+                    toks_n = np.asarray(toks_n)  # [n, slots]
+                else:
+                    self.decode_state, toks = self.engine.generate(self.decode_state)
+                    toks_n = np.asarray(toks)[None, :]
+            except Exception as e:  # noqa: BLE001 — a dead decode step must
+                # not strand in-flight streams blocked on their stream_q:
+                # fail every admitted request (enqueues the end-of-stream
+                # sentinel + sets done) and start from a fresh decode state.
+                for i, req in enumerate(self.slots):
+                    if req is not None:
+                        self._fail(req, e)
+                        self.slots[i] = None
+                        if self._paged:
+                            self._pages_reserved[i] = 0
+                self.decode_state = self.engine.init_decode_state()
+                continue
             for step_toks in toks_n:
                 for i, req in enumerate(self.slots):
                     if req is None:
@@ -193,6 +239,12 @@ class Orchestrator:
     def _finish(self, slot: int):
         req = self.slots[slot]
         self.slots[slot] = None
+        # mark the slot inactive device-side (stops pos advance) and, in
+        # paged mode, return its pages to the pool immediately — otherwise a
+        # finished slot holds (and in decode keeps growing) pages until reuse
+        self.decode_state = self.engine.release_slot(self.decode_state, slot)
+        if self._paged:
+            self._pages_reserved[slot] = 0
         if req is not None:
             self.stats["requests_completed"] += 1
             if req.stream_q is not None:
@@ -360,7 +412,13 @@ def make_server(cfg: Config, port: int | None = None,
                 self.send_header("Content-Type", "application/x-ndjson")
                 self.end_headers()
                 while True:
-                    tok = req.stream_q.get()
+                    try:
+                        # failure paths enqueue a None sentinel; the timeout
+                        # is a backstop so a wedged decode loop can't hold
+                        # handler threads + sockets open forever
+                        tok = req.stream_q.get(timeout=600)
+                    except queue.Empty:
+                        break
                     if tok is None:
                         break
                     try:

@@ -183,7 +183,16 @@ def _remat_policy(name: str):
             "attn_out", "mlp_pre_wo"
         ),
     }
-    return policies.get(name)
+    # legacy names from earlier configs map onto the nearest current policy
+    policies["save_dot_except_mlp"] = policies["save_attn_out"]
+    policies["save_qkv_proj"] = policies["save_attn_out"]
+    if name not in policies:
+        raise ValueError(
+            f"unknown remat_policy {name!r}; choose from "
+            f"{['none', *policies]} (an unknown name must not silently "
+            "become 'save nothing')"
+        )
+    return policies[name]
 
 
 class Decoder(nn.Module):

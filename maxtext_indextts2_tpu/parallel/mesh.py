@@ -32,19 +32,28 @@ def create_device_mesh(cfg: Config, devices=None) -> Mesh:
     dcn = [cfg.dcn_parallelism()[ax] for ax in cfg.mesh_axes]
 
     multi_slice = cfg.num_slices > 1
+    # Locality-blind reshape fallbacks are ONLY for virtual devices (CPU
+    # test meshes / dryruns): on real TPU fleets a mesh-construction error
+    # (dcn degrees not matching the slice count, bad ici factorization)
+    # must raise loudly — a silently reshaped mesh sends ICI traffic over
+    # DCN, a severe and hard-to-diagnose performance cliff.
+    virtual = any(
+        getattr(d, "slice_index", None) is None or d.platform != "tpu"
+        for d in devices
+    )
     if multi_slice:
-        try:
+        if not virtual:
             mesh_devices = mesh_utils.create_hybrid_device_mesh(
                 ici,
                 dcn,
                 devices,
                 allow_split_physical_axes=cfg.allow_split_physical_axes,
             )
-        except (AttributeError, ValueError, NotImplementedError):
-            # Virtual CPU devices (tests, dryruns) carry no slice_index; lay
-            # slices out DCN-major per axis by plain reshape — the axis
-            # SIZES (dcn[i] * ici[i]) and orderings are what sharding
-            # validation needs, physical locality doesn't exist here.
+        else:
+            # Virtual devices carry no slice_index; lay slices out DCN-major
+            # per axis by plain reshape — the axis SIZES (dcn[i] * ici[i])
+            # and orderings are what sharding validation needs, physical
+            # locality doesn't exist here.
             shape = [d * i for d, i in zip(dcn, ici)]
             # [slices, per-slice ici...] -> interleave each dcn axis ahead
             # of its ici axis, then merge pairwise
@@ -60,8 +69,10 @@ def create_device_mesh(cfg: Config, devices=None) -> Mesh:
                 allow_split_physical_axes=cfg.allow_split_physical_axes,
             )
         except (NotImplementedError, ValueError):
-            # Fall back to a plain reshape (e.g. CPU test meshes with
-            # non-power-of-two factorizations).
+            if not virtual:
+                raise
+            # Plain reshape for CPU test meshes with non-power-of-two
+            # factorizations.
             mesh_devices = np.asarray(devices).reshape(ici)
 
     mesh = Mesh(mesh_devices, cfg.mesh_axes)

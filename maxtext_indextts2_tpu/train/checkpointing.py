@@ -104,18 +104,28 @@ class EmergencyCheckpointManager:
             ),
         )
         self.persistent = CheckpointManager(cfg)
+        self._last_persistent = self.persistent.latest_step()
 
     def save(self, step: int, state, force: bool = False) -> bool:
         """Save to whichever tiers are due at this step. The train loop owns
         the cadence ((step+1) % local_period), so the local save is always
         forced — Orbax's own save_interval_steps gate is modulo-step-number
-        and would silently reject the loop's odd-numbered steps."""
+        and would silently reject the loop's odd-numbered steps.
+
+        The persistent tier fires whenever ``persistent_period`` steps have
+        elapsed since its last save — NOT on a modulo of the step number:
+        save() is only called on local-period steps, so a modulo gate would
+        silently fire only at multiples of lcm(local, persistent) whenever
+        the periods don't divide (e.g. local 2, persistent 25 -> every 50)."""
         saved_local = self.local.save(
             step, args=ocp.args.PyTreeSave(item=state), force=True
         )
         saved_persistent = False
-        if force or (step + 1) % self.persistent_period == 0:
-            saved_persistent = self.persistent.save(step, state, force=force)
+        last = self._last_persistent
+        if force or last is None or step - last >= self.persistent_period:
+            saved_persistent = self.persistent.save(step, state, force=True)
+            if saved_persistent:
+                self._last_persistent = step
         if saved_local:
             logger.info("emergency local save at step %d -> %s", step, self.local_dir)
         return saved_local or saved_persistent

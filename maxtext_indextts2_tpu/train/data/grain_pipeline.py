@@ -101,18 +101,24 @@ def _decode_array_record(raw: bytes, column: str = "text") -> str:
 
         ex = example_pb2.Example.FromString(raw)
         feats = ex.features.feature
-        for key in (column, "text", "content"):
-            if key in feats:
-                f = feats[key]
-                if f.bytes_list.value:
-                    return f.bytes_list.value[0].decode("utf-8", "replace")
-                if f.int64_list.value:
-                    # pre-tokenized ids: surface as a list for the tokenizer
-                    # bypass below
-                    return list(f.int64_list.value)
-        return ""
+        if feats:
+            for key in (column, "text", "content"):
+                if key in feats:
+                    f = feats[key]
+                    if f.bytes_list.value:
+                        return f.bytes_list.value[0].decode("utf-8", "replace")
+                    if f.int64_list.value:
+                        # pre-tokenized ids: surface as a list for the
+                        # tokenizer bypass below
+                        return list(f.int64_list.value)
+            return ""
     except ImportError:
-        return raw.decode("utf-8", "replace")
+        pass
+    except Exception:  # noqa: BLE001 — protobuf DecodeError (raw UTF-8
+        # payload that happens not to be JSON) must fall through to the
+        # plain-text path, same as when tensorflow isn't installed
+        pass
+    return raw.decode("utf-8", "replace")
 
 
 class ArrayRecordTextSource:

@@ -91,7 +91,12 @@ def make_hf_vision_sft_iterator(
     from maxtext_indextts2_tpu.train.sft import vision_sft_example_to_row
 
     cols = tuple(cfg.train_data_columns)
-    text_cols = cols if len(cols) == 2 else ("prompt", "completion")
+    # the pretraining default ("text", "content") is a probe order, not an
+    # SFT (prompt, completion) pair — fall through to the SFT default
+    text_cols = (
+        cols if len(cols) == 2 and cols != ("text", "content")
+        else ("prompt", "completion")
+    )
     tokenizer = build_tokenizer(cfg)
     ds = _load_split(cfg, cfg.dataset_split, dataset)
     if process_count > 1:

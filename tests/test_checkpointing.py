@@ -56,6 +56,42 @@ def test_save_restore_roundtrip(tmp_path):
     )
 
 
+def test_emergency_persistent_cadence_non_dividing_periods(tmp_path):
+    """Persistent saves must fire every ~checkpoint_period steps even when
+    the local period does not divide it — the modulo gate only fired at
+    multiples of lcm(local, persistent) (e.g. local 2, persistent 25 ->
+    every 50 steps, halving durability)."""
+    from maxtext_indextts2_tpu.train.checkpointing import (
+        EmergencyCheckpointManager,
+    )
+
+    cfg = load_config(SMALL + [
+        f"checkpoint_dir={tmp_path}/ckpt", "async_checkpointing=false",
+        "enable_emergency_checkpoint=true", "checkpoint_period=25",
+        "local_checkpoint_period=2",
+        f"local_checkpoint_directory={tmp_path}/local",
+    ])
+    mesh = create_device_mesh(cfg)
+    state = _state(cfg, mesh)
+    mgr = EmergencyCheckpointManager(cfg)
+    persistent_steps = []
+    # the train loop calls save only on local-period boundaries
+    for step in range(120):
+        if (step + 1) % mgr.local_period == 0:
+            before = mgr.persistent.latest_step()
+            mgr.save(step, state)
+            after = mgr.persistent.latest_step()
+            if after != before:
+                persistent_steps.append(step)
+    mgr.wait()
+    mgr.close()
+    # one persistent save per ~25 steps over 120 steps: 4-5 saves recorded
+    # (max_to_keep may prune old ones on disk; we count save events)
+    assert len(persistent_steps) >= 4, persistent_steps
+    gaps = np.diff(persistent_steps)
+    assert (gaps <= 25 + mgr.local_period).all(), persistent_steps
+
+
 def test_restore_onto_different_mesh(tmp_path):
     """Resume onto a different parallelism layout: Orbax must reshard to the
     TARGET sharding, not replay the sharding recorded at save time

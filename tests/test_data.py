@@ -286,6 +286,37 @@ def test_hf_eval_iterator_injected():
     assert (b["inputs"] > 0).any()
 
 
+def test_hf_content_column_fallback():
+    """Datasets whose text lives in a "content" column (common for code
+    corpora) must load with the DEFAULT column config — the old default
+    ("text",) silently produced zero examples."""
+    from datasets import Dataset
+
+    ds = Dataset.from_dict(
+        {"content": [f"def f{i}(): return {i}  # padding " * 3 for i in range(16)]}
+    )
+    cfg = load_config([
+        "dataset_type=hf", "per_device_batch_size=0.25", "max_target_length=64",
+    ])
+    from maxtext_indextts2_tpu.train.data.hf_pipeline import make_hf_iterator
+
+    b = next(make_hf_iterator(cfg, dataset=ds))
+    assert b["inputs"].shape == (cfg.global_batch_size_to_load, 64)
+    assert (b["inputs"] > 0).any()
+
+
+def test_array_record_decode_raw_utf8_with_tf_installed():
+    """_decode_array_record must fall through to plain UTF-8 for non-JSON,
+    non-proto payloads instead of raising protobuf DecodeError (and must not
+    silently return "" when protobuf parses garbage into empty features)."""
+    from maxtext_indextts2_tpu.train.data.grain_pipeline import (
+        _decode_array_record,
+    )
+
+    assert _decode_array_record(b"hello raw utf-8 record") == "hello raw utf-8 record"
+    assert _decode_array_record(b'{"text": "json wins"}') == "json wins"
+
+
 def test_hf_vision_sft_iterator_injected():
     """Streamed multimodal SFT batches: image -> pixels, prompt/completion ->
     completion-masked targets with expanded image tokens (reference

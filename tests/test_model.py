@@ -140,6 +140,21 @@ def test_logits_via_embedding():
     assert "logits_dense" not in params["params"]
 
 
+def test_remat_policy_names_validated():
+    """Unknown remat_policy must raise, not silently become 'save nothing';
+    legacy names stay accepted as aliases."""
+    import pytest
+
+    from maxtext_indextts2_tpu.models.decoder import _remat_policy
+
+    assert _remat_policy("none") is None
+    assert _remat_policy("full") is None
+    for legacy in ("save_dot_except_mlp", "save_qkv_proj"):
+        assert _remat_policy(legacy) is not None  # alias of save_attn_out
+    with pytest.raises(ValueError, match="unknown remat_policy"):
+        _remat_policy("save_everything_plz")
+
+
 def test_vision_encoder_and_fusion():
     from maxtext_indextts2_tpu.models.vision import (
         VisionConfig,

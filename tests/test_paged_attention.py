@@ -46,6 +46,23 @@ def test_page_allocation_lifecycle():
     assert int(state.seq_lens[0]) == 0
 
 
+def test_inactive_slot_stops_consuming_pages():
+    """A finished slot (active=False) must not keep growing pages while
+    other slots decode — the leak corrupted long-running paged serving."""
+    state = init_page_state(num_pages=16, num_slots=2, max_pages_per_slot=4)
+    state, _ = allocate_prefill(state, 0, jnp.asarray(4), TPP, 4)
+    state, _ = allocate_prefill(state, 1, jnp.asarray(4), TPP, 4)
+    active = jnp.asarray([False, True])
+    free_before = int(num_free_pages(state))
+    for _ in range(2 * TPP):
+        state = jax.jit(lambda s: allocate_decode_step(s, TPP, active))(state)
+    # slot 0 frozen: len unchanged, no new pages; slot 1 grew 2 pages
+    assert int(state.seq_lens[0]) == 4
+    assert int(state.seq_lens[1]) == 4 + 2 * TPP
+    assert int((np.asarray(state.page_map[0]) > 0).sum()) == 1
+    assert free_before - int(num_free_pages(state)) == 2
+
+
 def test_two_slots_no_page_collision():
     state = init_page_state(num_pages=32, num_slots=2, max_pages_per_slot=4)
     state, p0 = allocate_prefill(state, 0, jnp.asarray(8), TPP, 4)

@@ -282,3 +282,34 @@ def test_orchestrator_paged_engine(engine):
             assert r.tokens == engine.generate_stream(p, 6)
     finally:
         orch.stop()
+
+
+def test_orchestrator_paged_pool_recycles_across_many_requests(engine):
+    """A tiny page pool must serve MANY sequential requests: finished slots
+    release their pages (and stop growing new ones), and admission reserves
+    worst-case pages so the device allocator can never exhaust silently."""
+    paged_cfg = load_config(CFG + [
+        "paged_attention=true", "pagedattn_num_pages=12",
+        "pagedattn_tokens_per_page=8",
+    ])
+    paged = Engine(paged_cfg, mesh=engine.mesh)
+    paged.params = engine.params
+
+    orch = Orchestrator(paged, steps_per_dispatch=2)
+    orch.start()
+    try:
+        prompt = np.array([3, 5, 7], np.int32)
+        want = engine.generate_stream(prompt, 6)
+        # 6 waves of num_slots concurrent requests through an 11-free-page
+        # pool: without recycling the pool exhausts after the first waves
+        # and the null page silently cross-contaminates the KV
+        for _ in range(6):
+            reqs = [orch.submit(prompt, 6) for _ in range(paged.num_slots)]
+            for r in reqs:
+                assert r.done.wait(timeout=120), "request did not finish"
+            for r in reqs:
+                assert r.error is None, r.error
+                assert r.tokens == want
+        assert int(orch._pages_reserved.sum()) == 0
+    finally:
+        orch.stop()
