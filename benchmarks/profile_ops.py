@@ -71,6 +71,8 @@ def main(argv=None):
     ap.add_argument("--s2a_int8", default="", choices=["", "dynamic", "offline"],
                     help="S2AConfig.int8_matmul")
     ap.add_argument("--s2a_bf16_weights", action="store_true")
+    ap.add_argument("--s2a_reduced", action="store_true",
+                    help="certified reduced schedule (8,2x11) + cfg_until=0.5")
     ap.add_argument("--steps", type=int, default=4,
                     help="repetitions inside the trace window")
     ap.add_argument("--top", type=int, default=25)
@@ -88,9 +90,12 @@ def main(argv=None):
         if args.stage == "lm":
             return t.bench_lm_decode(args.slots)
         if args.stage == "s2a":
+            kw = {}
+            if args.s2a_reduced and not t.TINY:
+                kw = dict(timesteps=(8,) + (2,) * 11, cfg_until=0.5)
             return t.bench_s2a(args.s2a_batch if not t.TINY else 2,
                                int8=args.s2a_int8 or False,
-                               bf16_weights=args.s2a_bf16_weights)
+                               bf16_weights=args.s2a_bf16_weights, **kw)
         return t.bench_vocoder(args.s2a_batch if not t.TINY else 2)
 
     warm = run_once()

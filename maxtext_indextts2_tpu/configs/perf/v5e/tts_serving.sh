@@ -1,16 +1,20 @@
 #!/bin/bash
 # Tuned zero-shot TTS serving launch (v5e, 1 chip == 1 shard of a v5e-8 pod).
 # Measured on-chip (PERF.md): 128 decode slots -> 235.8 LM streams/chip
-# (cross-slot-pipelined ragged v2, 128-wide KV blocks); S2A bf16 33.6
-# streams/chip -> effective RTF/stream 0.0342, ~269 streams on v5e-8.
-# Add s2a_serving_dtype=int8_offline for the int8+bf16-residual S2A combo
-# (39.9 streams/chip, RTF 0.0295) at a small unscored quality tradeoff.
+# (cross-slot-pipelined ragged v2, 128-wide KV blocks); S2A int8-offline +
+# bf16 residual + certified sampler structure (reduced 8+2x11 schedule,
+# cfg_until=0.5) -> 86.8 S2A streams/chip, effective RTF/stream ~0.016,
+# ~500+ streams on v5e-8. Both S2A levers carry recorded MCD quality gates
+# (benchmarks/recipes/s2a_int8_gate.py, s2a_schedule_gate.py) — re-run the
+# gates when the S2A model changes; drop the s2a_timesteps/s2a_cfg_until
+# overrides to revert to reference sampling (39.7 S2A streams/chip).
 # Reference analog: MaxText/configs/v5e/*.sh tuned launch scripts.
 set -e
 cd "$(dirname "$0")/../../../.."
 python -m maxtext_indextts2_tpu.infer.server \
   maxtext_indextts2_tpu/configs/models/tts-1b.yml \
   per_device_batch_size=128 decode_attention=ragged serve_unroll_layers=true \
-  serve_params_dtype=bfloat16 s2a_serving_dtype=bfloat16 \
+  serve_params_dtype=bfloat16 s2a_serving_dtype=int8_offline \
+  "s2a_timesteps=(8,2,2,2,2,2,2,2,2,2,2,2)" s2a_cfg_until=0.5 \
   max_target_length=2048 \
   "$@"
