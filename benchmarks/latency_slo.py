@@ -76,6 +76,8 @@ def run(argv=None) -> dict:
         overrides.append(f"per_device_batch_size={slots}")
     elif not tiny:
         overrides.append("per_device_batch_size=64")
+    if kv.get("mode"):  # interleaved (default) | disaggregated
+        overrides.append(f"serving_mode={kv['mode']}")
     cfg = load_config(overrides)
     engine = Engine(cfg)
     engine.load_params()

@@ -96,14 +96,53 @@ class RoutedMoE(nn.Module):
             ("exp", "mlp", "embed"),
         )
         wdt = jnp.dtype(cfg.weight_dtype)
-        wi_0 = self.param("wi_0", w_init, (n_exp, e, m), wdt)
-        wi_1 = self.param("wi_1", w_init, (n_exp, e, m), wdt)
-        wo = self.param("wo", wo_init, (n_exp, m, e), wdt)
+        int8_experts = cfg.quantization == "int8w_serve"
+        if int8_experts:
+            # serving structure: int8 weights + per-(expert, out-channel)
+            # f32 scales, filled offline by quantize_params_for_serving
+            # (tools/quantize_checkpoint.py). Halves expert HBM traffic —
+            # the binding constraint in the weight-streaming decode regime
+            # (benchmarks/moe_gmm.py: int8 ragged_dot == bf16 speed, so the
+            # win is bytes, not FLOPs).
+            zi = nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), ("exp", "embed", "mlp")
+            )
+            zo = nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), ("exp", "mlp", "embed")
+            )
+            zsi = nn.with_logical_partitioning(
+                nn.initializers.ones_init(), ("exp", None, "mlp")
+            )
+            zso = nn.with_logical_partitioning(
+                nn.initializers.ones_init(), ("exp", None, "embed")
+            )
+            wi_0 = self.param("wi_0", zi, (n_exp, e, m), jnp.int8)
+            wi_1 = self.param("wi_1", zi, (n_exp, e, m), jnp.int8)
+            wo = self.param("wo", zo, (n_exp, m, e), jnp.int8)
+            wi_0_s = self.param("wi_0_scale", zsi, (n_exp, 1, m), jnp.float32)
+            wi_1_s = self.param("wi_1_scale", zsi, (n_exp, 1, m), jnp.float32)
+            wo_s = self.param("wo_scale", zso, (n_exp, 1, e), jnp.float32)
+            scales = (wi_0_s, wi_1_s, wo_s)
+        else:
+            wi_0 = self.param("wi_0", w_init, (n_exp, e, m), wdt)
+            wi_1 = self.param("wi_1", w_init, (n_exp, e, m), wdt)
+            wo = self.param("wo", wo_init, (n_exp, m, e), wdt)
+            scales = None
 
         use_sparse = cfg.sparse_matmul and jax.default_backend() == "tpu"
         if use_sparse:
             out = self._sparse_experts(
-                inputs, top_idx, top_w, wi_0, wi_1, wo, dtype
+                inputs, top_idx, top_w, wi_0, wi_1, wo, dtype, scales=scales
+            )
+        elif int8_experts:
+            # dense fallback: dequantize and reuse the einsum path (CPU /
+            # tiny configs; capability-exact, perf-irrelevant here)
+            out = self._dense_experts(
+                inputs, top_idx, top_w,
+                wi_0.astype(jnp.float32) * wi_0_s,
+                wi_1.astype(jnp.float32) * wi_1_s,
+                wo.astype(jnp.float32) * wo_s,
+                dtype,
             )
         else:
             out = self._dense_experts(
@@ -172,9 +211,16 @@ class RoutedMoE(nn.Module):
         return jnp.einsum("bsxe,bsx->bse", o, combine,
                           preferred_element_type=jnp.float32).astype(dtype)
 
-    def _sparse_experts(self, x, top_idx, top_w, wi_0, wi_1, wo, dtype):
+    def _sparse_experts(self, x, top_idx, top_w, wi_0, wi_1, wo, dtype,
+                        scales=None):
         """Dropless dispatch: sort token-replicas by expert, grouped matmuls
-        via ragged_dot, weighted scatter back."""
+        via ragged_dot, weighted scatter back.
+
+        ``scales`` (wi_0_s, wi_1_s, wo_s — [E,1,out]) marks int8 serving
+        weights: activations are dynamically row-quantized to int8 so the
+        grouped matmuls run int8 x int8 (same MXU speed as bf16 at these
+        shapes, half the weight HBM bytes — benchmarks/moe_gmm.py), then
+        rescaled by row_scale x expert-channel scale."""
         cfg = self.cfg
         b, s, e = x.shape
         k = cfg.num_experts_per_tok
@@ -192,20 +238,47 @@ class RoutedMoE(nn.Module):
             x_sorted = x_sorted * jnp.take(w_flat, order)[:, None]
         group_sizes = jnp.bincount(expert_flat, length=n_exp)
 
-        h0 = jax.lax.ragged_dot(
-            x_sorted, wi_0.astype(dtype), group_sizes,
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
-        h1 = jax.lax.ragged_dot(
-            x_sorted, wi_1.astype(dtype), group_sizes,
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
-        acts = cfg.mlp_activations
-        h = ACTIVATIONS[acts[0]](h0) * (h1 if len(acts) > 1 else 1.0)
-        o_sorted = jax.lax.ragged_dot(
-            h, wo.astype(dtype), group_sizes,
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
+        if scales is not None:
+            wi_0_s, wi_1_s, wo_s = scales
+            expert_sorted = jnp.take(expert_flat, order)  # [T]
+
+            def q_rows(v):
+                amax = jnp.max(jnp.abs(v.astype(jnp.float32)), axis=-1,
+                               keepdims=True)
+                sc = jnp.maximum(amax, 1e-9) / 127.0
+                return jnp.round(v.astype(jnp.float32) / sc).astype(jnp.int8), sc
+
+            def rdot_int8(v_int8, row_scale, w_q, w_s):
+                out = jax.lax.ragged_dot(
+                    v_int8, w_q, group_sizes,
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                # per-row activation scale x this row's expert's channel scale
+                return out * row_scale * jnp.take(w_s[:, 0], expert_sorted,
+                                                  axis=0)
+
+            xq, xs = q_rows(x_sorted)
+            h0 = rdot_int8(xq, xs, wi_0, wi_0_s).astype(dtype)
+            h1 = rdot_int8(xq, xs, wi_1, wi_1_s).astype(dtype)
+            acts = cfg.mlp_activations
+            h = ACTIVATIONS[acts[0]](h0) * (h1 if len(acts) > 1 else 1.0)
+            hq, hs = q_rows(h)
+            o_sorted = rdot_int8(hq, hs, wo, wo_s).astype(dtype)
+        else:
+            h0 = jax.lax.ragged_dot(
+                x_sorted, wi_0.astype(dtype), group_sizes,
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            h1 = jax.lax.ragged_dot(
+                x_sorted, wi_1.astype(dtype), group_sizes,
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
+            acts = cfg.mlp_activations
+            h = ACTIVATIONS[acts[0]](h0) * (h1 if len(acts) > 1 else 1.0)
+            o_sorted = jax.lax.ragged_dot(
+                h, wo.astype(dtype), group_sizes,
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
 
         # llama4 scales the expert INPUT by the routing weight instead of
         # the output (nonlinear experts make the two differ); both are a

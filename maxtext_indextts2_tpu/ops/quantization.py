@@ -66,9 +66,11 @@ def quantize_params_for_serving(params, abstract):
     """Convert a float params tree into the ``int8w_serve`` structure.
 
     ``abstract`` is the (eval_shape) params tree of a model built with
-    quantization="int8w_serve": DenseGeneral kernels appear as int8 leaves
-    with a sibling ``kernel_scale``. Every such kernel in ``params`` is
-    symmetric-quantized per output channel; all other leaves pass through.
+    quantization="int8w_serve": quantized weights appear as int8 leaves with
+    a sibling ``<name>_scale`` (DenseGeneral's kernel/kernel_scale, MoE's
+    wi_0/wi_1/wo + *_scale). Every such weight in ``params`` is
+    symmetric-quantized per output channel (the scale's size-1 axes are the
+    reduced ones); all other leaves pass through.
     Reference: MaxText/maxengine.py:318 quantize_params (AQT convert mode).
     """
 
@@ -76,25 +78,25 @@ def quantize_params_for_serving(params, abstract):
         if isinstance(ab, dict):
             out = {}
             for key, sub_ab in ab.items():
-                if key == "kernel_scale":
-                    continue  # produced together with "kernel"
+                if key.endswith("_scale") and key[:-6] in ab:
+                    continue  # produced together with its weight
                 sub = node[key]
+                scale_key = f"{key}_scale"
                 if (
-                    key == "kernel"
-                    and "kernel_scale" in ab
+                    scale_key in ab
                     and getattr(sub_ab, "dtype", None) == jnp.int8
                 ):
-                    scale_shape = ab["kernel_scale"].shape
+                    scale_shape = ab[scale_key].shape
                     red = tuple(
                         i for i, d in enumerate(scale_shape) if d == 1
                     )
                     w = sub.astype(jnp.float32)
                     amax = jnp.max(jnp.abs(w), axis=red, keepdims=True)
                     scale = jnp.maximum(amax, 1e-9) / 127.0
-                    out["kernel"] = (
+                    out[key] = (
                         jnp.round(w / scale).clip(-127, 127).astype(jnp.int8)
                     )
-                    out["kernel_scale"] = scale
+                    out[scale_key] = scale
                 else:
                     out[key] = convert(sub, sub_ab)
             return out

@@ -57,6 +57,56 @@ def test_dense_vs_sparse_parity():
     np.testing.assert_allclose(np.asarray(dense), np.asarray(sparse), atol=2e-5)
 
 
+def test_int8_expert_serving_path():
+    """int8w_serve MoE: quantize_params_for_serving fills the int8+scale
+    expert structure from float params, the sparse int8 ragged_dot path
+    matches the f32 sparse path within quantization tolerance, and the
+    dense fallback (CPU) matches too. Reference capability: megablox gmm's
+    AQT-aware quantized expert matmul (kernels/megablox/gmm.py)."""
+    import flax
+
+    from maxtext_indextts2_tpu.ops.quantization import (
+        quantize_params_for_serving,
+    )
+
+    cfg_f32 = load_config(BASE + ["dtype=float32"])
+    cfg_q = load_config(BASE + ["dtype=float32", "quantization=int8w_serve"])
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 64), jnp.float32)
+
+    moe_f32 = RoutedMoE(cfg=cfg_f32)
+    params = moe_f32.init(jax.random.PRNGKey(0), x)
+
+    moe_q = RoutedMoE(cfg=cfg_q)
+    abstract = flax.linen.meta.unbox(
+        jax.eval_shape(lambda: moe_q.init(jax.random.PRNGKey(0), x))["params"]
+    )
+    qp = quantize_params_for_serving(
+        flax.linen.meta.unbox(params["params"]), abstract
+    )
+    assert qp["wi_0"].dtype == jnp.int8
+    assert qp["wi_0_scale"].shape == (4, 1, 128)
+
+    # full module forward (dense dequant fallback on CPU)
+    (out_f32, _), _ = moe_f32.apply(params, x, mutable=[])
+    (out_q, _), _ = moe_q.apply({"params": qp}, x, mutable=[])
+    err = np.abs(np.asarray(out_q) - np.asarray(out_f32)).max()
+    assert err < 0.05 * max(1e-9, np.abs(np.asarray(out_f32)).max()), err
+
+    # the sparse int8 x int8 ragged_dot path itself
+    p = flax.linen.meta.unbox(params["params"])
+    top_idx = jnp.array([[[0, 1]] * 8, [[2, 3]] * 8], jnp.int32)
+    top_w = jnp.full((2, 8, 2), 0.5, jnp.float32)
+    ref = moe_f32.bind(params)._sparse_experts(
+        x, top_idx, top_w, p["wi_0"], p["wi_1"], p["wo"], jnp.float32
+    )
+    got = moe_q.bind({"params": qp})._sparse_experts(
+        x, top_idx, top_w, qp["wi_0"], qp["wi_1"], qp["wo"], jnp.float32,
+        scales=(qp["wi_0_scale"], qp["wi_1_scale"], qp["wo_scale"]),
+    )
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    assert err < 0.05 * max(1e-9, np.abs(np.asarray(ref)).max()), err
+
+
 def test_sigmoid_scores_and_bias():
     _, _, _, out, lb = _run(["routed_score_func=sigmoid", "routed_bias=true", "dtype=float32"])
     assert np.isfinite(np.asarray(out)).all()
