@@ -78,6 +78,8 @@ def run(argv=None) -> dict:
         overrides.append("per_device_batch_size=64")
     if kv.get("mode"):  # interleaved (default) | disaggregated
         overrides.append(f"serving_mode={kv['mode']}")
+    if kv.get("spd"):  # generate_n fusion depth (serving_steps_per_dispatch)
+        overrides.append(f"serving_steps_per_dispatch={kv['spd']}")
     cfg = load_config(overrides)
     engine = Engine(cfg)
     engine.load_params()
@@ -92,7 +94,8 @@ def run(argv=None) -> dict:
     state = engine.init_decode_state()
     state = engine.insert(prefix, state, 0)
     state, _ = engine.generate(state)
-    state, toks = engine.generate_n(state, 4)  # orchestrator steps_per_dispatch
+    # warm the orchestrator's fused-dispatch program depth
+    state, toks = engine.generate_n(state, cfg.serving_steps_per_dispatch)
     np.asarray(toks)  # host fetch: force the relay to finish
     del state, prefix
     print(f"[latency_slo] warmup compile {time.perf_counter() - t0:.1f}s",

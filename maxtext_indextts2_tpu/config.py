@@ -290,6 +290,11 @@ class Config:
     inference_microbenchmark_prefill_lengths: tuple[int, ...] = (64, 128, 256, 512, 1024)
     inference_server_port: int = 9000
     serving_mode: str = "interleaved"  # interleaved | disaggregated (prefill thread)
+    # decode steps fused into one generate_n dispatch when no request is
+    # waiting: amortizes per-dispatch host overhead (dominant through
+    # remote-relay fabrics: ~40 ms/dispatch vs 10.6 ms device step at 128
+    # slots). Cost: a finishing stream decodes up to n-1 wasted tokens.
+    serving_steps_per_dispatch: int = 4
     # /tts requests batch into one masked S2A pass (pipeline.synthesize_batch):
     # up to tts_batch_max requests collected within tts_batch_window_ms
     tts_batch_max: int = 8  # measured S2A operating point (PERF.md)

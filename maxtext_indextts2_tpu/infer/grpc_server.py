@@ -181,6 +181,7 @@ def serve_grpc(cfg: Config, port: int | None = None, engine: Engine | None = Non
     """Blocking gRPC server entry point (reference: maxengine_server.main)."""
     orch = Orchestrator(
         engine or (tts_pipeline.engine if tts_pipeline else Engine(cfg)),
+        steps_per_dispatch=cfg.serving_steps_per_dispatch,
         mode=cfg.serving_mode,
     )
     orch.start()

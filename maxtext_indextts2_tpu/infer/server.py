@@ -224,7 +224,18 @@ class Orchestrator:
                         self.slots[i] = None
                         if self._paged:
                             self._pages_reserved[i] = 0
-                self.decode_state = self.engine.init_decode_state()
+                try:
+                    self.decode_state = self.engine.init_decode_state()
+                except Exception:  # noqa: BLE001 — device unrecoverable:
+                    # fail everything still queued and stop serving instead
+                    # of dying silently with requests stranded
+                    self._stop.set()
+                    while True:
+                        try:
+                            self._fail(self.queue.get_nowait(), e)
+                        except queue.Empty:
+                            break
+                    return
                 continue
             for step_toks in toks_n:
                 for i, req in enumerate(self.slots):
@@ -370,6 +381,7 @@ def make_server(cfg: Config, port: int | None = None,
 
     orch = Orchestrator(
         engine or (tts_pipeline.engine if tts_pipeline else Engine(cfg)),
+        steps_per_dispatch=cfg.serving_steps_per_dispatch,
         mode=cfg.serving_mode,
     )
     orch.start()
