@@ -178,6 +178,9 @@ class Config:
     dcn_expert_parallelism: int = 1
     dcn_autoregressive_parallelism: int = 1
     num_slices: int = 1
+    # Pathways-class single-controller init (reference train.py:713
+    # pathwaysutils.initialize; parallel/pathways.py — gated on the lib)
+    enable_single_controller: bool = False
     compile_topology: str = ""  # AOT target, e.g. "v5e-256" (train_compile.py)
     compile_topology_num_slices: int = 1
     context_parallel_load_balance: bool = True
@@ -257,6 +260,9 @@ class Config:
     train_data_columns: tuple = ("text", "content")
     eval_data_columns: tuple = ("text", "content")
     grain_file_type: str = "auto"  # auto | arrayrecord | parquet | jsonl
+    # run the input pipeline in a controller-offloaded sidecar process
+    # (reference base.yml:492; train/data/colocated.py)
+    colocated_python_data_input: bool = False
     eos_id: int = 2  # loss-mask sentinel for c4_mlperf rows (byte tokenizer eos)
     tokenizer_type: str = "none"  # none | sentencepiece | huggingface | tiktoken
     tokenizer_path: str = ""

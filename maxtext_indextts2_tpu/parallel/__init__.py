@@ -3,6 +3,10 @@ from maxtext_indextts2_tpu.parallel.mesh import (
     maybe_initialize_distributed,
     mesh_shape_summary,
 )
+from maxtext_indextts2_tpu.parallel.pathways import (
+    maybe_initialize_single_controller,
+    running_under_proxy_backend,
+)
 from maxtext_indextts2_tpu.parallel.sharding import (
     LOGICAL_AXIS_RULES,
     assert_params_sufficiently_sharded,

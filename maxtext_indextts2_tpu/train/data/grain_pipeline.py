@@ -40,6 +40,12 @@ class GrainTextSource:
     def __len__(self):
         return len(self.records)
 
+    def __repr__(self):
+        # grain validates checkpoints against repr(data_source): it must be
+        # stable across processes (the default includes id()), keyed on the
+        # actual dataset identity.
+        return f"GrainTextSource(paths={sorted({p for p, _, _ in self.records})!r}, n={len(self.records)})"
+
     def __getitem__(self, idx: int) -> str:
         path, off, ln = self.records[idx]
         with open(path, "rb") as f:
@@ -64,6 +70,10 @@ class ParquetTextSource:
             self.offsets.append(total)
             total += t.num_rows
         self.total = total
+        self.paths = list(paths)
+
+    def __repr__(self):
+        return f"ParquetTextSource(paths={self.paths!r}, column={self.column!r}, n={self.total})"
 
     def __len__(self):
         return self.total
@@ -129,6 +139,11 @@ class ArrayRecordTextSource:
 
         self.source = grain.ArrayRecordDataSource(paths)
         self.column = column
+        self.paths = list(paths)
+
+    def __repr__(self):
+        # stable across processes — grain checkpoints validate repr(source)
+        return f"ArrayRecordTextSource(paths={self.paths!r}, column={self.column!r})"
 
     def __len__(self):
         return len(self.source)
@@ -220,12 +235,19 @@ class GrainPackedIterator(PackedBatcher):
     def get_state(self) -> bytes:
         import pickle
 
-        if hasattr(self._grain_iter, "get_state"):
-            return pickle.dumps(self._grain_iter.get_state())
-        return b""
+        if not hasattr(self._grain_iter, "get_state"):
+            return b""
+        # The packer holds already-built rows in _pending; the grain iterator
+        # has advanced PAST the examples inside them, so resuming from the
+        # grain state alone would silently drop those rows. Snapshot both.
+        return pickle.dumps(
+            {"grain": self._grain_iter.get_state(), "pending": self._pending}
+        )
 
     def set_state(self, state: bytes):
         import pickle
 
         if state and hasattr(self._grain_iter, "set_state"):
-            self._grain_iter.set_state(pickle.loads(state))
+            st = pickle.loads(state)
+            self._grain_iter.set_state(st["grain"])
+            self._pending = st["pending"]

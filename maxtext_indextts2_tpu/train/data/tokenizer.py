@@ -121,4 +121,8 @@ def build_tokenizer(cfg) -> Tokenizer:
         return HFTokenizer(cfg.tokenizer_path, cfg.add_bos, cfg.add_eos)
     if kind == "sentencepiece":
         return SentencePieceTokenizer(cfg.tokenizer_path, cfg.add_bos, cfg.add_eos)
+    if kind == "tiktoken":
+        return TikTokenTokenizer(
+            cfg.tokenizer_path or "cl100k_base", cfg.add_bos, cfg.add_eos
+        )
     raise ValueError(f"unknown tokenizer_type: {kind}")

@@ -273,6 +273,10 @@ def jit_train_step(model, cfg, mesh, state_shardings):
 
 
 def create_data_iterator(cfg: Config):
+    if cfg.colocated_python_data_input:
+        from maxtext_indextts2_tpu.train.data.colocated import ColocatedDataIterator
+
+        return ColocatedDataIterator(cfg)
     if cfg.dataset_type == "synthetic":
         return SyntheticDataIterator(cfg)
     if cfg.dataset_type == "emilia_audio":
@@ -480,6 +484,13 @@ def main(argv=None):
     import sys
 
     cfg = load_config(argv if argv is not None else sys.argv[1:])
+    from maxtext_indextts2_tpu.parallel import (
+        maybe_initialize_distributed,
+        maybe_initialize_single_controller,
+    )
+
+    maybe_initialize_single_controller(cfg)
+    maybe_initialize_distributed(cfg)
     metrics = train_loop(cfg)
     print({k: float(v) for k, v in metrics.items()})
 
