@@ -36,16 +36,21 @@ def main_rtf():
     voc = rtf.bench_vocoder(voc_b)
     # headline S2A config: int8-offline + bf16-residual numerics (certified
     # by benchmarks/recipes/s2a_int8_gate.py) with the certified sampler
-    # structure — reduced step schedule 8+2x11 and CFG truncation 0.5
-    # (benchmarks/recipes/s2a_schedule_gate.py; PERF.md "S2A sampler-
-    # structure quality gate"). Measured 0.922 s/pass = 86.8 streams/chip
-    # vs 2.016/39.7 for the reference schedule (s2a_structural_queue.sh).
-    # MTT_BENCH_S2A=int8_full keeps int8 numerics but the reference
-    # (10,4x11)/cfg-always schedule; MTT_BENCH_S2A=bf16 reverts everything.
+    # structure — minimal step schedule 6+1x11 and CFG truncation 0.5
+    # (benchmarks/recipes/s2a_schedule_gate.py minimal_cfg_half; PERF.md
+    # "S2A sampler-structure quality gate"). Measured 0.598 s/pass = 133.8
+    # streams/chip vs 0.922/86.8 reduced (8,2x11) and 2.016/39.7 for the
+    # reference schedule (s2a_structural_queue.sh).
+    # MTT_BENCH_S2A=reduced keeps the prior (8,2x11)/cfg 0.5 headline;
+    # =int8_full keeps int8 numerics but the reference (10,4x11)/cfg-always
+    # schedule; =bf16 reverts everything to reference sampling.
     s2a_kw = dict(int8="offline", bf16_weights=True,
-                  timesteps=(8,) + (2,) * 11, cfg_until=0.5)
+                  timesteps=(6,) + (1,) * 11, cfg_until=0.5)
     mode = os.environ.get("MTT_BENCH_S2A")
-    if mode == "int8_full":
+    if mode == "reduced":
+        s2a_kw = dict(int8="offline", bf16_weights=True,
+                      timesteps=(8,) + (2,) * 11, cfg_until=0.5)
+    elif mode == "int8_full":
         s2a_kw = dict(int8="offline", bf16_weights=True)
     elif mode == "bf16":
         s2a_kw = {}

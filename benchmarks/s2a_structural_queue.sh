@@ -46,7 +46,14 @@ run "4/6 reduced + cfg_until=0.5" \
   "{$BASE, \"timesteps\": $RED, \"cfg_until\": 0.5}" reduced_cfg_half
 # batch sweep at the winning structure: S2A measured 40-49% MXU at b8 —
 # a larger batch may lift utilization (streams scale if pass_s sublinear)
-run "5/6 reduced_cfg_half batch 16" \
+run "5/8 reduced_cfg_half batch 16" \
   "{$BASE, \"timesteps\": $RED, \"cfg_until\": 0.5, \"batch\": 16}" rch_b16
-run "6/6 reduced_cfg_half batch 32" \
+run "6/8 reduced_cfg_half batch 32" \
   "{$BASE, \"timesteps\": $RED, \"cfg_until\": 0.5, \"batch\": 32}" rch_b32
+# round-2 follow-up candidates, both MCD-gate-passed (s2a_schedule_gate.py
+# minimal_cfg_half / reduced_cfg_quarter)
+MIN='[6,1,1,1,1,1,1,1,1,1,1,1]'
+run "7/8 minimal 6+1x11 + cfg_until=0.5" \
+  "{$BASE, \"timesteps\": $MIN, \"cfg_until\": 0.5}" minimal_cfg_half
+run "8/8 reduced + cfg_until=0.25" \
+  "{$BASE, \"timesteps\": $RED, \"cfg_until\": 0.25}" reduced_cfg_quarter

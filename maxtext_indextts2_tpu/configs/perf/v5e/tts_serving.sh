@@ -2,9 +2,9 @@
 # Tuned zero-shot TTS serving launch (v5e, 1 chip == 1 shard of a v5e-8 pod).
 # Measured on-chip (PERF.md): 128 decode slots -> 235.8 LM streams/chip
 # (cross-slot-pipelined ragged v2, 128-wide KV blocks); S2A int8-offline +
-# bf16 residual + certified sampler structure (reduced 8+2x11 schedule,
-# cfg_until=0.5) -> 86.8 S2A streams/chip, effective RTF/stream ~0.016,
-# ~500+ streams on v5e-8. Both S2A levers carry recorded MCD quality gates
+# bf16 residual + certified sampler structure (minimal 6+1x11 schedule,
+# cfg_until=0.5 — gate row minimal_cfg_half) -> 133.8 S2A streams/chip,
+# effective RTF/stream ~0.012, ~1000 streams on v5e-8. Both S2A levers carry recorded MCD quality gates
 # (benchmarks/recipes/s2a_int8_gate.py, s2a_schedule_gate.py) — re-run the
 # gates when the S2A model changes; drop the s2a_timesteps/s2a_cfg_until
 # overrides to revert to reference sampling (39.7 S2A streams/chip).
@@ -15,6 +15,6 @@ python -m maxtext_indextts2_tpu.infer.server \
   maxtext_indextts2_tpu/configs/models/tts-1b.yml \
   per_device_batch_size=128 decode_attention=ragged serve_unroll_layers=true \
   serve_params_dtype=bfloat16 s2a_serving_dtype=int8_offline \
-  "s2a_timesteps=(8,2,2,2,2,2,2,2,2,2,2,2)" s2a_cfg_until=0.5 \
+  "s2a_timesteps=(6,1,1,1,1,1,1,1,1,1,1,1)" s2a_cfg_until=0.5 \
   max_target_length=2048 \
   "$@"
