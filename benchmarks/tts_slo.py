@@ -1,0 +1,184 @@
+"""Full-pipeline TTS latency bench: poisson /tts load against the server.
+
+benchmarks/latency_slo.py measures the LM stage under load; this harness
+drives the WHOLE text->waveform path (front-end tokenize, LM generation
+through the continuous-batching orchestrator, batched masked S2A sampling,
+vocoder decode) through the HTTP server's /tts endpoint with poisson
+arrivals — the serving discipline the reference never had (its S2A sampler
+is offline torch; reference capability anchor is the mlperf loadgen
+latency discipline, inference_mlperf/offline_mode.py:541).
+
+Model sizes: the 0.8B TTS LM from benchmarks/tts_rtf.py + the production
+S2A (16L/1024h/12q) at the certified serving numerics (int8-offline +
+bf16 residual, minimal schedule + cfg_until=0.5 — see PERF.md). Weights
+are randomly initialized: latency/throughput under load are
+shape-determined, not value-determined. The acoustic codec/front-end use
+the small test sizes (the vocoder stage measures ~10k streams/chip — it
+is never the constraint).
+
+Run on-chip:   python benchmarks/tts_slo.py rate=2 duration=60
+CPU plumbing:  MTT_PLATFORM=cpu python benchmarks/tts_slo.py tiny=1
+
+Metrics: p50/p95/p99 end-to-end latency (arrival -> wav received),
+completed/total, achieved audio-seconds per wall-second (serving RTF
+capacity actually delivered under this arrival process), and the
+batcher's mean S2A batch size (how well the window fills).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# 0.8B TTS LM (benchmarks/latency_slo.py SERVE_CFG) + certified S2A serving
+PROD_CFG = [
+    "decoder_block=tts",
+    "base_emb_dim=1536", "base_num_query_heads=12", "base_num_kv_heads=4",
+    "base_mlp_dim=6144", "base_num_decoder_layers=14", "head_dim=128",
+    "vocab_size=9344", "max_target_length=2048",
+    "max_prefill_predict_length=512",
+    "decode_sampling_strategy=greedy", "decode_attention=ragged",
+    "serve_params_dtype=bfloat16", "scan_layers=false",
+    "per_device_batch_size=64",
+    # S2A: production size is the config default (16L/1024h/12q); serve the
+    # certified fast structure (PERF.md "On-chip speed effect")
+    "s2a_serving_dtype=int8_offline",
+    "s2a_timesteps=(6,1,1,1,1,1,1,1,1,1,1,1)", "s2a_cfg_until=0.5",
+    "tts_batch_max=8", "tts_batch_window_ms=200",
+]
+TINY_CFG = [
+    "decoder_block=tts",
+    "base_emb_dim=128", "base_mlp_dim=256", "base_num_decoder_layers=2",
+    "base_num_query_heads=4", "base_num_kv_heads=4", "head_dim=32",
+    "vocab_size=9344", "max_target_length=256",
+    "max_prefill_predict_length=128",
+    "decode_sampling_strategy=greedy", "scan_layers=false",
+    "per_device_batch_size=4",
+    "s2a_num_quantizers=4", "s2a_hidden_size=64", "s2a_num_layers=2",
+    "s2a_num_heads=4", "s2a_timesteps=(2,2,2,2)", "s2a_cfg_until=0.5",
+    "tts_batch_max=4", "tts_batch_window_ms=100",
+]
+
+
+def _percentiles(xs, ps=(50, 95, 99)):
+    if not xs:
+        return {f"p{p}": None for p in ps}
+    return {f"p{p}": round(float(np.percentile(xs, p)), 3) for p in ps}
+
+
+def run(argv=None) -> dict:
+    import http.client
+
+    kv = dict(a.split("=", 1) for a in (argv or []))
+    tiny = bool(int(kv.get("tiny", "0")))
+    rate = float(kv.get("rate", "1" if tiny else "2"))  # requests / s
+    duration = float(kv.get("duration", "8" if tiny else "60"))
+    gen_tokens = int(kv.get("gen_tokens", "8" if tiny else "250"))  # 5 s audio
+    prompt_s = float(kv.get("prompt_s", "0.2" if tiny else "1.0"))
+
+    from maxtext_indextts2_tpu.audio.pipeline import build_tiny_pipeline
+    from maxtext_indextts2_tpu.config import load_config
+    from maxtext_indextts2_tpu.infer.server import make_server
+
+    cfg = load_config(list(TINY_CFG if tiny else PROD_CFG))
+    pipeline = build_tiny_pipeline(cfg)
+
+    # Warm every program OUTSIDE request timeouts (through the axon relay
+    # the S2A sampler compile alone can take minutes). One padded
+    # synthesize_batch call compiles the exact shapes serving will use —
+    # pad_to_batch means the batch dim never re-compiles.
+    w16 = np.zeros(int(16_000 * prompt_s), np.float32)
+    w24 = np.zeros(int(24_000 * prompt_s), np.float32)
+    body = {"text": "hi" if tiny else "benchmark sentence for the serving harness",
+            "prompt_wav_16k": w16.tolist(), "prompt_wav_24k": w24.tolist(),
+            "max_new_tokens": gen_tokens}
+    t0 = time.perf_counter()
+    pipeline.synthesize_batch([dict(body)], pad_to_batch=cfg.tts_batch_max)
+    print(f"[tts_slo] warmup compile {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    port = int(kv.get("port", "18423"))
+    httpd, orch, batcher = make_server(cfg, port=port, tts_pipeline=pipeline)
+    server_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    server_thread.start()
+    # one request through the real endpoint warms the orchestrator-backed
+    # LM path (generate_fn) before timing
+    payload = json.dumps(body).encode()
+
+    def one_request(record: dict | None):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=900)
+        t_arrive = time.perf_counter()
+        try:
+            conn.request("POST", "/tts", payload,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            data = json.loads(resp.read())
+            if record is not None:
+                if resp.status == 200 and "wav" in data:
+                    record["e2e"] = time.perf_counter() - t_arrive
+                    record["audio_s"] = data["info"]["audio_seconds"]
+                else:
+                    record["error"] = data.get("error", f"http {resp.status}")
+        except Exception as e:  # noqa: BLE001 — recorded as a failure
+            if record is not None:
+                record["error"] = f"{type(e).__name__}: {e}"
+        finally:
+            conn.close()
+
+    one_request(None)  # endpoint warm (orchestrator LM path)
+
+    # poisson arrival process
+    rng = np.random.default_rng(0)
+    records: list[dict] = []
+    threads: list[threading.Thread] = []
+    t_start = time.perf_counter()
+    t_next = t_start
+    while t_next - t_start < duration:
+        now = time.perf_counter()
+        if now < t_next:
+            time.sleep(t_next - now)
+        rec: dict = {}
+        records.append(rec)
+        th = threading.Thread(target=one_request, args=(rec,), daemon=True)
+        th.start()
+        threads.append(th)
+        t_next += rng.exponential(1.0 / rate)
+    for th in threads:
+        th.join(timeout=900)
+    wall = time.perf_counter() - t_start
+
+    done = [r for r in records if "e2e" in r]
+    errors = [r["error"] for r in records if "error" in r]
+    audio_s = sum(r["audio_s"] for r in done)
+    out = {
+        "rate_rps": rate,
+        "duration_s": duration,
+        "gen_tokens": gen_tokens,
+        "completed": len(done),
+        "total": len(records),
+        "errors": errors[:3],
+        "e2e_s": _percentiles([r["e2e"] for r in done]),
+        "audio_seconds_delivered": round(audio_s, 1),
+        "delivered_rtf_capacity": round(audio_s / wall, 2),
+        "s2a_batches": batcher.batches,
+        "mean_s2a_batch": round(batcher.requests / max(batcher.batches, 1), 2),
+    }
+    httpd.shutdown()
+    batcher.stop()
+    orch.stop()
+    return out
+
+
+if __name__ == "__main__":
+    if os.environ.get("MTT_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MTT_PLATFORM"])
+    print(json.dumps(run(sys.argv[1:])))

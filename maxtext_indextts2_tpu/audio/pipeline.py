@@ -278,6 +278,7 @@ class TTSPipeline:
         rng: jax.Array | None = None,
         length_bucket: int = 64,
         generate_fn=None,
+        pad_to_batch: int | None = None,
     ) -> list[tuple[np.ndarray, dict]]:
         """Batched synthesis of heterogeneous requests — ONE masked S2A pass.
 
@@ -294,6 +295,12 @@ class TTSPipeline:
         the LM stage (raw embedding ids) — the server passes an
         Orchestrator-backed one so the batch's generations share the
         continuous-batching decode slots instead of running serially.
+
+        ``pad_to_batch`` pads the S2A/vocoder batch dimension with dummy
+        rows (1 valid position) up to a fixed size so the sampler compiles
+        for ONE batch shape regardless of how many requests the batching
+        window collected — without it, every distinct arrival-batch size
+        triggers a multi-minute sampler compile mid-serving.
         """
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         hop = int(np.prod(self.codec.strides))
@@ -323,16 +330,17 @@ class TTSPipeline:
         t2 = time.perf_counter()
 
         b = len(requests)
+        bp = max(b, pad_to_batch or 0)
         q = self.s2a.cfg.num_quantizers
         p_rows = [min(a.shape[0], len(s)) for a, s in zip(acs, sems)]
         t_rows = [len(g) for g in gens]
         pb = max(_roundup(max(p_rows), 16), 16)
         tb = max(_roundup(max(max(t_rows), 1), length_bucket), length_bucket)
 
-        cond = np.zeros((b, pb + tb), np.int32)
-        prompt = np.zeros((b, pb, q), np.int32)
-        x_mask = np.zeros((b, tb), np.int32)
-        p_mask = np.zeros((b, pb), np.int32)
+        cond = np.zeros((bp, pb + tb), np.int32)
+        prompt = np.zeros((bp, pb, q), np.int32)
+        x_mask = np.zeros((bp, tb), np.int32)
+        p_mask = np.zeros((bp, pb), np.int32)
         for i, (sem, ac, gen) in enumerate(zip(sems, acs, gens)):
             p_i, t_i = p_rows[i], t_rows[i]
             cond[i, :p_i] = sem[:p_i]
@@ -340,6 +348,10 @@ class TTSPipeline:
             prompt[i, :p_i] = np.asarray(ac)[:p_i]
             p_mask[i, :p_i] = 1
             x_mask[i, :t_i] = 1
+        # dummy rows: one valid prompt/target position keeps the per-row
+        # re-masking counts non-degenerate; outputs are dropped below
+        x_mask[b:, 0] = 1
+        p_mask[b:, 0] = 1
 
         acoustic = self._jit_s2a_masked(
             self.s2a_params, jnp.asarray(cond), jnp.asarray(prompt), rng,

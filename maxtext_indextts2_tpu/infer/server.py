@@ -352,6 +352,9 @@ class TTSBatcher:
                     break
             try:
                 kw = {"generate_fn": self._generate_via_orch} if self.orch else {}
+                # fixed batch shape: one sampler compile regardless of how
+                # many requests the window collected
+                kw["pad_to_batch"] = self.max_batch
                 results = self.pipeline.synthesize_batch(
                     [r.body for r in batch], **kw
                 )

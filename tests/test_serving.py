@@ -112,7 +112,7 @@ def test_tts_batcher_groups_concurrent_requests():
     calls = []
 
     class FakePipeline:
-        def synthesize_batch(self, bodies):
+        def synthesize_batch(self, bodies, pad_to_batch=None):
             calls.append(len(bodies))
             return [(np.full(3, float(len(b["text"]))), {"n": len(bodies)})
                     for b in bodies]
@@ -141,7 +141,7 @@ def test_tts_batcher_lm_via_orchestrator(engine):
     captured = {}
 
     class FakePipeline:
-        def synthesize_batch(self, bodies, generate_fn=None):
+        def synthesize_batch(self, bodies, generate_fn=None, pad_to_batch=None):
             assert generate_fn is not None
             prompts = [np.asarray(b["prompt"], np.int32) for b in bodies]
             captured["tokens"] = generate_fn(prompts, [5] * len(bodies))
@@ -168,7 +168,7 @@ def test_tts_batcher_error_propagates():
     from maxtext_indextts2_tpu.infer.server import TTSBatcher
 
     class BrokenPipeline:
-        def synthesize_batch(self, bodies):
+        def synthesize_batch(self, bodies, pad_to_batch=None):
             raise RuntimeError("boom")
 
     b = TTSBatcher(BrokenPipeline(), max_batch=4, window_ms=10)
