@@ -200,13 +200,23 @@ class Orchestrator:
                     time.sleep(0.001)
                 continue
 
-            # amortize dispatch overhead: run several steps in one jit when
-            # no request is waiting and no slot is about to finish
+            # amortize dispatch overhead: fuse several decode steps into one
+            # jit dispatch. Depth is clamped to the MINIMUM remaining tokens
+            # across active slots (mixed-depth dispatch): a near-finish slot
+            # shrinks THIS dispatch instead of forcing single-step mode for
+            # the whole batch until it drains — the old global toggle starved
+            # tails at spd=16 (366/486 completed, PERF.md load sweep). Depths
+            # round down to powers of two so the per-n jitted scan cache
+            # stays bounded (log2(spd)+1 programs, not one per count). With
+            # eos_id set, a slot can finish mid-dispatch: the overshoot is
+            # bounded by n-1 wasted device steps (emission already stops at
+            # eos; release_slot resets the slot's pos).
             active = [i for i, r in enumerate(self.slots) if r is not None]
-            n = self.steps_per_dispatch
+            n = int(min(self.steps_per_dispatch,
+                        max(1, min(self.remaining[i] for i in active))))
+            n = 1 << (n.bit_length() - 1)
             try:
-                if (self.eos_id is None and self.queue.empty()
-                        and all(self.remaining[i] >= n for i in active)):
+                if n > 1:
                     self.decode_state, toks_n = self.engine.generate_n(
                         self.decode_state, n
                     )

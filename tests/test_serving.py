@@ -59,6 +59,48 @@ def test_orchestrator_concurrent_requests(engine):
         orch.stop()
 
 
+def test_orchestrator_mixed_depth_dispatch(engine):
+    """Fusion depth clamps to the minimum remaining tokens across active
+    slots (per-dispatch), instead of falling back to single-step mode for
+    the whole batch whenever any slot nears its finish — the tail-starvation
+    bug behind the 366/486 spd=16 load-sweep row (PERF.md)."""
+    from maxtext_indextts2_tpu.infer.server import Orchestrator
+
+    depths: list[int] = []
+    orig_generate, orig_generate_n = engine.generate, engine.generate_n
+
+    def rec_generate(state):
+        depths.append(1)
+        return orig_generate(state)
+
+    def rec_generate_n(state, n):
+        depths.append(n)
+        return orig_generate_n(state, n)
+
+    engine.generate, engine.generate_n = rec_generate, rec_generate_n
+    orch = Orchestrator(engine, steps_per_dispatch=8)
+    orch.start()
+    try:
+        # different lengths: the short request's tail must not force the
+        # long one into single-step dispatches
+        r_short = orch.submit(np.array([3, 5, 7], np.int32), 5)
+        r_long = orch.submit(np.array([11, 13], np.int32), 17)
+        for r, want in ((r_short, 5), (r_long, 17)):
+            assert r.done.wait(timeout=120)
+            assert r.error is None
+            assert len(r.tokens) == want
+        # greedy parity with direct single-stream decode
+        assert r_long.tokens == engine.generate_stream(
+            np.array([11, 13], np.int32), 17)
+        # fused dispatches happened (not all single-step), and every depth
+        # is a power of two bounded by steps_per_dispatch
+        assert max(depths) > 1
+        assert all(d & (d - 1) == 0 and d <= 8 for d in depths)
+    finally:
+        orch.stop()
+        engine.generate, engine.generate_n = orig_generate, orig_generate_n
+
+
 def test_http_server_roundtrip(engine):
     from http.server import ThreadingHTTPServer
 
