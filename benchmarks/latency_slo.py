@@ -94,8 +94,13 @@ def run(argv=None) -> dict:
     state = engine.init_decode_state()
     state = engine.insert(prefix, state, 0)
     state, _ = engine.generate(state)
-    # warm the orchestrator's fused-dispatch program depth
-    state, toks = engine.generate_n(state, cfg.serving_steps_per_dispatch)
+    # warm EVERY fused-dispatch depth the orchestrator can pick: mixed-depth
+    # dispatch clamps to powers of two <= spd, and a first-use compile
+    # through the axon relay mid-run stalls the decode loop for minutes
+    n = cfg.serving_steps_per_dispatch
+    while n > 1:
+        state, toks = engine.generate_n(state, n)
+        n //= 2
     np.asarray(toks)  # host fetch: force the relay to finish
     del state, prefix
     print(f"[latency_slo] warmup compile {time.perf_counter() - t0:.1f}s",
@@ -114,25 +119,37 @@ def run(argv=None) -> dict:
             "max_new_tokens": gen_tokens,
         })
         t0 = time.perf_counter()
-        conn.request("POST", "/generate_stream", body,
-                     {"Content-Type": "application/json"})
-        resp = conn.getresponse()
-        first = None
-        n = 0
-        while True:
-            line = resp.fp.readline()
-            if not line:
-                break
-            if first is None:
-                first = time.perf_counter()
-            n += 1
+        try:
+            conn.request("POST", "/generate_stream", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            first = None
+            n = 0
+            while True:
+                line = resp.fp.readline()
+                if not line:
+                    break
+                if first is None:
+                    first = time.perf_counter()
+                n += 1
+        except Exception as e:  # noqa: BLE001 — a failed request is data
+            if record is not None:
+                record["error"] = f"{type(e).__name__}: {e}"
+            return
+        finally:
+            conn.close()
         t1 = time.perf_counter()
-        conn.close()
-        if record is not None and first is not None and n > 1:
+        if record is None:
+            return
+        if first is not None and n > 1:
             record["ttfb"] = first - t0
             record["e2e"] = t1 - t0
             record["decode_tok_s"] = (n - 1) / max(t1 - first, 1e-9)
             record["tokens"] = n
+        else:
+            # stream closed with <=1 token: server-side failure (the
+            # orchestrator's _fail path enqueues the end-of-stream sentinel)
+            record["error"] = f"short_stream tokens={n}"
 
     one_request(None)  # warmup: compiles prefill/insert/generate
 
@@ -155,15 +172,20 @@ def run(argv=None) -> dict:
     orch.stop()
 
     done = [r for r in results if "e2e" in r]
+    errors = [r["error"] for r in results if "error" in r]
     ttfb = [r["ttfb"] for r in done]
     e2e = [r["e2e"] for r in done]
     toks = [r["decode_tok_s"] for r in done]
     realtime_ok = [t >= TOKEN_HZ for t in toks]
     wall = duration + (max(e2e) if e2e else 0.0)
+    from collections import Counter
+
     return {
         "offered_rate_rps": rate,
         "sent": sent,
         "completed": len(done),
+        "error_kinds": dict(Counter(e.split(":")[0] for e in errors)),
+        "error_sample": errors[:3],
         "duration_s": duration,
         "gen_tokens": gen_tokens,
         "ttfb_s": _percentiles(ttfb),

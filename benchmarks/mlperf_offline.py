@@ -31,12 +31,17 @@ def run(argv=None) -> dict:
 
     argv = list(argv or [])
     num_queries, max_new = 16, 8
+    accuracy, goldens_path = False, None
     keep = []
     for a in argv:
         if a.startswith("num_queries="):
             num_queries = int(a.split("=", 1)[1])
         elif a.startswith("max_new="):
             max_new = int(a.split("=", 1)[1])
+        elif a.startswith("accuracy="):
+            accuracy = bool(int(a.split("=", 1)[1]))
+        elif a.startswith("goldens="):
+            goldens_path, accuracy = a.split("=", 1)[1], True
         else:
             keep.append(a)
 
@@ -64,7 +69,7 @@ def run(argv=None) -> dict:
     dt = time.perf_counter() - t0
 
     total_tokens = sum(len(o) for o in outs)
-    return {
+    result = {
         "metric": "mlperf_offline_samples_per_s",
         "value": round(num_queries / dt, 3),
         "unit": "samples/s",
@@ -76,6 +81,25 @@ def run(argv=None) -> dict:
             "wall_s": round(dt, 3),
         },
     }
+
+    # Accuracy half of the MLPerf discipline (reference:
+    # inference_mlperf/evaluate-accuracy.py): score the batched serving
+    # path's outputs against per-query goldens. goldens=path loads a JSON
+    # list; otherwise goldens are regenerated on the spot via the
+    # single-stream decode path (prefill -> insert(0) -> generate loop),
+    # which exercises a DIFFERENT code path (no continuous batching, no
+    # slot multiplexing) over the same weights — greedy decoding must agree
+    # exactly, so rougeL/exact_match below 1.0 flags a serving-path bug.
+    if accuracy:
+        from maxtext_indextts2_tpu.utils.accuracy_eval import evaluate_outputs
+
+        if goldens_path:
+            with open(goldens_path) as f:
+                goldens = json.load(f)
+        else:
+            goldens = [eng.engine.generate_stream(p, max_new) for p in pool]
+        result["accuracy"] = evaluate_outputs(outs, goldens)
+    return result
 
 
 if __name__ == "__main__":

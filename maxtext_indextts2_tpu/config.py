@@ -353,6 +353,16 @@ class Config:
     enable_tensorboard: bool = False
     enable_goodput_recording: bool = False
     monitor_goodput: bool = False
+    # GCP workload-observability reporters (reference:
+    # gcp_workload_monitor.py:40, vertex_tensorboard.py:30). Both are
+    # env-gated: the google-cloud client libraries are imported lazily and
+    # only when the flag is on, so default runs have zero cloud deps.
+    report_heartbeat_metric_for_gcp_monitoring: bool = False
+    heartbeat_reporting_interval_in_seconds: int = 5
+    report_performance_metric_for_gcp_monitoring: bool = False
+    use_vertex_tensorboard: bool = False
+    vertex_tensorboard_project: str = ""
+    vertex_tensorboard_region: str = ""
     optimizer_memory_host_offload: bool = False  # keep opt state in pinned host memory
     dump_hlo: bool = False  # write the train step's lowered HLO to hlo_dump_dir
     hlo_dump_dir: str = ""  # default: <run dir>/hlo

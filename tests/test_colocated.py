@@ -68,6 +68,29 @@ def test_colocated_grain_state_resume(tmp_path):
             np.testing.assert_array_equal(e[k], g[k])
 
 
+def test_single_controller_success_path(monkeypatch):
+    """With pathwaysutils present (stubbed — mock pattern: reference
+    tests/elastic_train_test.py:59-93), the gate must actually call
+    pathwaysutils.initialize() and report True."""
+    import sys
+    import types
+
+    calls = []
+    stub = types.ModuleType("pathwaysutils")
+    stub.initialize = lambda: calls.append("initialize")
+    monkeypatch.setitem(sys.modules, "pathwaysutils", stub)
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+
+    cfg = load_config(["enable_single_controller=true"])
+    assert maybe_initialize_single_controller(cfg) is True
+    assert calls == ["initialize"]
+
+    # env-var route (JAX_PLATFORMS=proxy) initializes too, without a cfg
+    monkeypatch.setenv("JAX_PLATFORMS", "proxy")
+    assert maybe_initialize_single_controller(None) is True
+    assert calls == ["initialize", "initialize"]
+
+
 def test_single_controller_gating(monkeypatch):
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
     cfg = load_config([])

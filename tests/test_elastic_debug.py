@@ -52,6 +52,52 @@ def test_elastic_gives_up_after_max_recoveries(tmp_path):
     assert (tmp_path / "mtt-run" / "emergency").exists()
 
 
+def test_elastic_live_resize_8_to_4_continues_training():
+    """Reference elastic_train.py:91-170 maybe_reshard_down: lose half the
+    world mid-run, rebuild the mesh over the survivors, reshard the snapshot
+    onto it, and CONTINUE from the snapshot step — not restart-from-scratch."""
+    world = {"devices": jax.devices()}
+    assert len(world["devices"]) == 8
+    fails = {"armed": True}
+
+    def injector(step):
+        if step == 5 and fails["armed"]:
+            fails["armed"] = False
+            world["devices"] = jax.devices()[:4]  # half the world dies
+            raise RuntimeError("slice lost")
+
+    cfg = load_config(SMALL + ["per_device_batch_size=1"])
+    assert cfg.global_batch_size_to_train_on == 8
+    metrics = elastic_train_loop(
+        cfg, snapshot_period=2, failure_injector=injector,
+        devices_fn=lambda: world["devices"],
+    )
+    assert metrics["recoveries"] == 1
+    assert metrics["final_step"] == 8  # continued to completion
+    assert metrics["final_num_devices"] == 4
+    # per-device batch stays fixed; the global batch scales with the world
+    assert metrics["final_global_batch"] == 4
+    assert np.isfinite(metrics["loss"])
+
+
+def test_resize_config_rederives_parallelism_and_batch():
+    from maxtext_indextts2_tpu.train.elastic import resize_config
+
+    cfg = load_config(SMALL + ["ici_fsdp_parallelism=8", "per_device_batch_size=2"])
+    assert cfg.num_devices == 8
+    down = resize_config(cfg, 4)
+    assert down.ici_fsdp_parallelism == 4
+    assert down.global_batch_size_to_train_on == 8  # 2 * 4
+    assert down.num_devices == 4
+    # original config untouched (recovery may later resize back up)
+    assert cfg.ici_fsdp_parallelism == 8
+    up = resize_config(down, 8)
+    assert up.ici_fsdp_parallelism == 8
+    assert up.global_batch_size_to_train_on == 16
+    # same-size resize is the identity
+    assert resize_config(cfg, 8) is cfg
+
+
 def test_nan_finder():
     tree = {"a": jnp.ones(4), "b": jnp.array([1.0, jnp.nan, jnp.inf, 2.0])}
     bad = find_nan_inf(tree)
