@@ -126,6 +126,25 @@ class Engine:
         self._p_release = None
 
     # ------------------------------------------------------------- params
+    def param_shardings(self):
+        """Shardings of this engine's param tree on ITS mesh (unboxed).
+
+        Used by cross-mesh weight movement (train mesh -> inference mesh):
+        device_put-ing a train-state param tree onto these shardings is the
+        framework's stand-in for the reference's pathways_reshard
+        (experimental/rl/grpo_utils.py:154)."""
+        import flax.linen as nn
+
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.init_weights_seed)
+        dummy = jnp.zeros((1, cfg.max_prefill_predict_length), jnp.int32)
+        abstract = jax.eval_shape(
+            lambda r: self.model.init(r, dummy, dummy, dummy)["params"], rng
+        )
+        return nn.meta.unbox(
+            tree_logical_to_sharding(nn.get_partition_spec(abstract), self.mesh)
+        )
+
     def load_params(self, path: str | None = None, cast_dtype=None):
         """Restore params-only checkpoint, or random-init when absent.
 

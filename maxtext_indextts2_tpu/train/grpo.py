@@ -129,14 +129,37 @@ def build_grpo_batch(
     return batch
 
 
+def pathways_reshard(params, engine, source_scanned: bool | None = None):
+    """Move a train-state param tree onto an inference engine's mesh/shardings.
+
+    device_put-based cross-mesh reshard — the framework's stand-in for the
+    reference's ``pathways_reshard`` (experimental/rl/grpo_utils.py:154),
+    which moves policy weights from the training mesh to an
+    inference-optimal mesh for completion generation. Handles the layout
+    difference too: scanned (stacked-layer) training params are unrolled
+    when the engine serves unrolled layers."""
+    if source_scanned and not engine.cfg.scan_layers:
+        from maxtext_indextts2_tpu.infer.engine import unroll_scanned_params
+
+        params = unroll_scanned_params(params)
+    return jax.tree.map(jax.device_put, params, engine.param_shardings())
+
+
 def grpo_train_loop(
     cfg: Config,
     reward_fn: Callable[[list[int]], float],
     num_iterations: int = 4,
     group_size: int = 4,
     prompts: list[np.ndarray] | None = None,
+    infer_cfg: Config | None = None,
 ):
-    """Minimal GRPO loop: sample -> reward -> advantage -> update."""
+    """Minimal GRPO loop: sample -> reward -> advantage -> update.
+
+    ``infer_cfg`` (same model dims, different parallelism degrees) runs
+    completion generation on its OWN mesh: each iteration the fresh policy
+    weights are resharded train-mesh -> inference-mesh via
+    ``pathways_reshard`` (reference: grpo_trainer.py:585 generating through
+    the offline engine on an inference-optimal mesh)."""
     from maxtext_indextts2_tpu.infer.engine import Engine
     from maxtext_indextts2_tpu.models import Transformer
     from maxtext_indextts2_tpu.parallel import create_device_mesh
@@ -147,14 +170,24 @@ def grpo_train_loop(
     state, (shardings, _) = setup_train_state(cfg, model, mesh, jax.random.PRNGKey(0))
     ref_params = jax.tree.map(lambda x: x, state.params)
 
-    engine = Engine(cfg, mesh=mesh, model=model, params=state.params)
+    if infer_cfg is not None:
+        engine = Engine(infer_cfg, mesh=create_device_mesh(infer_cfg))
+    else:
+        engine = Engine(cfg, mesh=mesh, model=model, params=state.params)
     if prompts is None:
         prompts = [np.arange(1, 6, dtype=np.int32)]
 
     rng = jax.random.PRNGKey(cfg.seed)
     metrics = {}
     for it in range(num_iterations):
-        engine.params = state.params  # policy weights for sampling
+        # policy weights for sampling (cross-mesh reshard when the engine
+        # runs on its own inference mesh)
+        if infer_cfg is not None:
+            engine.params = pathways_reshard(
+                state.params, engine, source_scanned=cfg.scan_layers
+            )
+        else:
+            engine.params = state.params
         completions = generate_completions(
             engine, prompts, group_size, max_new_tokens=8
         )

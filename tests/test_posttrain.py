@@ -91,6 +91,66 @@ def test_grpo_loop_improves_reward_signal():
     assert np.isfinite(metrics["kl"])
 
 
+def test_grpo_cross_mesh_generation():
+    """Completion generation on a DISTINCT inference mesh (reference:
+    grpo_utils.py:154 pathways_reshard): train state lives fsdp-sharded,
+    the engine serves tensor-sharded; weights move via device_put reshard
+    each iteration and greedy completions must match the shared-mesh run."""
+    from maxtext_indextts2_tpu.infer.engine import Engine
+    from maxtext_indextts2_tpu.train.grpo import (
+        generate_completions,
+        grpo_train_loop,
+        pathways_reshard,
+    )
+
+    base = SMALL + [
+        "per_device_batch_size=0.5", "max_prefill_predict_length=16",
+        "decode_sampling_strategy=greedy",
+    ]
+    cfg = load_config(base + ["ici_fsdp_parallelism=8"])
+    infer_cfg = load_config(base + [
+        "ici_fsdp_parallelism=4", "ici_tensor_parallelism=2",
+    ])
+
+    # (a) the reshard itself: distinct shardings, identical values
+    mesh = create_device_mesh(cfg)
+    model = Transformer(cfg=cfg, mesh=mesh)
+    state, _ = setup_train_state(cfg, model, mesh, jax.random.PRNGKey(0))
+    engine = Engine(infer_cfg, mesh=create_device_mesh(infer_cfg))
+    moved = pathways_reshard(state.params, engine, source_scanned=cfg.scan_layers)
+    train_specs = {
+        s.spec for s in jax.tree.leaves(
+            jax.tree.map(lambda x: x.sharding, state.params))
+    }
+    infer_specs = {
+        s.spec for s in jax.tree.leaves(
+            jax.tree.map(lambda x: x.sharding, moved))
+    }
+    assert train_specs != infer_specs, "inference mesh must reshard weights"
+    # values unchanged by the reshard (embedding is layout-independent; the
+    # layer params change LAYOUT scanned->unrolled, not values)
+    np.testing.assert_allclose(
+        np.asarray(state.params["token_embedder"]["embedding"]),
+        np.asarray(moved["token_embedder"]["embedding"]),
+    )
+
+    # (b) greedy completions across meshes match the shared-mesh engine
+    engine.params = moved
+    shared = Engine(cfg, mesh=mesh, model=model, params=state.params)
+    prompts = [np.arange(1, 6, dtype=np.int32)]
+    cross = generate_completions(engine, prompts, group_size=1, max_new_tokens=6)
+    same = generate_completions(shared, prompts, group_size=1, max_new_tokens=6)
+    assert cross == same
+
+    # (c) the full loop runs with the inference mesh and learns finite values
+    reward = lambda comp: -float(np.mean(comp))
+    _, metrics = grpo_train_loop(
+        cfg, reward, num_iterations=2, group_size=2, infer_cfg=infer_cfg,
+    )
+    assert np.isfinite(metrics["loss"])
+    assert np.isfinite(metrics["kl"])
+
+
 def test_posttrain_golden_values():
     """DPO/GRPO losses pinned to golden values (reference:
     test_assets/golden_data_{grpo,sft}_default.jsonl strategy) — catches
