@@ -62,6 +62,10 @@ class Config:
     global_parameter_scale: int = 1
     vocab_size: int = 32_000
     logits_via_embedding: bool = False
+    # fused chunked-vocab cross-entropy: >0 = rows per chunk; the [B,S,V]
+    # logits never materialize (essential at the flagship's 264k vocab —
+    # full f32 logits at b4/s2048 are 8.6 GB). 0 = classic full-logits CE.
+    fused_vocab_ce_chunk: int = 0
     normalize_embedding_logits: bool = True
     logits_dot_in_fp32: bool = False
     cast_logits_to_fp32: bool = True

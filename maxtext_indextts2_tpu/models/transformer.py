@@ -70,10 +70,19 @@ class Transformer(nn.Module):
                 name="logits_dense",
             )
 
+    def prelogits(self, y: jax.Array) -> jax.Array:
+        """Final-normed, sharded hidden states — the input the fused
+        chunked-vocab CE consumes instead of full logits
+        (ops/losses.py chunked_unembed_cross_entropy)."""
+        y = self.final_norm(y)
+        return shard(
+            y, "activation_embed_and_logits_batch", "activation_norm_length",
+            "activation_embed",
+        )
+
     def _unembed(self, y: jax.Array) -> jax.Array:
         cfg = self.cfg
-        y = self.final_norm(y)
-        y = shard(y, "activation_embed_and_logits_batch", "activation_norm_length", "activation_embed")
+        y = self.prelogits(y)
         if cfg.logits_via_embedding:
             logits = self.token_embedder.attend(y, normalize=cfg.normalize_embedding_logits)
         else:
@@ -99,6 +108,7 @@ class Transformer(nn.Module):
         cache_offset=None,  # chunked prefill: global start of this chunk
         vision_embeddings: jax.Array | None = None,  # [B, T_img, E] soft tokens
         page_state=None,  # paged decode: infer.page_manager.PageState
+        return_prelogits: bool = False,  # fused-vocab CE: skip the unembed
     ) -> jax.Array:
         cfg = self.cfg
         emb = self.token_embedder(tokens)
@@ -124,6 +134,8 @@ class Transformer(nn.Module):
             self._mtp_loss(y, tokens, targets, target_weights, positions, segment_ids,
                            deterministic)
 
+        if return_prelogits:
+            return self.prelogits(y)
         return self._unembed(y)
 
     def _mtp_loss(self, hidden, tokens, targets, target_weights, positions,

@@ -109,7 +109,8 @@ def setup_train_state(
 
 
 def loss_fn(model: Transformer, cfg: Config, params, batch, rng, is_train: bool = True):
-    logits, mutables = model.apply(
+    fused_ce = cfg.fused_vocab_ce_chunk > 0 and is_train
+    out, mutables = model.apply(
         {"params": params},
         batch["inputs"],
         batch["inputs_position"],
@@ -120,11 +121,35 @@ def loss_fn(model: Transformer, cfg: Config, params, batch, rng, is_train: bool 
         # noise through it (reference passes an aqt rng the same way)
         rngs={"dropout": rng, "params": jax.random.fold_in(rng, 1)},
         mutable=["intermediates"],
+        return_prelogits=fused_ce,
     )
     weights = (batch["targets_segmentation"] != 0).astype(jnp.float32)
-    loss, total_weights = masked_cross_entropy(
-        logits, batch["targets"], weights, cfg.z_loss_weight
-    )
+    if fused_ce:
+        # vocab projection fused into the loss: logits never materialize
+        # (chunked_unembed_cross_entropy docstring; flagship 264k vocab)
+        from maxtext_indextts2_tpu.ops.losses import chunked_unembed_cross_entropy
+
+        if cfg.logits_via_embedding:
+            kernel = params["token_embedder"]["embedding"].T  # [E, V]
+            scale = (
+                1.0 / np.sqrt(cfg.emb_dim)
+                if cfg.normalize_embedding_logits else 1.0
+            )
+        else:
+            kernel = params["logits_dense"]["kernel"]
+            scale = 1.0
+        loss, total_weights = chunked_unembed_cross_entropy(
+            out, kernel, batch["targets"], weights,
+            z_loss=cfg.z_loss_weight, chunk=cfg.fused_vocab_ce_chunk,
+            soft_cap=cfg.final_logits_soft_cap, scale=scale,
+            compute_dtype=(
+                jnp.float32 if cfg.logits_dot_in_fp32 else jnp.dtype(cfg.dtype)
+            ),
+        )
+    else:
+        loss, total_weights = masked_cross_entropy(
+            out, batch["targets"], weights, cfg.z_loss_weight
+        )
     aux = {"ce_loss": loss, "total_weights": total_weights}
     inter = mutables.get("intermediates", {})
     lb = _collect_sown(inter, "moe_lb_loss")
