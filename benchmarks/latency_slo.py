@@ -125,13 +125,25 @@ def run(argv=None) -> dict:
             resp = conn.getresponse()
             first = None
             n = 0
+            server_error = None
             while True:
                 line = resp.fp.readline()
                 if not line:
                     break
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "error" in obj:  # server-side failure, explicit
+                    server_error = obj["error"]
+                    break
                 if first is None:
                     first = time.perf_counter()
                 n += 1
+            if server_error is not None:
+                if record is not None:
+                    record["error"] = f"server: {server_error[:120]}"
+                return
         except Exception as e:  # noqa: BLE001 — a failed request is data
             if record is not None:
                 record["error"] = f"{type(e).__name__}: {e}"
@@ -141,14 +153,15 @@ def run(argv=None) -> dict:
         t1 = time.perf_counter()
         if record is None:
             return
-        if first is not None and n > 1:
+        if first is not None and n == gen_tokens:
             record["ttfb"] = first - t0
             record["e2e"] = t1 - t0
             record["decode_tok_s"] = (n - 1) / max(t1 - first, 1e-9)
             record["tokens"] = n
         else:
-            # stream closed with <=1 token: server-side failure (the
-            # orchestrator's _fail path enqueues the end-of-stream sentinel)
+            # stream closed short without an error line: server-side failure
+            # that didn't surface (should not happen — the orchestrator's
+            # _fail path sets req.error before the end-of-stream sentinel)
             record["error"] = f"short_stream tokens={n}"
 
     one_request(None)  # warmup: compiles prefill/insert/generate

@@ -1,0 +1,74 @@
+"""Expanded-vocab (264,192) training MFU at 1B-class, single chip.
+
+VERDICT r2 item #3: the reference fork's actual training regime is the
+vocab-expanded model (reference vocab_expansion/expand_embedder.py:35 grows
+token_embedder.embedding to 264,192 rows; gemma-3 ties the unembedding to
+the embedding). At this vocab the embedding + logits/CE dominate: full
+[B,S,V] f32 logits at b4/s2048 are 8.6 GB — they cannot exist on a 16 GB
+chip next to a 1B-class model's optimizer state. The fused chunked-vocab CE
+(ops/losses.py chunked_unembed_cross_entropy) is what makes this regime
+trainable at all; this bench measures what MFU it reaches.
+
+Model: tts-1b body (emb 2048, 20 layers, mlp 8192, 16q/8kv) + vocab 264192
+tied embedding = 1.78 B params. FLOPs accounting includes the 2*d*V unembed
+matmul (utils/flops.py per_token_matmul_flops), causal-halved attention —
+the reference MFU methodology.
+
+  python benchmarks/mfu_flagship.py          # chunk/batch sweep
+  python benchmarks/mfu_flagship.py --best   # recorded best config only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sweep import train_trial  # noqa: E402
+
+MODEL_FLAGSHIP_VOCAB = [
+    "decoder_block=tts",
+    "base_emb_dim=2048", "base_num_query_heads=16", "base_num_kv_heads=8",
+    "base_mlp_dim=8192", "base_num_decoder_layers=20", "head_dim=128",
+    "vocab_size=264192", "logits_via_embedding=true",
+    "max_target_length=2048",
+    "remat_policy=full", "attention=flash", "flash_block_sizes=[1024,1024]",
+    "scan_layers=false", "weight_dtype=bfloat16",
+]
+
+BEST = MODEL_FLAGSHIP_VOCAB + [
+    "per_device_batch_size=4", "fused_vocab_ce_chunk=2048",
+]
+
+TRIALS = (
+    BEST,
+    [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")]
+    + ["fused_vocab_ce_chunk=1024"],
+    [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")]
+    + ["fused_vocab_ce_chunk=4096"],
+    [o for o in BEST if not o.startswith("per_device_batch_size")]
+    + ["per_device_batch_size=8"],
+    [o for o in BEST if not o.startswith("per_device_batch_size")]
+    + ["per_device_batch_size=2"],
+    # the regime the fused CE replaces: full-logits CE only has a chance at
+    # batch 1 (2.2 GB f32 logits) — expected slower or OOM; measured for the
+    # PERF.md comparison row
+    [o for o in MODEL_FLAGSHIP_VOCAB if not o.startswith("per_device_batch_size")]
+    + ["per_device_batch_size=1"],
+)
+
+
+def main():
+    trials = TRIALS[:1] if "--best" in sys.argv else TRIALS
+    for ov in trials:
+        try:
+            print(json.dumps(train_trial(ov)), flush=True)
+        except Exception as e:  # noqa: BLE001 — keep sweeping past OOMs
+            print(json.dumps({"overrides": ov, "error": repr(e)[:500]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

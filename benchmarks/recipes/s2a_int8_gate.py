@@ -132,7 +132,7 @@ def train_tiny_stack(kv) -> dict:
 
     return dict(
         base=base, s2a_params=s2a_params, prompt=prompt, cond=cond,
-        decode=decode, holdout=holdout,
+        decode=decode, holdout=holdout, semantic=semantic,
         s2a_loss=float(s2a_out["loss"]), codec_loss=float(codec_out["loss"]),
     )
 

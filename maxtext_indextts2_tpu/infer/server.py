@@ -35,6 +35,10 @@ class _Request:
     # When set, every generated token is also pushed here as it is produced
     # (gRPC streaming Decode); a final None marks end-of-stream.
     stream_q: queue.Queue | None = None
+    # prefill attempts so far — transient dispatch failures (observed: the
+    # axon relay throws 'TPU backend error (Internal)' sporadically under
+    # sustained load) retry instead of failing the request
+    attempts: int = 0
 
 
 class Orchestrator:
@@ -67,6 +71,8 @@ class Orchestrator:
             self._pages_total = int(engine.cfg.pagedattn_num_pages) - 1  # null
             self._pages_reserved = np.zeros(engine.num_slots, np.int64)
         self._held_prefix = None  # disaggregated: refused head-of-line prefix
+        self._retry: list[_Request] = []  # prefill-failed requests, re-admitted first
+        self.max_prefill_attempts = 3
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.decode_state = None
@@ -103,8 +109,13 @@ class Orchestrator:
                 self.stats["prefills_total"] += 1
                 prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
                 self.prefix_queue.put((req, prefix, int(np.asarray(first)[0])))
-            except Exception as e:  # noqa: BLE001
-                self._fail(req, e)
+            except Exception as e:  # noqa: BLE001 — bounded retry, as in
+                # the interleaved admission path
+                req.attempts += 1
+                if req.attempts < self.max_prefill_attempts:
+                    self.queue.put(req)
+                else:
+                    self._fail(req, e)
 
     def stop(self):
         self._stop.set()
@@ -180,20 +191,35 @@ class Orchestrator:
                     self._admit(slot, req, prefix, first_tok)
                     admitted = True
                     continue
-                try:
-                    req = self.queue.queue[0]  # peek before committing prefill
-                except IndexError:
-                    break
-                if not self._can_admit(req):
-                    break  # head-of-line waits for pages to free up
-                req = self.queue.get_nowait()
+                if self._retry:
+                    req = self._retry[0]
+                    if not self._can_admit(req):
+                        break
+                    req = self._retry.pop(0)
+                else:
+                    try:
+                        req = self.queue.queue[0]  # peek before committing prefill
+                    except IndexError:
+                        break
+                    if not self._can_admit(req):
+                        break  # head-of-line waits for pages to free up
+                    req = self.queue.get_nowait()
                 try:
                     self.stats["prefills_total"] += 1
                     prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
                     self._admit(slot, req, prefix, int(np.asarray(first)[0]))
                     admitted = True
-                except Exception as e:  # surface engine errors to the caller
-                    self._fail(req, e)
+                except Exception as e:  # noqa: BLE001 — transient dispatch
+                    # failures retry (bounded); persistent ones surface to
+                    # the caller. Break so a decode step (or the idle sleep)
+                    # runs between attempts instead of hammering a wedged
+                    # dispatch path.
+                    req.attempts += 1
+                    if req.attempts < self.max_prefill_attempts:
+                        self._retry.append(req)
+                    else:
+                        self._fail(req, e)
+                    break
 
             if not any(r is not None for r in self.slots):
                 if not admitted:
@@ -452,7 +478,18 @@ def make_server(cfg: Config, port: int | None = None,
                         )
                         self.wfile.flush()
                     except (BrokenPipeError, ConnectionResetError):
-                        break
+                        return
+                # a failed request ends its stream with an explicit error
+                # line — clients must be able to tell a server-side failure
+                # from a short completion
+                if req.error is not None:
+                    try:
+                        self.wfile.write(
+                            json.dumps({"error": req.error}).encode() + b"\n"
+                        )
+                        self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
                 return
             req = orch.submit(prompt, int(body.get("max_new_tokens", 32)))
             req.done.wait(timeout=600)

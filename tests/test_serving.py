@@ -59,6 +59,51 @@ def test_orchestrator_concurrent_requests(engine):
         orch.stop()
 
 
+def test_orchestrator_prefill_retry(engine):
+    """Transient prefill dispatch failures (observed: sporadic 'TPU backend
+    error (Internal)' from the axon relay under load) retry instead of
+    failing the request; persistent failures surface after the bounded
+    attempts."""
+    from maxtext_indextts2_tpu.infer.server import Orchestrator
+
+    calls = {"n": 0}
+    orig = engine.prefill
+
+    def flaky(prompt, true_len):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("TPU backend error (Internal)")
+        return orig(prompt, true_len)
+
+    engine.prefill = flaky
+    orch = Orchestrator(engine)
+    orch.start()
+    try:
+        r = orch.submit(np.array([3, 5, 7], np.int32), 5)
+        assert r.done.wait(timeout=120)
+        assert r.error is None
+        assert len(r.tokens) == 5
+        assert calls["n"] == 3  # two transient failures + the success
+        assert r.tokens == engine.generate_stream(np.array([3, 5, 7], np.int32), 5)
+    finally:
+        orch.stop()
+        engine.prefill = orig
+
+    def always_fails(prompt, true_len):
+        raise RuntimeError("permanently broken")
+
+    engine.prefill = always_fails
+    orch = Orchestrator(engine)
+    orch.start()
+    try:
+        r = orch.submit(np.array([3, 5, 7], np.int32), 5)
+        assert r.done.wait(timeout=120)
+        assert r.error is not None and "permanently broken" in r.error
+    finally:
+        orch.stop()
+        engine.prefill = orig
+
+
 def test_orchestrator_mixed_depth_dispatch(engine):
     """Fusion depth clamps to the minimum remaining tokens across active
     slots (per-dispatch), instead of falling back to single-step mode for
