@@ -82,6 +82,32 @@ def main_rtf():
     )
 
 
+def main_slo():
+    """MTT_BENCH=slo: the full-pipeline serving measurement under poisson
+    /tts load (benchmarks/tts_slo.py) — text -> LM (continuous batching) ->
+    batched S2A -> vocoder, all three stages CONTENDING on one chip. The
+    metric is delivered RTF capacity: audio-seconds synthesized per
+    wall-second at the measured operating point. vs_baseline compares
+    against the 10-streams-per-chip equivalent of the RTF<0.1 north star."""
+    import sys
+
+    import benchmarks.tts_slo as tts_slo
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    args = ["rate=2", "duration=60"] if on_tpu else ["tiny=1"]
+    args += [a for a in sys.argv[1:] if "=" in a]
+    out = tts_slo.run(args)
+    delivered = out.get("delivered_rtf_capacity") or 0.0
+    print(json.dumps({
+        "metric": "tts_slo_delivered_rtf_capacity",
+        "value": delivered,
+        "unit": "audio_seconds_per_wall_second",
+        # north star RTF<0.1/stream = 10 concurrent real-time streams/chip
+        "vs_baseline": round(delivered / 10.0, 3),
+        "detail": out,
+    }))
+
+
 def main():
     from maxtext_indextts2_tpu.config import load_config
     from maxtext_indextts2_tpu.parallel import create_device_mesh
@@ -237,6 +263,17 @@ if __name__ == "__main__":
         mode = os.environ.get("MTT_BENCH", "rtf")
         if mode == "mfu" or "--mfu" in sys.argv:
             main()
+        elif mode == "slo" or "--slo" in sys.argv:
+            try:
+                main_slo()
+            except Exception as e:  # noqa: BLE001 - always emit the JSON line
+                print(json.dumps({
+                    "metric": "tts_slo_delivered_rtf_capacity",
+                    "value": 0.0,
+                    "unit": "audio_seconds_per_wall_second",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": repr(e)[:500]},
+                }))
         else:
             try:
                 main_rtf()

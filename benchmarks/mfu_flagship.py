@@ -53,6 +53,11 @@ TRIALS = (
     + ["per_device_batch_size=8"],
     [o for o in BEST if not o.startswith("per_device_batch_size")]
     + ["per_device_batch_size=2"],
+    # scanned layers: smaller program for the compile helper (unrolled won
+    # +5% at 1B with vocab 8704 — PERF.md — but a 20-layer unrolled program
+    # with the 264k embedding may exceed what the remote helper handles)
+    [o for o in BEST if not o.startswith("scan_layers")]
+    + ["scan_layers=true"],
     # the regime the fused CE replaces: full-logits CE only has a chance at
     # batch 1 (2.2 GB f32 logits) — expected slower or OOM; measured for the
     # PERF.md comparison row
