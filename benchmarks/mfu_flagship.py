@@ -39,25 +39,30 @@ MODEL_FLAGSHIP_VOCAB = [
     "scan_layers=false", "weight_dtype=bfloat16",
 ]
 
+# chunk=1024 measured 98.87 TF/s/chip (50.2% MFU) 2026-08-20; chunk 2048
+# and 4096 crash the remote compile helper (HTTP 500, subprocess exit 1 —
+# per-chunk f32 logits of 2.2/4.3 GB), so 1024 is both the working and the
+# recorded-best setting.
 BEST = MODEL_FLAGSHIP_VOCAB + [
-    "per_device_batch_size=4", "fused_vocab_ce_chunk=2048",
+    "per_device_batch_size=4", "fused_vocab_ce_chunk=1024",
 ]
 
 TRIALS = (
     BEST,
     [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")]
-    + ["fused_vocab_ce_chunk=1024"],
-    [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")]
-    + ["fused_vocab_ce_chunk=4096"],
+    + ["fused_vocab_ce_chunk=512"],
     [o for o in BEST if not o.startswith("per_device_batch_size")]
     + ["per_device_batch_size=8"],
     [o for o in BEST if not o.startswith("per_device_batch_size")]
     + ["per_device_batch_size=2"],
     # scanned layers: smaller program for the compile helper (unrolled won
-    # +5% at 1B with vocab 8704 — PERF.md — but a 20-layer unrolled program
-    # with the 264k embedding may exceed what the remote helper handles)
+    # +5% at 1B with vocab 8704 — PERF.md)
     [o for o in BEST if not o.startswith("scan_layers")]
     + ["scan_layers=true"],
+    # richer remat: +2.7% at 1.28B/vocab-8704 (PERF.md) if it still fits
+    # next to the 264k embedding + optimizer state
+    [o for o in BEST if not o.startswith("remat_policy")]
+    + ["remat_policy=save_attn_and_mlp"],
     # the regime the fused CE replaces: full-logits CE only has a chance at
     # batch 1 (2.2 GB f32 logits) — expected slower or OOM; measured for the
     # PERF.md comparison row

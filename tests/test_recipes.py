@@ -23,6 +23,23 @@ def test_long_running_recipe():
     assert out["checkpoints"] >= 2
 
 
+@pytest.mark.slow
+def test_full_tts_train_recipe_plumbing():
+    """Reduced-size drive of the trained-weights end-to-end loop: all three
+    stages train, the engine decodes semantics from text, S2A + codec
+    produce audio, MCD is scored. The quality gate needs full step counts
+    (recorded pass: lm_sem_accuracy 1.0, MCD == oracle — PERF.md); here we
+    assert the structural contract only."""
+    from benchmarks.recipes import full_tts_train
+
+    out = full_tts_train.run([
+        "codec_steps=30", "s2a_steps=30", "lm_steps=60", "pool=64",
+    ])
+    for key in ("lm_sem_accuracy", "mcd_e2e_db", "mcd_oracle_db", "ok"):
+        assert key in out
+    assert out["mcd_e2e_db"] > 0 and out["mcd_oracle_db"] > 0
+
+
 def test_workload_generator_commands():
     """Workload generation (reference: benchmarks/maxtext_xpk_runner.py):
     commands are well-formed and EVERY tuned model's overrides validate
