@@ -52,6 +52,10 @@ PROD_CFG = [
     "s2a_serving_dtype=int8_offline",
     "s2a_timesteps=(6,1,1,1,1,1,1,1,1,1,1,1)", "s2a_cfg_until=0.5",
     "tts_batch_max=8", "tts_batch_window_ms=200",
+    # through the axon relay each host dispatch costs ~40 ms; fused depth 16
+    # keeps per-stream decode above the 50 Hz token rate (PERF.md load
+    # sweep). Locally-attached hosts can drop this to 4.
+    "serving_steps_per_dispatch=16",
 ]
 TINY_CFG = [
     "decoder_block=tts",
