@@ -39,18 +39,21 @@ MODEL_FLAGSHIP_VOCAB = [
     "scan_layers=false", "weight_dtype=bfloat16",
 ]
 
-# chunk=1024 measured 98.87 TF/s/chip (50.2% MFU) 2026-08-20; chunk 2048
-# and 4096 crash the remote compile helper (HTTP 500, subprocess exit 1 —
-# per-chunk f32 logits of 2.2/4.3 GB), so 1024 is both the working and the
-# recorded-best setting.
+# Measured 2026-08-20 (PERF.md "Flagship-vocab"): chunk 512 @ b4 = 101.8
+# TF/s/chip (51.7% MFU) is the optimum — chunk 256 drops to 92.7 (the
+# [E,V] unembed weights re-read per chunk start to dominate), 1024 gives
+# 98.9, and 2048/4096 crash the remote compile helper (HTTP 500). b8 at
+# chunk 512 matches b4 (101.2); scanned layers cost 5.7%.
 BEST = MODEL_FLAGSHIP_VOCAB + [
-    "per_device_batch_size=4", "fused_vocab_ce_chunk=1024",
+    "per_device_batch_size=4", "fused_vocab_ce_chunk=512",
 ]
 
 TRIALS = (
     BEST,
     [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")]
-    + ["fused_vocab_ce_chunk=512"],
+    + ["fused_vocab_ce_chunk=1024"],
+    [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")]
+    + ["fused_vocab_ce_chunk=256"],
     [o for o in BEST if not o.startswith("per_device_batch_size")]
     + ["per_device_batch_size=8"],
     [o for o in BEST if not o.startswith("per_device_batch_size")]
