@@ -251,20 +251,19 @@ class Orchestrator:
                     self.decode_state, toks = self.engine.generate(self.decode_state)
                     toks_n = np.asarray(toks)[None, :]
             except Exception as e:  # noqa: BLE001 — a dead decode step must
-                # not strand in-flight streams blocked on their stream_q:
-                # fail every admitted request (enqueues the end-of-stream
-                # sentinel + sets done) and start from a fresh decode state.
-                for i, req in enumerate(self.slots):
-                    if req is not None:
-                        self._fail(req, e)
-                        self.slots[i] = None
-                        if self._paged:
-                            self._pages_reserved[i] = 0
-                try:
-                    self.decode_state = self.engine.init_decode_state()
-                except Exception:  # noqa: BLE001 — device unrecoverable:
-                    # fail everything still queued and stop serving instead
-                    # of dying silently with requests stranded
+                # not strand in-flight streams blocked on their stream_q.
+                # The donated decode state is unusable after a failed
+                # dispatch, but the HOST knows everything each stream needs:
+                # prompt + tokens emitted so far. Recovery RESUMES every
+                # active stream by re-prefilling prompt+generated into a
+                # fresh decode state (transient relay errors — observed
+                # 'TPU backend error (Internal)' mid-run — cost one prefill
+                # per active slot instead of mass-killing all in-flight
+                # streams). Streams whose resume prefill also fails are
+                # failed individually.
+                if not self._recover_decode(e):
+                    # device unrecoverable: fail everything still queued and
+                    # stop serving instead of dying silently
                     self._stop.set()
                     while True:
                         try:
@@ -282,6 +281,57 @@ class Orchestrator:
                     self.remaining[i] -= 1
                     if self.remaining[i] <= 0 or (self.eos_id is not None and tok == self.eos_id):
                         self._finish(i)
+
+    def _recover_decode(self, err: Exception) -> bool:
+        """Rebuild the decode state after a failed decode dispatch and
+        RESUME every active stream (prompt + tokens emitted so far are
+        re-prefilled into its slot). Returns False when the device is
+        unrecoverable (init_decode_state itself fails)."""
+        survivors = [
+            (i, req) for i, req in enumerate(self.slots) if req is not None
+        ]
+        self.slots = [None] * self.engine.num_slots
+        if self._paged:
+            self._pages_reserved[:] = 0
+        try:
+            self.decode_state = self.engine.init_decode_state()
+        except Exception:  # noqa: BLE001
+            for _, req in survivors:
+                self._fail(req, err)
+            return False
+        self.stats["decode_recoveries"] = self.stats.get("decode_recoveries", 0) + 1
+        bucket = self.engine.cfg.max_prefill_predict_length
+        for slot, req in survivors:
+            resume = np.concatenate(
+                [req.prompt, np.asarray(req.tokens, np.int32)]
+            )
+            try:
+                if len(resume) <= bucket:
+                    prefix, first = self.engine.prefill(resume, len(resume))
+                else:
+                    prefix, first = self.engine.prefill_chunked(
+                        resume, len(resume), bucket
+                    )
+                # re-admit into the same slot; the prefill's sampled token
+                # IS the stream's next token (greedy resume is exact)
+                self.decode_state = self.engine.insert(
+                    prefix, self.decode_state, slot
+                )
+                self.slots[slot] = req
+                if self._paged:
+                    self._pages_reserved[slot] = self._pages_needed(req)
+                self._emit(req, int(np.asarray(first)[0]))
+                self.remaining[slot] -= 1
+                if self.remaining[slot] <= 0 or (
+                    self.eos_id is not None and req.tokens[-1] == self.eos_id
+                ):
+                    self._finish(slot)
+            except Exception as e2:  # noqa: BLE001 — this stream only
+                self.slots[slot] = None
+                if self._paged:
+                    self._pages_reserved[slot] = 0
+                self._fail(req, e2)
+        return True
 
     def _finish(self, slot: int):
         req = self.slots[slot]

@@ -146,6 +146,52 @@ def test_orchestrator_mixed_depth_dispatch(engine):
         engine.generate, engine.generate_n = orig_generate, orig_generate_n
 
 
+def test_orchestrator_decode_failure_resumes_streams(engine):
+    """A failed decode dispatch (transient relay error) must NOT kill the
+    in-flight streams: the orchestrator rebuilds the decode state and
+    resumes every active stream by re-prefilling prompt + tokens-so-far.
+    Greedy output must be EXACTLY what an uninterrupted decode produces."""
+    from maxtext_indextts2_tpu.infer.server import Orchestrator
+
+    state = {"dispatches": 0, "failed": False}
+    orig_generate, orig_generate_n = engine.generate, engine.generate_n
+
+    def maybe_fail():
+        state["dispatches"] += 1
+        if state["dispatches"] == 3 and not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("TPU backend error (Internal)")
+
+    def gen(s):
+        maybe_fail()
+        return orig_generate(s)
+
+    def gen_n(s, n):
+        maybe_fail()
+        return orig_generate_n(s, n)
+
+    engine.generate, engine.generate_n = gen, gen_n
+    orch = Orchestrator(engine, steps_per_dispatch=2)
+    orch.start()
+    try:
+        reqs = [
+            orch.submit(np.array([3, 5, 7], np.int32), 12),
+            orch.submit(np.array([11, 13], np.int32), 12),
+        ]
+        for r in reqs:
+            assert r.done.wait(timeout=120)
+            assert r.error is None, r.error
+            assert len(r.tokens) == 12
+        assert state["failed"], "the injected failure never fired"
+        assert orch.stats.get("decode_recoveries") == 1
+    finally:
+        orch.stop()
+        engine.generate, engine.generate_n = orig_generate, orig_generate_n
+    # greedy parity with uninterrupted decode
+    assert reqs[0].tokens == engine.generate_stream(np.array([3, 5, 7], np.int32), 12)
+    assert reqs[1].tokens == engine.generate_stream(np.array([11, 13], np.int32), 12)
+
+
 def test_http_server_roundtrip(engine):
     from http.server import ThreadingHTTPServer
 
