@@ -227,19 +227,20 @@ class Orchestrator:
                 continue
 
             # amortize dispatch overhead: fuse several decode steps into one
-            # jit dispatch. Depth is clamped to the MINIMUM remaining tokens
-            # across active slots (mixed-depth dispatch): a near-finish slot
-            # shrinks THIS dispatch instead of forcing single-step mode for
-            # the whole batch until it drains — the old global toggle starved
-            # tails at spd=16 (366/486 completed, PERF.md load sweep). Depths
-            # round down to powers of two so the per-n jitted scan cache
-            # stays bounded (log2(spd)+1 programs, not one per count). With
-            # eos_id set, a slot can finish mid-dispatch: the overshoot is
-            # bounded by n-1 wasted device steps (emission already stops at
-            # eos; release_slot resets the slot's pos).
+            # jit dispatch. Slots finish MID-dispatch on the host side — the
+            # emission loop below stops at each request's remaining count
+            # (or eos) and frees the slot; the device decodes a finished
+            # slot's garbage for at most n-1 steps (<1% of slot-steps at 128
+            # slots) and release_slot resets it. This keeps depth at spd
+            # under steady load — clamping to the MINIMUM remaining (tried
+            # first) collapses depth whenever any of ~50 staggered streams
+            # nears its finish, and single-step-when-any-finishes (the
+            # original) starved tails outright (366/486, PERF.md). Depth
+            # only shrinks in drain-out (max remaining < spd), rounded to
+            # powers of two so the per-n jitted scan cache stays bounded.
             active = [i for i, r in enumerate(self.slots) if r is not None]
             n = int(min(self.steps_per_dispatch,
-                        max(1, min(self.remaining[i] for i in active))))
+                        max(1, max(self.remaining[i] for i in active))))
             n = 1 << (n.bit_length() - 1)
             try:
                 if n > 1:

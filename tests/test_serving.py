@@ -105,10 +105,11 @@ def test_orchestrator_prefill_retry(engine):
 
 
 def test_orchestrator_mixed_depth_dispatch(engine):
-    """Fusion depth clamps to the minimum remaining tokens across active
-    slots (per-dispatch), instead of falling back to single-step mode for
-    the whole batch whenever any slot nears its finish — the tail-starvation
-    bug behind the 366/486 spd=16 load-sweep row (PERF.md)."""
+    """Fused dispatch stays deep while streams finish mid-dispatch: slots
+    free exactly at their remaining count (host-side emission clamping),
+    depths are powers of two <= spd, and mixed-length requests complete
+    exactly — the tail-starvation bug behind the 366/486 spd=16 load-sweep
+    row (PERF.md) forced single-step mode instead."""
     from maxtext_indextts2_tpu.infer.server import Orchestrator
 
     depths: list[int] = []
