@@ -48,8 +48,21 @@ BEST = MODEL_FLAGSHIP_VOCAB + [
     "per_device_batch_size=4", "fused_vocab_ce_chunk=512",
 ]
 
+# round-3 candidate: vocab-STREAMING fused CE (custom VJP, vocab-outer
+# tiles — the unembed kernel moves through HBM O(1) times per step and dW
+# is written once per tile instead of the chunked variant's per-chunk
+# [E,V] f32 grad rewrite). Tile chooser picks 6144 (= 264192/43) at 8192.
+STREAMING = [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")] + [
+    "fused_vocab_ce_tile=8192",
+]
+
 TRIALS = (
     BEST,
+    STREAMING,
+    [o for o in STREAMING if not o.startswith("fused_vocab_ce_tile")]
+    + ["fused_vocab_ce_tile=2048"],
+    [o for o in STREAMING if not o.startswith("per_device_batch_size")]
+    + ["per_device_batch_size=8"],
     [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")]
     + ["fused_vocab_ce_chunk=1024"],
     [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")]
@@ -75,7 +88,11 @@ TRIALS = (
 
 
 def main():
-    trials = TRIALS[:1] if "--best" in sys.argv else TRIALS
+    trials = TRIALS
+    if "--best" in sys.argv:
+        trials = TRIALS[:1]
+    elif "--streaming" in sys.argv:
+        trials = TRIALS[1:4]
     for ov in trials:
         try:
             print(json.dumps(train_trial(ov)), flush=True)

@@ -100,9 +100,12 @@ def run(argv=None) -> dict:
     # pad_to_batch means the batch dim never re-compiles.
     w16 = np.zeros(int(16_000 * prompt_s), np.float32)
     w24 = np.zeros(int(24_000 * prompt_s), np.float32)
+    # force_frames: every stream carries its full frame budget (random LM
+    # weights would otherwise emit a terminating id within a few tokens and
+    # the measured load would be a fraction of the offered one)
     body = {"text": "hi" if tiny else "benchmark sentence for the serving harness",
             "prompt_wav_16k": w16.tolist(), "prompt_wav_24k": w24.tolist(),
-            "max_new_tokens": gen_tokens}
+            "max_new_tokens": gen_tokens, "force_frames": True}
     t0 = time.perf_counter()
     pipeline.synthesize_batch([dict(body)], pad_to_batch=cfg.tts_batch_max)
     print(f"[tts_slo] warmup compile {time.perf_counter() - t0:.1f}s",
@@ -167,7 +170,9 @@ def run(argv=None) -> dict:
         "gen_tokens": gen_tokens,
         "completed": len(done),
         "total": len(records),
+        "error_count": len(errors),
         "errors": errors[:3],
+        "decode_recoveries": orch.stats.get("decode_recoveries", 0),
         "e2e_s": _percentiles([r["e2e"] for r in done]),
         "audio_seconds_delivered": round(audio_s, 1),
         "delivered_rtf_capacity": round(audio_s / wall, 2),

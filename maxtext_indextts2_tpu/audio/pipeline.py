@@ -30,6 +30,7 @@ from maxtext_indextts2_tpu.config import Config
 from maxtext_indextts2_tpu.infer.engine import Engine
 from maxtext_indextts2_tpu.train.data.audio_iterator import _default_mapping
 from maxtext_indextts2_tpu.train.data.tokenizer import build_tokenizer
+from maxtext_indextts2_tpu.utils.dispatch_lock import device_dispatch
 from maxtext_indextts2_tpu.vocab.mapping import AudioVocabMapping
 
 
@@ -211,13 +212,25 @@ class TTSPipeline:
         ids += [m.audio_to_embedding(int(a)) for a in prompt_semantic]
         return np.asarray(ids, np.int32)
 
-    def map_semantic(self, out_embedding_ids: list[int]) -> list[int]:
-        """LM embedding ids -> audio ids, stopping at the first non-audio."""
+    def map_semantic(
+        self, out_embedding_ids: list[int], force_frames: bool = False
+    ) -> list[int]:
+        """LM embedding ids -> audio ids, stopping at the first non-audio.
+
+        ``force_frames`` is a load-testing knob (benchmarks/tts_slo.py):
+        non-audio ids are folded into the codebook instead of terminating,
+        so every stream carries its full requested frame budget even with
+        random LM weights — serving latency/throughput are shape-determined,
+        and an untrained LM would otherwise emit a terminating id within a
+        few tokens, making the measured load a fraction of the offered one.
+        """
         audio_ids = []
         for e in out_embedding_ids:
             a = int(self._e2a[e]) if 0 <= e < len(self._e2a) else -1
             if a < 0 or a >= self.mapping.codebook_size:
-                break  # EOS / non-audio token terminates generation
+                if not force_frames:
+                    break  # EOS / non-audio token terminates generation
+                a = abs(int(e)) % self.mapping.codebook_size
             audio_ids.append(a)
         return audio_ids
 
@@ -302,19 +315,22 @@ class TTSPipeline:
         window collected — without it, every distinct arrival-batch size
         triggers a multi-minute sampler compile mid-serving.
         """
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
         hop = int(np.prod(self.codec.strides))
         t0 = time.perf_counter()
 
         sems, acs = [], []
-        for r in requests:
-            w16 = np.asarray(r["prompt_wav_16k"], np.float32)
-            sem, sem_len = self.semantic_tokenizer.tokenize(w16[None])
-            sem = np.asarray(sem)[0, : int(np.asarray(sem_len)[0])]
-            sems.append(sem)
-            w24 = np.asarray(r["prompt_wav_24k"], np.float32)
-            ac = self._jit_tok(self.codec_params, jnp.asarray(w24)[None])
-            acs.append(jnp.transpose(ac, (1, 2, 0))[0])  # [P_i, Q]
+        with device_dispatch():
+            # PRNGKey is itself a device computation — it must not race the
+            # orchestrator's decode dispatches either
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            for r in requests:
+                w16 = np.asarray(r["prompt_wav_16k"], np.float32)
+                sem, sem_len = self.semantic_tokenizer.tokenize(w16[None])
+                sem = np.asarray(sem)[0, : int(np.asarray(sem_len)[0])]
+                sems.append(sem)
+                w24 = np.asarray(r["prompt_wav_24k"], np.float32)
+                ac = self._jit_tok(self.codec_params, jnp.asarray(w24)[None])
+                acs.append(np.asarray(jnp.transpose(ac, (1, 2, 0))[0]))  # [P_i, Q]
         t1 = time.perf_counter()
         lm_prompts = [
             self.text_and_prompt_to_lm_prompt(r["text"], sem)
@@ -322,11 +338,15 @@ class TTSPipeline:
         ]
         mnts = [int(r.get("max_new_tokens", 256)) for r in requests]
         if generate_fn is None:
-            outs = [self.engine.generate_stream(pr, m)
-                    for pr, m in zip(lm_prompts, mnts)]
+            with device_dispatch():
+                outs = [self.engine.generate_stream(pr, m)
+                        for pr, m in zip(lm_prompts, mnts)]
         else:
             outs = generate_fn(lm_prompts, mnts)
-        gens = [self.map_semantic(o) for o in outs]
+        gens = [
+            self.map_semantic(o, force_frames=bool(r.get("force_frames")))
+            for o, r in zip(outs, requests)
+        ]
         t2 = time.perf_counter()
 
         b = len(requests)
@@ -353,14 +373,16 @@ class TTSPipeline:
         x_mask[b:, 0] = 1
         p_mask[b:, 0] = 1
 
-        acoustic = self._jit_s2a_masked(
-            self.s2a_params, jnp.asarray(cond), jnp.asarray(prompt), rng,
-            jnp.asarray(x_mask), jnp.asarray(p_mask),
-        )
-        t3 = time.perf_counter()
-        wavs = np.asarray(
-            self._jit_detok(self.codec_params, jnp.transpose(acoustic, (2, 0, 1)))
-        )
+        with device_dispatch():
+            acoustic = self._jit_s2a_masked(
+                self.s2a_params, jnp.asarray(cond), jnp.asarray(prompt), rng,
+                jnp.asarray(x_mask), jnp.asarray(p_mask),
+            )
+            acoustic.block_until_ready()
+            t3 = time.perf_counter()
+            wavs = np.asarray(
+                self._jit_detok(self.codec_params, jnp.transpose(acoustic, (2, 0, 1)))
+            )
         t4 = time.perf_counter()
 
         out = []

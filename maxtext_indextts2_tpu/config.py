@@ -66,6 +66,11 @@ class Config:
     # logits never materialize (essential at the flagship's 264k vocab —
     # full f32 logits at b4/s2048 are 8.6 GB). 0 = classic full-logits CE.
     fused_vocab_ce_chunk: int = 0
+    # vocab-STREAMING fused CE (ops/losses.py streaming_unembed_cross_entropy):
+    # >0 = max vocab-tile width; loops over vocab tiles with all rows resident
+    # so the unembed kernel moves through HBM a constant number of times and
+    # dW is written once per tile. Takes precedence over fused_vocab_ce_chunk.
+    fused_vocab_ce_tile: int = 0
     normalize_embedding_logits: bool = True
     logits_dot_in_fp32: bool = False
     cast_logits_to_fp32: bool = True

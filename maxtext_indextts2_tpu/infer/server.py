@@ -23,6 +23,7 @@ import numpy as np
 
 from maxtext_indextts2_tpu.config import Config
 from maxtext_indextts2_tpu.infer.engine import Engine
+from maxtext_indextts2_tpu.utils.dispatch_lock import device_dispatch
 
 
 @dataclass
@@ -72,7 +73,7 @@ class Orchestrator:
             self._pages_reserved = np.zeros(engine.num_slots, np.int64)
         self._held_prefix = None  # disaggregated: refused head-of-line prefix
         self._retry: list[_Request] = []  # prefill-failed requests, re-admitted first
-        self.max_prefill_attempts = 3
+        self.max_prefill_attempts = 6
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.decode_state = None
@@ -107,8 +108,10 @@ class Orchestrator:
                 continue
             try:
                 self.stats["prefills_total"] += 1
-                prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
-                self.prefix_queue.put((req, prefix, int(np.asarray(first)[0])))
+                with device_dispatch():
+                    prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
+                    first_tok = int(np.asarray(first)[0])
+                self.prefix_queue.put((req, prefix, first_tok))
             except Exception as e:  # noqa: BLE001 — bounded retry, as in
                 # the interleaved admission path
                 req.attempts += 1
@@ -206,8 +209,10 @@ class Orchestrator:
                     req = self.queue.get_nowait()
                 try:
                     self.stats["prefills_total"] += 1
-                    prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
-                    self._admit(slot, req, prefix, int(np.asarray(first)[0]))
+                    with device_dispatch():
+                        prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
+                        first_tok = int(np.asarray(first)[0])
+                        self._admit(slot, req, prefix, first_tok)
                     admitted = True
                 except Exception as e:  # noqa: BLE001 — transient dispatch
                     # failures retry (bounded); persistent ones surface to
@@ -243,14 +248,17 @@ class Orchestrator:
                         max(1, max(self.remaining[i] for i in active))))
             n = 1 << (n.bit_length() - 1)
             try:
-                if n > 1:
-                    self.decode_state, toks_n = self.engine.generate_n(
-                        self.decode_state, n
-                    )
-                    toks_n = np.asarray(toks_n)  # [n, slots]
-                else:
-                    self.decode_state, toks = self.engine.generate(self.decode_state)
-                    toks_n = np.asarray(toks)[None, :]
+                with device_dispatch():
+                    if n > 1:
+                        self.decode_state, toks_n = self.engine.generate_n(
+                            self.decode_state, n
+                        )
+                        toks_n = np.asarray(toks_n)  # [n, slots]
+                    else:
+                        self.decode_state, toks = self.engine.generate(
+                            self.decode_state
+                        )
+                        toks_n = np.asarray(toks)[None, :]
             except Exception as e:  # noqa: BLE001 — a dead decode step must
                 # not strand in-flight streams blocked on their stream_q.
                 # The donated decode state is unusable after a failed
@@ -295,7 +303,8 @@ class Orchestrator:
         if self._paged:
             self._pages_reserved[:] = 0
         try:
-            self.decode_state = self.engine.init_decode_state()
+            with device_dispatch():
+                self.decode_state = self.engine.init_decode_state()
         except Exception:  # noqa: BLE001
             for _, req in survivors:
                 self._fail(req, err)
@@ -307,21 +316,24 @@ class Orchestrator:
                 [req.prompt, np.asarray(req.tokens, np.int32)]
             )
             try:
-                if len(resume) <= bucket:
-                    prefix, first = self.engine.prefill(resume, len(resume))
-                else:
-                    prefix, first = self.engine.prefill_chunked(
-                        resume, len(resume), bucket
+                with device_dispatch():
+                    if len(resume) <= bucket:
+                        prefix, first = self.engine.prefill(resume, len(resume))
+                    else:
+                        prefix, first = self.engine.prefill_chunked(
+                            resume, len(resume), bucket
+                        )
+                    # re-admit into the same slot; the prefill's sampled
+                    # token IS the stream's next token (greedy resume is
+                    # exact)
+                    self.decode_state = self.engine.insert(
+                        prefix, self.decode_state, slot
                     )
-                # re-admit into the same slot; the prefill's sampled token
-                # IS the stream's next token (greedy resume is exact)
-                self.decode_state = self.engine.insert(
-                    prefix, self.decode_state, slot
-                )
+                    first_tok = int(np.asarray(first)[0])
                 self.slots[slot] = req
                 if self._paged:
                     self._pages_reserved[slot] = self._pages_needed(req)
-                self._emit(req, int(np.asarray(first)[0]))
+                self._emit(req, first_tok)
                 self.remaining[slot] -= 1
                 if self.remaining[slot] <= 0 or (
                     self.eos_id is not None and req.tokens[-1] == self.eos_id
@@ -340,7 +352,8 @@ class Orchestrator:
         # mark the slot inactive device-side (stops pos advance) and, in
         # paged mode, return its pages to the pool immediately — otherwise a
         # finished slot holds (and in decode keeps growing) pages until reuse
-        self.decode_state = self.engine.release_slot(self.decode_state, slot)
+        with device_dispatch():
+            self.decode_state = self.engine.release_slot(self.decode_state, slot)
         if self._paged:
             self._pages_reserved[slot] = 0
         if req is not None:

@@ -12,6 +12,8 @@ from drifting and stabilizing bf16 training.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -148,6 +150,166 @@ def chunked_unembed_cross_entropy(
     loss_sum, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (yc, tc, wc))
     denom = jnp.maximum(jnp.sum(wf), 1e-6)
     return loss_sum / denom, denom
+
+
+def _pick_vocab_tile(v: int, max_tile: int) -> int:
+    """Largest lane-aligned divisor of ``v`` that is <= max_tile (falls back
+    to the whole vocab when none exists — streaming degenerates to one tile)."""
+    for t in range(min(v, max_tile), 127, -1):
+        if v % t == 0 and t % 128 == 0:
+            return t
+    return v
+
+
+def streaming_unembed_cross_entropy(
+    y: jax.Array,
+    kernel: jax.Array,
+    targets: jax.Array,
+    weights: jax.Array,
+    z_loss: float = 0.0,
+    max_tile: int = 8192,
+    soft_cap: float = 0.0,
+    scale: float = 1.0,
+    compute_dtype=None,
+) -> tuple[jax.Array, jax.Array]:
+    """Vocab-STREAMING fused unembed+CE: same contract as
+    chunked_unembed_cross_entropy, restructured so the unembed matrix moves
+    through HBM a constant number of times per step.
+
+    The chunked variant scans ROW chunks with the kernel closed over as a
+    scan constant — its AD re-reads the full [E,V] kernel every chunk and,
+    worse, accumulates dW by rewriting the whole [E,V] f32 gradient buffer
+    once per chunk (~4.3 GB of HBM traffic per chunk at the flagship's
+    264k vocab). Here the loop runs over VOCAB tiles with all rows resident:
+    the forward reads each kernel tile once (online log-sum-exp across
+    tiles, flash-attention-style rescaling); the custom backward recomputes
+    each tile's logits from the saved per-row lse, writes that tile's dW
+    exactly once (dynamic_update_slice into the carry — in-place under XLA),
+    and accumulates only the small [N,E] dy carry. Reference regime anchor:
+    MaxText materializes full logits (maxtext_utils.py:475 counts the
+    unembed flops; vocab_expansion/ is the 264k regime).
+
+    Args/returns: identical to chunked_unembed_cross_entropy, with
+    ``max_tile`` bounding the [N, tile] transient instead of ``chunk``.
+    """
+    b, s, e = y.shape
+    n = b * s
+    yf = y.reshape(n, e)
+    tf = targets.reshape(n).astype(jnp.int32)
+    wf = weights.reshape(n).astype(jnp.float32)
+    dt = compute_dtype or y.dtype
+    v = kernel.shape[1]
+    vt = _pick_vocab_tile(v, max_tile)
+    loss_sum = _stream_ce(yf, kernel, tf, wf, z_loss, vt, soft_cap, scale, dt)
+    denom = jnp.maximum(jnp.sum(wf), 1e-6)
+    return loss_sum / denom, denom
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _stream_ce(yf, kernel, tf, wf, z_loss, vt, soft_cap, scale, dt):
+    loss_sum, _ = _stream_ce_fwd_impl(
+        yf, kernel, tf, wf, z_loss, vt, soft_cap, scale, dt
+    )
+    return loss_sum
+
+
+def _tile_logits(yf, kernel, i, vt, soft_cap, scale, dt):
+    wt = jax.lax.dynamic_slice_in_dim(kernel, i * vt, vt, axis=1)
+    logits = jnp.dot(
+        yf.astype(dt), wt.astype(dt), preferred_element_type=jnp.float32
+    )
+    if scale != 1.0:
+        logits = logits * scale
+    if soft_cap > 0.0:
+        logits = soft_cap * jnp.tanh(logits / soft_cap)
+    return wt, logits
+
+
+def _stream_ce_fwd_impl(yf, kernel, tf, wf, z_loss, vt, soft_cap, scale, dt):
+    n = yf.shape[0]
+    v = kernel.shape[1]
+    num_tiles = v // vt
+
+    def body(i, carry):
+        m, l, tgt = carry
+        _, logits = _tile_logits(yf, kernel, i, vt, soft_cap, scale, dt)
+        tile_max = jnp.max(logits, axis=-1)
+        m_new = jnp.maximum(m, tile_max)
+        l = l * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(logits - m_new[:, None]), axis=-1
+        )
+        loc = tf - i * vt
+        inb = (loc >= 0) & (loc < vt)
+        tl = jnp.take_along_axis(
+            logits, jnp.clip(loc, 0, vt - 1)[:, None], axis=-1
+        )[:, 0]
+        tgt = jnp.where(inb, tl, tgt)
+        return m_new, l, tgt
+
+    init = (
+        jnp.full((n,), -jnp.inf, jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+    )
+    m, l, tgt = jax.lax.fori_loop(0, num_tiles, body, init)
+    lse = jnp.log(l) + m
+    ce = lse - tgt
+    total = ce + z_loss * jnp.square(lse)
+    return jnp.sum(total * wf), lse
+
+
+def _stream_ce_fwd(yf, kernel, tf, wf, z_loss, vt, soft_cap, scale, dt):
+    loss_sum, lse = _stream_ce_fwd_impl(
+        yf, kernel, tf, wf, z_loss, vt, soft_cap, scale, dt
+    )
+    return loss_sum, (yf, kernel, tf, wf, lse)
+
+
+def _stream_ce_bwd(z_loss, vt, soft_cap, scale, dt, res, g):
+    yf, kernel, tf, wf, lse = res
+    n, e = yf.shape
+    v = kernel.shape[1]
+    num_tiles = v // vt
+    # d total/d logits_j = coef * (p_j * (1 + 2*z*lse) - onehot_j)
+    coef = (wf * g).astype(jnp.float32)
+    pz = coef * (1.0 + 2.0 * z_loss * lse)
+
+    def body(i, carry):
+        dy, dw = carry
+        wt, logits = _tile_logits(yf, kernel, i, vt, soft_cap, scale, dt)
+        p = jnp.exp(logits - lse[:, None])
+        dlog = p * pz[:, None]
+        loc = tf - i * vt
+        inb = (loc >= 0) & (loc < vt)
+        onehot_rows = jnp.where(inb, coef, 0.0)
+        dlog = dlog.at[
+            jnp.arange(n), jnp.clip(loc, 0, vt - 1)
+        ].add(-onehot_rows)
+        if soft_cap > 0.0:
+            dlog = dlog * (1.0 - jnp.square(logits / soft_cap))
+        if scale != 1.0:
+            dlog = dlog * scale
+        dlog_c = dlog.astype(dt)
+        dy = dy + jnp.dot(
+            dlog_c, wt.astype(dt).T, preferred_element_type=jnp.float32
+        )
+        dwt = jnp.dot(
+            yf.astype(dt).T, dlog_c, preferred_element_type=jnp.float32
+        )
+        dw = jax.lax.dynamic_update_slice_in_dim(
+            dw, dwt.astype(dw.dtype), i * vt, axis=1
+        )
+        return dy, dw
+
+    init = (
+        jnp.zeros((n, e), jnp.float32),
+        jnp.zeros((e, v), kernel.dtype),
+    )
+    dy, dw = jax.lax.fori_loop(0, num_tiles, body, init)
+    return dy.astype(yf.dtype), dw, None, None
+
+
+_stream_ce.defvjp(_stream_ce_fwd, _stream_ce_bwd)
 
 
 def masked_cross_entropy(

@@ -109,7 +109,9 @@ def setup_train_state(
 
 
 def loss_fn(model: Transformer, cfg: Config, params, batch, rng, is_train: bool = True):
-    fused_ce = cfg.fused_vocab_ce_chunk > 0 and is_train
+    fused_ce = (
+        cfg.fused_vocab_ce_chunk > 0 or cfg.fused_vocab_ce_tile > 0
+    ) and is_train
     out, mutables = model.apply(
         {"params": params},
         batch["inputs"],
@@ -138,14 +140,25 @@ def loss_fn(model: Transformer, cfg: Config, params, batch, rng, is_train: bool 
         else:
             kernel = params["logits_dense"]["kernel"]
             scale = 1.0
-        loss, total_weights = chunked_unembed_cross_entropy(
-            out, kernel, batch["targets"], weights,
-            z_loss=cfg.z_loss_weight, chunk=cfg.fused_vocab_ce_chunk,
-            soft_cap=cfg.final_logits_soft_cap, scale=scale,
-            compute_dtype=(
-                jnp.float32 if cfg.logits_dot_in_fp32 else jnp.dtype(cfg.dtype)
-            ),
-        )
+        ce_dt = jnp.float32 if cfg.logits_dot_in_fp32 else jnp.dtype(cfg.dtype)
+        if cfg.fused_vocab_ce_tile > 0:
+            from maxtext_indextts2_tpu.ops.losses import (
+                streaming_unembed_cross_entropy,
+            )
+
+            loss, total_weights = streaming_unembed_cross_entropy(
+                out, kernel, batch["targets"], weights,
+                z_loss=cfg.z_loss_weight, max_tile=cfg.fused_vocab_ce_tile,
+                soft_cap=cfg.final_logits_soft_cap, scale=scale,
+                compute_dtype=ce_dt,
+            )
+        else:
+            loss, total_weights = chunked_unembed_cross_entropy(
+                out, kernel, batch["targets"], weights,
+                z_loss=cfg.z_loss_weight, chunk=cfg.fused_vocab_ce_chunk,
+                soft_cap=cfg.final_logits_soft_cap, scale=scale,
+                compute_dtype=ce_dt,
+            )
     else:
         loss, total_weights = masked_cross_entropy(
             out, batch["targets"], weights, cfg.z_loss_weight

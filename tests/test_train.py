@@ -99,6 +99,61 @@ def test_fused_vocab_ce_trains():
     assert metrics["loss"] < 7.0
 
 
+def test_streaming_vocab_ce_matches_full_logits():
+    """streaming_unembed_cross_entropy (vocab-outer tiles, custom VJP) ==
+    full-logits masked CE in value AND gradient, incl. tied embedding,
+    soft-cap, z-loss, and a max_tile that does not divide the vocab (the
+    tile chooser falls back to a lane-aligned divisor)."""
+    import jax.numpy as jnp
+
+    from maxtext_indextts2_tpu.train.data.synthetic import SyntheticDataIterator
+    from maxtext_indextts2_tpu.train.train import loss_fn
+
+    for extra in (
+        ["logits_via_embedding=false"],
+        ["logits_via_embedding=true"],
+        ["logits_via_embedding=false", "final_logits_soft_cap=30.0"],
+    ):
+        cfg_full = load_config(SMALL + ["dtype=float32", "weight_dtype=float32",
+                                        "z_loss_weight=1e-4"] + extra)
+        mesh = create_device_mesh(cfg_full)
+        model = Transformer(cfg=cfg_full, mesh=mesh)
+        state, _ = setup_train_state(cfg_full, model, mesh, jax.random.PRNGKey(0))
+        batch = next(SyntheticDataIterator(cfg_full))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        rng = jax.random.PRNGKey(3)
+
+        def loss_only(params, cfg):
+            m = Transformer(cfg=cfg, mesh=mesh)
+            loss, _ = loss_fn(m, cfg, params, batch, rng)
+            return loss
+
+        full_loss, full_grad = jax.value_and_grad(loss_only)(
+            state.params, cfg_full)
+        for tile in (128, 200):  # 200 is not lane-aligned -> chooser picks 128
+            cfg_f = load_config(
+                SMALL + ["dtype=float32", "weight_dtype=float32",
+                         "z_loss_weight=1e-4",
+                         f"fused_vocab_ce_tile={tile}"] + extra)
+            f_loss, f_grad = jax.value_and_grad(loss_only)(
+                state.params, cfg_f)
+            np.testing.assert_allclose(
+                np.asarray(f_loss), np.asarray(full_loss), rtol=2e-6,
+                err_msg=f"{extra} tile={tile}")
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6),
+                f_grad, full_grad,
+            )
+
+
+def test_streaming_vocab_ce_trains():
+    cfg = load_config(SMALL + ["fused_vocab_ce_tile=128"])
+    metrics = train_loop(cfg)
+    assert np.isfinite(metrics["loss"])
+    assert metrics["loss"] < 7.0
+
+
 def test_train_fsdp_tp_sharded():
     cfg = load_config(SMALL + ["ici_fsdp_parallelism=4", "ici_tensor_parallelism=2"])
     mesh = create_device_mesh(cfg)
