@@ -314,6 +314,18 @@ class Engine:
         }
         return prefix, first_token
 
+    def refresh_prefill(self):
+        """Drop cached prefill executables so the next call re-jits.
+
+        Relay-failure recovery: a wedged runtime channel can leave one loaded
+        executable persistently erroring ('TPU backend error (Internal)')
+        while every other program on the chip keeps working — observed in
+        the full-pipeline serving bench (decode + S2A fine, prefill dead).
+        Re-jitting loads a fresh executable; the persistent compile cache
+        makes it cheap."""
+        self._p_prefill = None
+        self._p_prefill_chunk = None
+
     def prefill(self, tokens: np.ndarray, true_length: int,
                 vision_embeddings=None):
         """Host API: pad to the prefill bucket and run the jitted prefill."""

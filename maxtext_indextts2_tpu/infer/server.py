@@ -74,6 +74,7 @@ class Orchestrator:
         self._held_prefix = None  # disaggregated: refused head-of-line prefix
         self._retry: list[_Request] = []  # prefill-failed requests, re-admitted first
         self.max_prefill_attempts = 6
+        self._prefill_fail_streak = 0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.decode_state = None
@@ -214,11 +215,22 @@ class Orchestrator:
                         first_tok = int(np.asarray(first)[0])
                         self._admit(slot, req, prefix, first_tok)
                     admitted = True
+                    self._prefill_fail_streak = 0
                 except Exception as e:  # noqa: BLE001 — transient dispatch
                     # failures retry (bounded); persistent ones surface to
                     # the caller. Break so a decode step (or the idle sleep)
                     # runs between attempts instead of hammering a wedged
                     # dispatch path.
+                    self._prefill_fail_streak += 1
+                    if self._prefill_fail_streak >= 2:
+                        # repeated failures while decode keeps working =
+                        # poisoned prefill executable (engine.refresh_prefill
+                        # docstring); reload a fresh one before retrying
+                        self.engine.refresh_prefill()
+                        self.stats["prefill_refreshes"] = (
+                            self.stats.get("prefill_refreshes", 0) + 1
+                        )
+                        self._prefill_fail_streak = 0
                     req.attempts += 1
                     if req.attempts < self.max_prefill_attempts:
                         self._retry.append(req)
@@ -386,6 +398,21 @@ class _TTSRequest:
     error: str | None = None
 
 
+class _PartialLMFailure(RuntimeError):
+    """Some (not necessarily all) streams of a batched LM generation failed.
+
+    ``tokens`` is aligned with the submitted batch: a token list per
+    succeeded stream, None per failed one. ``errors`` collects the failure
+    strings."""
+
+    def __init__(self, tokens, errors):
+        super().__init__(f"LM generation failed for "
+                         f"{sum(t is None for t in tokens)}/{len(tokens)} "
+                         f"streams: {errors[0] if errors else ''}")
+        self.tokens = tokens
+        self.errors = errors
+
+
 class TTSBatcher:
     """Collect /tts requests into one masked S2A pass.
 
@@ -410,16 +437,20 @@ class TTSBatcher:
     def _generate_via_orch(self, lm_prompts, max_tokens):
         """Stage-1 LM generation through the continuous-batching
         orchestrator: the whole batch shares decode slots instead of
-        generating serially."""
+        generating serially. A failed stream raises _PartialLMFailure so
+        the batcher can fail THAT request and still synthesize the rest —
+        without it one poisoned prefill kills a whole S2A batch."""
         reqs = [
             self.orch.submit(np.asarray(p, np.int32), int(m))
             for p, m in zip(lm_prompts, max_tokens)
         ]
         for r in reqs:
             r.done.wait(timeout=600)
-        for r in reqs:
-            if r.error is not None:
-                raise RuntimeError(f"LM generation failed: {r.error}")
+        if any(r.error is not None for r in reqs):
+            raise _PartialLMFailure(
+                tokens=[None if r.error is not None else r.tokens for r in reqs],
+                errors=[str(r.error) for r in reqs if r.error is not None],
+            )
         return [r.tokens for r in reqs]
 
     def start(self):
@@ -460,6 +491,29 @@ class TTSBatcher:
                 )
                 for req, res in zip(batch, results):
                     req.result = res
+            except _PartialLMFailure as e:
+                # fail only the broken streams; the survivors re-run with
+                # their ALREADY-GENERATED tokens (the frontend recompute is
+                # deterministic and cheap next to a wasted S2A pass)
+                survivors, cached = [], []
+                for req, toks in zip(batch, e.tokens):
+                    if toks is None:
+                        req.error = f"{type(e).__name__}: {e}"
+                    else:
+                        survivors.append(req)
+                        cached.append(toks)
+                if survivors:
+                    try:
+                        results = self.pipeline.synthesize_batch(
+                            [r.body for r in survivors],
+                            generate_fn=lambda p, m: cached,
+                            pad_to_batch=self.max_batch,
+                        )
+                        for req, res in zip(survivors, results):
+                            req.result = res
+                    except Exception as e2:  # noqa: BLE001
+                        for req in survivors:
+                            req.error = f"{type(e2).__name__}: {e2}"
             except Exception as e:  # noqa: BLE001 - surface to every caller
                 for req in batch:
                     req.error = f"{type(e).__name__}: {e}"

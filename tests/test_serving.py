@@ -298,6 +298,89 @@ def test_tts_batcher_lm_via_orchestrator(engine):
         orch.stop()
 
 
+def test_tts_batcher_partial_lm_failure_isolated(engine):
+    """One poisoned stream must not kill its whole S2A batch: the batcher
+    fails only the broken request and re-synthesizes the survivors with
+    their already-generated tokens (_PartialLMFailure path)."""
+    from maxtext_indextts2_tpu.infer.server import TTSBatcher
+
+    calls = []
+
+    class FakePipeline:
+        def synthesize_batch(self, bodies, generate_fn=None, pad_to_batch=None):
+            prompts = [np.asarray(b["prompt"], np.int32) for b in bodies]
+            toks = generate_fn(prompts, [5] * len(bodies))
+            calls.append(toks)
+            return [(np.zeros(1), {"tokens": t}) for t in toks]
+
+    orig = engine.prefill
+
+    def poisoned_for_first(prompt, true_len):
+        if prompt[0] == 3:  # first request's prompt
+            raise RuntimeError("TPU backend error (Internal)")
+        return orig(prompt, true_len)
+
+    engine.prefill = poisoned_for_first
+    orch = Orchestrator(engine)
+    orch.max_prefill_attempts = 2
+    orch.start()
+    b = TTSBatcher(FakePipeline(), max_batch=4, window_ms=100, orchestrator=orch)
+    b.start()
+    try:
+        reqs = [b.submit({"text": "a", "prompt": [3, 5, 7]}),
+                b.submit({"text": "b", "prompt": [2, 4, 6]})]
+        assert reqs[0].done.wait(timeout=120) and reqs[1].done.wait(timeout=120)
+        assert reqs[0].error is not None and "LM generation failed" in reqs[0].error
+        assert reqs[1].error is None
+        # the survivor's second pass reused the tokens already generated
+        engine.prefill = orig
+        want = engine.generate_stream(np.array([2, 4, 6], np.int32), 5)
+        assert calls[-1] == [want]
+        assert reqs[1].result[1]["tokens"] == want
+    finally:
+        b.stop()
+        orch.stop()
+        engine.prefill = orig
+
+
+def test_orchestrator_prefill_refresh_on_streak(engine):
+    """Two consecutive prefill failures trigger an executable refresh
+    (engine.refresh_prefill) — recovery for a relay-poisoned loaded
+    program — and the counter is surfaced at /metrics."""
+    from maxtext_indextts2_tpu.infer.server import Orchestrator as Orch
+
+    refreshes = {"n": 0}
+    orig_refresh = engine.refresh_prefill
+
+    def counting_refresh():
+        refreshes["n"] += 1
+        orig_refresh()
+
+    calls = {"n": 0}
+    orig = engine.prefill
+
+    def flaky(prompt, true_len):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("TPU backend error (Internal)")
+        return orig(prompt, true_len)
+
+    engine.refresh_prefill = counting_refresh
+    engine.prefill = flaky
+    orch = Orch(engine)
+    orch.start()
+    try:
+        r = orch.submit(np.array([3, 5, 7], np.int32), 5)
+        assert r.done.wait(timeout=120)
+        assert r.error is None
+        assert refreshes["n"] == 1
+        assert orch.stats.get("prefill_refreshes", 0) == 1
+    finally:
+        orch.stop()
+        engine.prefill = orig
+        engine.refresh_prefill = orig_refresh
+
+
 def test_tts_batcher_error_propagates():
     from maxtext_indextts2_tpu.infer.server import TTSBatcher
 
