@@ -32,6 +32,7 @@ def run(argv=None) -> dict:
     argv = list(argv or [])
     num_queries, max_new = 16, 8
     accuracy, goldens_path = False, None
+    scenario, target_qps, latency_bound = None, 2.0, 2.0
     keep = []
     for a in argv:
         if a.startswith("num_queries="):
@@ -42,6 +43,12 @@ def run(argv=None) -> dict:
             accuracy = bool(int(a.split("=", 1)[1]))
         elif a.startswith("goldens="):
             goldens_path, accuracy = a.split("=", 1)[1], True
+        elif a.startswith("scenario="):
+            scenario = a.split("=", 1)[1]
+        elif a.startswith("target_qps="):
+            target_qps = float(a.split("=", 1)[1])
+        elif a.startswith("latency_bound="):
+            latency_bound = float(a.split("=", 1)[1])
         else:
             keep.append(a)
 
@@ -63,6 +70,51 @@ def run(argv=None) -> dict:
     eng = OfflineEngine(cfg)
     # warmup compiles prefill + generate
     eng.generate_batch(pool[:1], max_new)
+
+    if scenario:
+        # loadgen protocol mode (infer/loadgen.py — the in-repo counterpart
+        # of reference inference_mlperf/offline_mode.py's lg.StartTest):
+        # Offline issues the pool as one query; Server draws poisson
+        # arrivals and judges the p99-latency SLO.
+        from maxtext_indextts2_tpu.infer.loadgen import (
+            OfflineEngineSUT, OrchestratorSUT, QuerySampleLibrary,
+            TestSettings, run_test,
+        )
+
+        qsl = QuerySampleLibrary(pool)
+        settings = TestSettings(
+            scenario=scenario, target_qps=target_qps,
+            min_query_count=num_queries, min_duration_s=5.0,
+            server_target_latency_s=latency_bound,
+        )
+        orch = None
+        if scenario == "server":
+            from maxtext_indextts2_tpu.infer.server import Orchestrator
+
+            orch = Orchestrator(eng.engine)
+            orch.start()
+            sut = OrchestratorSUT(orch, max_new).bind(qsl)
+        else:
+            sut = OfflineEngineSUT(eng, max_new).bind(qsl)
+        lg = run_test(sut, qsl, settings)
+        if orch is not None:
+            orch.stop()
+        print(lg.summary(), file=sys.stderr)
+        return {
+            "metric": f"mlperf_{scenario}_completed_qps",
+            "value": round(lg.completed_qps, 3),
+            "unit": "samples/s",
+            "detail": {
+                "valid": lg.valid,
+                "issued": lg.issued,
+                "completed": lg.completed,
+                "scheduled_qps": round(lg.scheduled_qps, 3),
+                "latency_percentiles_s": {
+                    k: round(v, 4) for k, v in lg.percentiles.items()
+                },
+                "reasons": lg.reasons,
+            },
+        }
 
     t0 = time.perf_counter()
     outs = eng.generate_batch(pool, max_new)
