@@ -315,22 +315,8 @@ class TTSPipeline:
         window collected — without it, every distinct arrival-batch size
         triggers a multi-minute sampler compile mid-serving.
         """
-        hop = int(np.prod(self.codec.strides))
         t0 = time.perf_counter()
-
-        sems, acs = [], []
-        with device_dispatch():
-            # PRNGKey is itself a device computation — it must not race the
-            # orchestrator's decode dispatches either
-            rng = rng if rng is not None else jax.random.PRNGKey(0)
-            for r in requests:
-                w16 = np.asarray(r["prompt_wav_16k"], np.float32)
-                sem, sem_len = self.semantic_tokenizer.tokenize(w16[None])
-                sem = np.asarray(sem)[0, : int(np.asarray(sem_len)[0])]
-                sems.append(sem)
-                w24 = np.asarray(r["prompt_wav_24k"], np.float32)
-                ac = self._jit_tok(self.codec_params, jnp.asarray(w24)[None])
-                acs.append(np.asarray(jnp.transpose(ac, (1, 2, 0))[0]))  # [P_i, Q]
+        sems, acs = self.frontend_batch(requests)
         t1 = time.perf_counter()
         lm_prompts = [
             self.text_and_prompt_to_lm_prompt(r["text"], sem)
@@ -348,7 +334,46 @@ class TTSPipeline:
             for o, r in zip(outs, requests)
         ]
         t2 = time.perf_counter()
+        return self.s2a_vocoder_batch(
+            requests, sems, acs, gens, rng=rng, length_bucket=length_bucket,
+            pad_to_batch=pad_to_batch,
+            timings={"t_frontend": t1 - t0, "t_lm": t2 - t1, "t_start": t0},
+        )
 
+    def frontend_batch(
+        self, requests: list[dict]
+    ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+        """Stage 0 (device): prompt wavs -> (semantic tokens, acoustic
+        tokens) per request. Split out so the serving batcher can run it as
+        a device-loop thunk (infer/server.py Orchestrator.run_on_loop)."""
+        sems, acs = [], []
+        with device_dispatch():
+            for r in requests:
+                w16 = np.asarray(r["prompt_wav_16k"], np.float32)
+                sem, sem_len = self.semantic_tokenizer.tokenize(w16[None])
+                sem = np.asarray(sem)[0, : int(np.asarray(sem_len)[0])]
+                sems.append(sem)
+                w24 = np.asarray(r["prompt_wav_24k"], np.float32)
+                ac = self._jit_tok(self.codec_params, jnp.asarray(w24)[None])
+                acs.append(np.asarray(jnp.transpose(ac, (1, 2, 0))[0]))  # [P_i, Q]
+        return sems, acs
+
+    def s2a_vocoder_batch(
+        self,
+        requests: list[dict],
+        sems: list[np.ndarray],
+        acs: list[np.ndarray],
+        gens: list[list[int]],
+        rng: jax.Array | None = None,
+        length_bucket: int = 64,
+        pad_to_batch: int | None = None,
+        timings: dict | None = None,
+    ) -> list[tuple[np.ndarray, dict]]:
+        """Stages 2+3 (device): batched masked S2A pass + vocoder decode,
+        with per-row padding to shared (P, T) buckets. See synthesize_batch
+        for the contract; split out for the device-loop serving path."""
+        hop = int(np.prod(self.codec.strides))
+        t2 = time.perf_counter()
         b = len(requests)
         bp = max(b, pad_to_batch or 0)
         q = self.s2a.cfg.num_quantizers
@@ -374,6 +399,9 @@ class TTSPipeline:
         p_mask[b:, 0] = 1
 
         with device_dispatch():
+            # PRNGKey is itself a device computation — keep it on the
+            # device thread/lock too
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
             acoustic = self._jit_s2a_masked(
                 self.s2a_params, jnp.asarray(cond), jnp.asarray(prompt), rng,
                 jnp.asarray(x_mask), jnp.asarray(p_mask),
@@ -385,6 +413,8 @@ class TTSPipeline:
             )
         t4 = time.perf_counter()
 
+        timings = timings or {}
+        t0 = timings.get("t_start", t2)
         out = []
         for i, t_i in enumerate(t_rows):
             wav = wavs[i, : t_i * hop]
@@ -393,8 +423,8 @@ class TTSPipeline:
                 "semantic_tokens": t_i,
                 "audio_seconds": dur,
                 "batch": b,
-                "t_frontend": t1 - t0,
-                "t_lm": t2 - t1,
+                "t_frontend": timings.get("t_frontend", 0.0),
+                "t_lm": timings.get("t_lm", 0.0),
                 "t_s2a": t3 - t2,
                 "t_vocoder": t4 - t3,
                 "t_total": t4 - t0,

@@ -71,6 +71,14 @@ class Orchestrator:
             self._tpp = int(engine.cfg.pagedattn_tokens_per_page)
             self._pages_total = int(engine.cfg.pagedattn_num_pages) - 1  # null
             self._pages_reserved = np.zeros(engine.num_slots, np.int64)
+        # device-loop thunks: closures other threads need run ON the decode
+        # thread (run_on_loop below). Through the axon relay, device use from
+        # a second host thread fails at the runtime layer even when
+        # lock-serialized (measured: the single-threaded latency_slo sweep
+        # completes 486/486 while the threaded tts pipeline loses whole
+        # batches to 'TPU backend error') — so the decode loop is THE device
+        # thread and heavy stages time-slice it between decode dispatches.
+        self._thunks: queue.Queue = queue.Queue()
         self._held_prefix = None  # disaggregated: refused head-of-line prefix
         self._retry: list[_Request] = []  # prefill-failed requests, re-admitted first
         self.max_prefill_attempts = 6
@@ -125,6 +133,35 @@ class Orchestrator:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
+
+    def run_on_loop(self, fn, timeout: float = 600.0):
+        """Run ``fn()`` on the device loop between decode dispatches and
+        return its result (raises its exception). Used by the TTS batcher
+        for the S2A/vocoder stages so ALL device work stays on one thread."""
+        box = {"done": threading.Event()}
+
+        def thunk():
+            try:
+                box["result"] = fn()
+            except Exception as e:  # noqa: BLE001 — re-raised in the caller
+                box["error"] = e
+            box["done"].set()
+
+        self._thunks.put(thunk)
+        if not box["done"].wait(timeout):
+            raise TimeoutError("device-loop thunk timed out")
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
+
+    def _drain_thunks(self, limit: int = 1):
+        """Run up to ``limit`` queued thunks on this (the device) thread."""
+        for _ in range(limit):
+            try:
+                thunk = self._thunks.get_nowait()
+            except queue.Empty:
+                return
+            thunk()
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int,
                stream: bool = False) -> _Request:
@@ -221,6 +258,18 @@ class Orchestrator:
                     # the caller. Break so a decode step (or the idle sleep)
                     # runs between attempts instead of hammering a wedged
                     # dispatch path.
+                    self.stats["prefill_failures"] = (
+                        self.stats.get("prefill_failures", 0) + 1
+                    )
+                    if self.stats["prefill_failures"] <= 2:
+                        import sys
+                        import traceback
+
+                        print(f"[orch] prefill failure "
+                              f"#{self.stats['prefill_failures']} at "
+                              f"t={time.monotonic():.1f} active="
+                              f"{self.active_slots()}:\n"
+                              f"{traceback.format_exc()}", file=sys.stderr)
                     self._prefill_fail_streak += 1
                     if self._prefill_fail_streak >= 2:
                         # repeated failures while decode keeps working =
@@ -238,6 +287,7 @@ class Orchestrator:
                         self._fail(req, e)
                     break
 
+            self._drain_thunks()
             if not any(r is not None for r in self.slots):
                 if not admitted:
                     time.sleep(0.001)
@@ -481,20 +531,26 @@ class TTSBatcher:
                     batch.append(self.queue.get(timeout=wait))
                 except queue.Empty:
                     break
+            phased = self.orch is not None and hasattr(
+                self.pipeline, "frontend_batch")
+            all_reqs = list(batch)  # done-signalling covers failed ones too
             try:
-                kw = {"generate_fn": self._generate_via_orch} if self.orch else {}
-                # fixed batch shape: one sampler compile regardless of how
-                # many requests the window collected
-                kw["pad_to_batch"] = self.max_batch
-                results = self.pipeline.synthesize_batch(
-                    [r.body for r in batch], **kw
-                )
+                if phased:
+                    results, batch = self._run_phased(batch)
+                else:
+                    kw = ({"generate_fn": self._generate_via_orch}
+                          if self.orch else {})
+                    # fixed batch shape: one sampler compile regardless of
+                    # how many requests the window collected
+                    kw["pad_to_batch"] = self.max_batch
+                    results = self.pipeline.synthesize_batch(
+                        [r.body for r in batch], **kw
+                    )
                 for req, res in zip(batch, results):
                     req.result = res
             except _PartialLMFailure as e:
-                # fail only the broken streams; the survivors re-run with
-                # their ALREADY-GENERATED tokens (the frontend recompute is
-                # deterministic and cheap next to a wasted S2A pass)
+                # non-phased path only: fail the broken streams, re-run the
+                # survivors with their ALREADY-GENERATED tokens
                 survivors, cached = [], []
                 for req, toks in zip(batch, e.tokens):
                     if toks is None:
@@ -516,11 +572,53 @@ class TTSBatcher:
                             req.error = f"{type(e2).__name__}: {e2}"
             except Exception as e:  # noqa: BLE001 - surface to every caller
                 for req in batch:
-                    req.error = f"{type(e).__name__}: {e}"
+                    if req.error is None and req.result is None:
+                        req.error = f"{type(e).__name__}: {e}"
             self.batches += 1
-            self.requests += len(batch)
-            for req in batch:
+            self.requests += len(all_reqs)
+            for req in all_reqs:
                 req.done.set()
+
+    def _run_phased(self, batch):
+        """Serve one batch with every device stage as a device-loop thunk
+        (Orchestrator.run_on_loop): frontend -> LM (continuous-batching
+        slots) -> S2A+vocoder. The batcher thread itself never touches the
+        device, so one host thread owns all dispatch. A stream whose LM
+        generation failed is failed individually; the survivors continue to
+        the S2A pass with the frontend outputs already in hand.
+
+        Returns (results, survivors) aligned with each other."""
+        pipeline, orch = self.pipeline, self.orch
+        bodies = [r.body for r in batch]
+        sems, acs = orch.run_on_loop(lambda: pipeline.frontend_batch(bodies))
+        lm_prompts = [
+            pipeline.text_and_prompt_to_lm_prompt(b["text"], s)
+            for b, s in zip(bodies, sems)
+        ]
+        mnts = [int(b.get("max_new_tokens", 256)) for b in bodies]
+        try:
+            outs = self._generate_via_orch(lm_prompts, mnts)
+        except _PartialLMFailure as e:
+            keep = []
+            for i, (req, toks) in enumerate(zip(batch, e.tokens)):
+                if toks is None:
+                    req.error = f"{type(e).__name__}: {e}"
+                else:
+                    keep.append(i)
+            if not keep:
+                return [], []
+            batch = [batch[i] for i in keep]
+            bodies = [bodies[i] for i in keep]
+            sems = [sems[i] for i in keep]
+            acs = [acs[i] for i in keep]
+            outs = [e.tokens[i] for i in keep]
+        gens = [
+            pipeline.map_semantic(o, force_frames=bool(b.get("force_frames")))
+            for o, b in zip(outs, bodies)
+        ]
+        results = orch.run_on_loop(lambda: pipeline.s2a_vocoder_batch(
+            bodies, sems, acs, gens, pad_to_batch=self.max_batch))
+        return results, batch
 
 
 def make_server(cfg: Config, port: int | None = None,

@@ -343,6 +343,63 @@ def test_tts_batcher_partial_lm_failure_isolated(engine):
         engine.prefill = orig
 
 
+def test_tts_batcher_phased_device_loop(engine):
+    """With a pipeline exposing the phase methods, every device stage runs
+    as a device-loop thunk on the ORCHESTRATOR thread (run_on_loop) — the
+    batcher thread never dispatches; a failed stream is dropped while the
+    survivors continue into the S2A phase with their frontend outputs."""
+    from maxtext_indextts2_tpu.infer.server import TTSBatcher
+
+    loop_thread_ids = []
+
+    class PhasedFake:
+        def frontend_batch(self, bodies):
+            loop_thread_ids.append(threading.get_ident())
+            return ([np.zeros(2, np.int32)] * len(bodies),
+                    [np.zeros((2, 1), np.int32)] * len(bodies))
+
+        def text_and_prompt_to_lm_prompt(self, text, sem):
+            return np.asarray([3, 5, 7] if text == "bad" else [2, 4, 6],
+                              np.int32)
+
+        def map_semantic(self, out, force_frames=False):
+            return list(out)
+
+        def s2a_vocoder_batch(self, bodies, sems, acs, gens,
+                              pad_to_batch=None, **kw):
+            loop_thread_ids.append(threading.get_ident())
+            return [(np.zeros(1), {"tokens": g}) for g in gens]
+
+    orig = engine.prefill
+
+    def poisoned_for_bad(prompt, true_len):
+        if prompt[0] == 3:
+            raise RuntimeError("TPU backend error (Internal)")
+        return orig(prompt, true_len)
+
+    engine.prefill = poisoned_for_bad
+    orch = Orchestrator(engine)
+    orch.max_prefill_attempts = 2
+    orch.start()
+    b = TTSBatcher(PhasedFake(), max_batch=4, window_ms=100, orchestrator=orch)
+    b.start()
+    try:
+        reqs = [b.submit({"text": "bad", "max_new_tokens": 5}),
+                b.submit({"text": "ok", "max_new_tokens": 5})]
+        assert reqs[0].done.wait(timeout=120) and reqs[1].done.wait(timeout=120)
+        assert reqs[0].error is not None and "LM generation" in reqs[0].error
+        assert reqs[1].error is None, reqs[1].error
+        engine.prefill = orig
+        want = engine.generate_stream(np.array([2, 4, 6], np.int32), 5)
+        assert reqs[1].result[1]["tokens"] == want
+        # every phase thunk ran on the orchestrator's decode thread
+        assert set(loop_thread_ids) == {orch._thread.ident}
+    finally:
+        b.stop()
+        orch.stop()
+        engine.prefill = orig
+
+
 def test_orchestrator_prefill_refresh_on_streak(engine):
     """Two consecutive prefill failures trigger an executable refresh
     (engine.refresh_prefill) — recovery for a relay-poisoned loaded
