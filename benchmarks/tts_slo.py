@@ -83,6 +83,8 @@ def run(argv=None) -> dict:
     kv = dict(a.split("=", 1) for a in (argv or []))
     tiny = bool(int(kv.get("tiny", "0")))
     rate = float(kv.get("rate", "1" if tiny else "2"))  # requests / s
+    rates = ([float(r) for r in kv["rates"].split(",")]
+             if "rates" in kv else [rate])  # sweep: one server, many rates
     duration = float(kv.get("duration", "8" if tiny else "60"))
     gen_tokens = int(kv.get("gen_tokens", "8" if tiny else "250"))  # 5 s audio
     prompt_s = float(kv.get("prompt_s", "0.2" if tiny else "1.0"))
@@ -141,44 +143,54 @@ def run(argv=None) -> dict:
 
     one_request(None)  # endpoint warm (orchestrator LM path)
 
-    # poisson arrival process
-    rng = np.random.default_rng(0)
-    records: list[dict] = []
-    threads: list[threading.Thread] = []
-    t_start = time.perf_counter()
-    t_next = t_start
-    while t_next - t_start < duration:
-        now = time.perf_counter()
-        if now < t_next:
-            time.sleep(t_next - now)
-        rec: dict = {}
-        records.append(rec)
-        th = threading.Thread(target=one_request, args=(rec,), daemon=True)
-        th.start()
-        threads.append(th)
-        t_next += rng.exponential(1.0 / rate)
-    for th in threads:
-        th.join(timeout=900)
-    wall = time.perf_counter() - t_start
+    def measure(rate: float) -> dict:
+        """One poisson arrival process at ``rate`` against the warm server."""
+        b0, r0 = batcher.batches, batcher.requests
+        rng = np.random.default_rng(0)
+        records: list[dict] = []
+        threads: list[threading.Thread] = []
+        t_start = time.perf_counter()
+        t_next = t_start
+        while t_next - t_start < duration:
+            now = time.perf_counter()
+            if now < t_next:
+                time.sleep(t_next - now)
+            rec: dict = {}
+            records.append(rec)
+            th = threading.Thread(target=one_request, args=(rec,), daemon=True)
+            th.start()
+            threads.append(th)
+            t_next += rng.exponential(1.0 / rate)
+        for th in threads:
+            th.join(timeout=900)
+        wall = time.perf_counter() - t_start
 
-    done = [r for r in records if "e2e" in r]
-    errors = [r["error"] for r in records if "error" in r]
-    audio_s = sum(r["audio_s"] for r in done)
-    out = {
-        "rate_rps": rate,
-        "duration_s": duration,
-        "gen_tokens": gen_tokens,
-        "completed": len(done),
-        "total": len(records),
-        "error_count": len(errors),
-        "errors": errors[:3],
-        "decode_recoveries": orch.stats.get("decode_recoveries", 0),
-        "e2e_s": _percentiles([r["e2e"] for r in done]),
-        "audio_seconds_delivered": round(audio_s, 1),
-        "delivered_rtf_capacity": round(audio_s / wall, 2),
-        "s2a_batches": batcher.batches,
-        "mean_s2a_batch": round(batcher.requests / max(batcher.batches, 1), 2),
-    }
+        done = [r for r in records if "e2e" in r]
+        errors = [r["error"] for r in records if "error" in r]
+        audio_s = sum(r["audio_s"] for r in done)
+        nb = max(batcher.batches - b0, 1)
+        return {
+            "rate_rps": rate,
+            "duration_s": duration,
+            "gen_tokens": gen_tokens,
+            "completed": len(done),
+            "total": len(records),
+            "error_count": len(errors),
+            "errors": errors[:3],
+            "decode_recoveries": orch.stats.get("decode_recoveries", 0),
+            "prefill_refreshes": orch.stats.get("prefill_refreshes", 0),
+            "e2e_s": _percentiles([r["e2e"] for r in done]),
+            "audio_seconds_delivered": round(audio_s, 1),
+            "delivered_rtf_capacity": round(audio_s / wall, 2),
+            "s2a_batches": batcher.batches - b0,
+            "mean_s2a_batch": round((batcher.requests - r0) / nb, 2),
+        }
+
+    outs = []
+    for r in rates:
+        outs.append(measure(r))
+        print(f"[tts_slo] rate={r}: {json.dumps(outs[-1])}", file=sys.stderr)
+    out = outs[0] if len(outs) == 1 else {"sweep": outs}
     httpd.shutdown()
     batcher.stop()
     orch.stop()
