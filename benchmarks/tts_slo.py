@@ -109,7 +109,16 @@ def run(argv=None) -> dict:
             "prompt_wav_16k": w16.tolist(), "prompt_wav_24k": w24.tolist(),
             "max_new_tokens": gen_tokens, "force_frames": True}
     t0 = time.perf_counter()
-    pipeline.synthesize_batch([dict(body)], pad_to_batch=cfg.tts_batch_max)
+    # warm the frontend and S2A/vocoder shapes WITHOUT the single-stream LM
+    # path: loaded-program space on the chip is a real resource (observed
+    # relay 'TPU backend error' on later program loads once too many
+    # executables accumulated) — serving's LM programs are the
+    # orchestrator's, warmed by the /tts request below, and the
+    # generate_stream path must not load its own
+    sems, acs = pipeline.frontend_batch([dict(body)])
+    fake_gens = [[1] * gen_tokens]
+    pipeline.s2a_vocoder_batch([dict(body)], sems, acs, fake_gens,
+                               pad_to_batch=cfg.tts_batch_max)
     print(f"[tts_slo] warmup compile {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
@@ -186,9 +195,20 @@ def run(argv=None) -> dict:
             "mean_s2a_batch": round((batcher.requests - r0) / nb, 2),
         }
 
+    def _mem() -> dict:
+        try:
+            import jax
+
+            s = jax.local_devices()[0].memory_stats() or {}
+            return {k: s[k] for k in ("bytes_in_use", "peak_bytes_in_use")
+                    if k in s}
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            return {}
+
     outs = []
     for r in rates:
         outs.append(measure(r))
+        outs[-1]["device_memory"] = _mem()
         print(f"[tts_slo] rate={r}: {json.dumps(outs[-1])}", file=sys.stderr)
     out = outs[0] if len(outs) == 1 else {"sweep": outs}
     httpd.shutdown()

@@ -308,7 +308,13 @@ class Orchestrator:
             active = [i for i, r in enumerate(self.slots) if r is not None]
             n = int(min(self.steps_per_dispatch,
                         max(1, max(self.remaining[i] for i in active))))
-            n = 1 << (n.bit_length() - 1)
+            # drain ladder {spd, 4, 1} (not all powers of two): every depth
+            # is a separately LOADED unrolled-decoder executable, and loaded-
+            # program space on the chip is a real resource — observed
+            # 'TPU backend error (Internal)' on program loads once serving
+            # had accumulated too many executables
+            if n < self.steps_per_dispatch:
+                n = 4 if n >= 4 else 1
             try:
                 with device_dispatch():
                     if n > 1:
@@ -724,9 +730,11 @@ def make_server(cfg: Config, port: int | None = None,
                 body = json.loads(self.rfile.read(length) or "{}")
                 body["text"]  # validate before enqueueing
                 req = tts_batcher.submit(body)
-                req.done.wait(timeout=600)
-                if req.error is not None:
-                    payload = json.dumps({"error": req.error}).encode()
+                finished = req.done.wait(timeout=870)
+                if req.error is not None or not finished or req.result is None:
+                    err = req.error or (
+                        "timed out" if not finished else "no result")
+                    payload = json.dumps({"error": err}).encode()
                     code = 500
                 else:
                     wav, info = req.result
