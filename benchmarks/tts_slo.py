@@ -187,6 +187,7 @@ def run(argv=None) -> dict:
             "error_count": len(errors),
             "errors": errors[:3],
             "decode_recoveries": orch.stats.get("decode_recoveries", 0),
+            "decode_failures": orch.stats.get("decode_failures", 0),
             "prefill_refreshes": orch.stats.get("prefill_refreshes", 0),
             "e2e_s": _percentiles([r["e2e"] for r in done]),
             "audio_seconds_delivered": round(audio_s, 1),

@@ -338,6 +338,9 @@ class Orchestrator:
                 # per active slot instead of mass-killing all in-flight
                 # streams). Streams whose resume prefill also fails are
                 # failed individually.
+                self.stats["decode_failures"] = (
+                    self.stats.get("decode_failures", 0) + 1
+                )
                 if not self._recover_decode(e):
                     # device unrecoverable: fail everything still queued and
                     # stop serving instead of dying silently
@@ -370,10 +373,19 @@ class Orchestrator:
         self.slots = [None] * self.engine.num_slots
         if self._paged:
             self._pages_reserved[:] = 0
-        try:
-            with device_dispatch():
-                self.decode_state = self.engine.init_decode_state()
-        except Exception:  # noqa: BLE001
+        # transient runtime failures (relay blips) can take seconds to
+        # clear — rebuilding the decode state retries with backoff instead
+        # of declaring the device dead on the first refusal
+        rebuilt = False
+        for attempt in range(5):
+            try:
+                with device_dispatch():
+                    self.decode_state = self.engine.init_decode_state()
+                rebuilt = True
+                break
+            except Exception:  # noqa: BLE001 — retried with backoff
+                time.sleep(1.0 + 2.0 * attempt)
+        if not rebuilt:
             for _, req in survivors:
                 self._fail(req, err)
             return False
@@ -500,12 +512,18 @@ class TTSBatcher:
             self.orch.submit(np.asarray(p, np.int32), int(m))
             for p, m in zip(lm_prompts, max_tokens)
         ]
+        oks = []
+        errs = []
         for r in reqs:
-            r.done.wait(timeout=600)
-        if any(r.error is not None for r in reqs):
+            if not r.done.wait(timeout=600):
+                r.error = "LM generation timed out"
+            oks.append(r.error is None)
+            if r.error is not None:
+                errs.append(str(r.error))
+        if not all(oks):
             raise _PartialLMFailure(
-                tokens=[None if r.error is not None else r.tokens for r in reqs],
-                errors=[str(r.error) for r in reqs if r.error is not None],
+                tokens=[r.tokens if ok else None for r, ok in zip(reqs, oks)],
+                errors=errs,
             )
         return [r.tokens for r in reqs]
 
