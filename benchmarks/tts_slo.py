@@ -42,11 +42,15 @@ PROD_CFG = [
     "decoder_block=tts",
     "base_emb_dim=1536", "base_num_query_heads=12", "base_num_kv_heads=4",
     "base_mlp_dim=6144", "base_num_decoder_layers=14", "head_dim=128",
-    "vocab_size=9344", "max_target_length=2048",
+    # ctx 1024 holds prompt (~312) + 250 generated with headroom; halving
+    # context doubles the affordable slot count at the same KV bytes —
+    # 128 slots is the LM stage's measured capacity point (235 streams,
+    # PERF.md "Ragged-v2"), and the LM is otherwise the tighter stage here
+    "vocab_size=9344", "max_target_length=1024",
     "max_prefill_predict_length=512",
     "decode_sampling_strategy=greedy", "decode_attention=ragged",
     "serve_params_dtype=bfloat16", "scan_layers=false",
-    "per_device_batch_size=64",
+    "per_device_batch_size=128",
     # S2A: production size is the config default (16L/1024h/12q); serve the
     # certified fast structure (PERF.md "On-chip speed effect")
     "s2a_serving_dtype=int8_offline",
