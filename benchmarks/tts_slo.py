@@ -97,8 +97,29 @@ def run(argv=None) -> dict:
     from maxtext_indextts2_tpu.config import load_config
     from maxtext_indextts2_tpu.infer.server import make_server
 
+    lm_only = bool(int(kv.get("lm_only", "0")))  # isolation: no S2A/vocoder
     cfg = load_config(list(TINY_CFG if tiny else PROD_CFG))
     pipeline = build_tiny_pipeline(cfg)
+    if lm_only:
+        # diagnosis mode: the S2A+vocoder stage becomes host-side silence of
+        # the right length — same request flow, LM the only device user
+        hop = 1200
+
+        def fake_s2a(requests, sems, acs, gens, pad_to_batch=None, **kw):
+            return [
+                (np.zeros(len(g) * hop, np.float32),
+                 {"audio_seconds": len(g) * hop / 24_000.0,
+                  "semantic_tokens": len(g), "batch": len(requests)})
+                for g in gens
+            ]
+
+        def fake_frontend(requests):
+            return ([np.zeros(8, np.int64)] * len(requests),
+                    [np.zeros((8, pipeline.s2a.cfg.num_quantizers), np.int32)]
+                    * len(requests))
+
+        pipeline.s2a_vocoder_batch = fake_s2a
+        pipeline.frontend_batch = fake_frontend
 
     # Warm every program OUTSIDE request timeouts (through the axon relay
     # the S2A sampler compile alone can take minutes). One padded
