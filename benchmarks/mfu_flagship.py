@@ -61,6 +61,10 @@ TRIALS = (
     STREAMING,
     [o for o in STREAMING if not o.startswith("fused_vocab_ce_tile")]
     + ["fused_vocab_ce_tile=2048"],
+    # int8 AQT won at 1.28B/vocab-8704 (58.4% vs 56.4% bf16, PERF.md); the
+    # body matmuls are still ~70% of flagship FLOPs (CE's jnp.dot unembed
+    # is not AQT-injected)
+    STREAMING + ["quantization=int8"],
     [o for o in STREAMING if not o.startswith("per_device_batch_size")]
     + ["per_device_batch_size=8"],
     [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")]
@@ -92,7 +96,7 @@ def main():
     if "--best" in sys.argv:
         trials = TRIALS[:1]
     elif "--streaming" in sys.argv:
-        trials = TRIALS[1:4]
+        trials = TRIALS[1:5]
     for ov in trials:
         try:
             print(json.dumps(train_trial(ov)), flush=True)
