@@ -39,14 +39,19 @@ MODEL_FLAGSHIP_VOCAB = [
     "scan_layers=false", "weight_dtype=bfloat16",
 ]
 
-# Measured 2026-08-20 (PERF.md "Flagship-vocab"): chunk 512 @ b4 = 101.8
-# TF/s/chip (51.7% MFU) is the optimum — chunk 256 drops to 92.7 (the
-# [E,V] unembed weights re-read per chunk start to dominate), 1024 gives
-# 98.9, and 2048/4096 crash the remote compile helper (HTTP 500). b8 at
-# chunk 512 matches b4 (101.2); scanned layers cost 5.7%.
+# Measured 2026-08-20/21 (PERF.md "Flagship-vocab"): chunk 512 @ b4 +
+# int8 AQT = 106.95 TF/s/chip (54.3% MFU) is the optimum. bf16 chunk 512
+# gives 101.8 (51.7%); chunk 256 drops to 92.7 (the [E,V] unembed weights
+# re-read per chunk start to dominate), 1024 gives 98.9, and 2048/4096
+# crash the remote compile helper (HTTP 500). b8 at chunk 512 matches b4;
+# scanned layers cost 5.7%. The vocab-STREAMING CE measured SLOWER than
+# chunked at this shape (98.2 bf16 / 102.9 int8) — the chunked scan's dW
+# accumulation is already in-place under XLA, and vocab-outer pays for its
+# [N, tile] logits transients and dy-carry rewrites.
 BEST = MODEL_FLAGSHIP_VOCAB + [
     "per_device_batch_size=4", "fused_vocab_ce_chunk=512",
 ]
+BEST_INT8 = BEST + ["quantization=int8"]
 
 # round-3 candidate: vocab-STREAMING fused CE (custom VJP, vocab-outer
 # tiles — the unembed kernel moves through HBM O(1) times per step and dW
@@ -57,6 +62,7 @@ STREAMING = [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")] + [
 ]
 
 TRIALS = (
+    BEST_INT8,
     BEST,
     STREAMING,
     [o for o in STREAMING if not o.startswith("fused_vocab_ce_tile")]
@@ -96,7 +102,7 @@ def main():
     if "--best" in sys.argv:
         trials = TRIALS[:1]
     elif "--streaming" in sys.argv:
-        trials = TRIALS[1:5]
+        trials = TRIALS[2:6]
     for ov in trials:
         try:
             print(json.dumps(train_trial(ov)), flush=True)
