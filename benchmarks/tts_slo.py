@@ -85,6 +85,9 @@ def run(argv=None) -> dict:
     import http.client
 
     kv = dict(a.split("=", 1) for a in (argv or []))
+    known = {"tiny", "rate", "rates", "duration", "gen_tokens", "prompt_s",
+             "port", "lm_only"}
+    cfg_overrides = [f"{k}={v}" for k, v in kv.items() if k not in known]
     tiny = bool(int(kv.get("tiny", "0")))
     rate = float(kv.get("rate", "1" if tiny else "2"))  # requests / s
     rates = ([float(r) for r in kv["rates"].split(",")]
@@ -98,7 +101,7 @@ def run(argv=None) -> dict:
     from maxtext_indextts2_tpu.infer.server import make_server
 
     lm_only = bool(int(kv.get("lm_only", "0")))  # isolation: no S2A/vocoder
-    cfg = load_config(list(TINY_CFG if tiny else PROD_CFG))
+    cfg = load_config(list(TINY_CFG if tiny else PROD_CFG) + cfg_overrides)
     pipeline = build_tiny_pipeline(cfg)
     if lm_only:
         # diagnosis mode: the S2A+vocoder stage becomes host-side silence of

@@ -83,6 +83,7 @@ class Orchestrator:
         self._retry: list[_Request] = []  # prefill-failed requests, re-admitted first
         self.max_prefill_attempts = 6
         self._prefill_fail_streak = 0
+        self.recover_deadline_s = 240.0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.decode_state = None
@@ -305,16 +306,15 @@ class Orchestrator:
             # original) starved tails outright (366/486, PERF.md). Depth
             # only shrinks in drain-out (max remaining < spd), rounded to
             # powers of two so the per-n jitted scan cache stays bounded.
-            active = [i for i, r in enumerate(self.slots) if r is not None]
-            n = int(min(self.steps_per_dispatch,
-                        max(1, max(self.remaining[i] for i in active))))
-            # drain ladder {spd, 4, 1} (not all powers of two): every depth
-            # is a separately LOADED unrolled-decoder executable, and loaded-
-            # program space on the chip is a real resource — observed
-            # 'TPU backend error (Internal)' on program loads once serving
-            # had accumulated too many executables
-            if n < self.steps_per_dispatch:
-                n = 4 if n >= 4 else 1
+            # constant dispatch depth: ONE decode executable for the whole
+            # serving lifetime. Host-side emission clamps each stream at its
+            # remaining count, so a shallower drain ladder only saves the
+            # tail overshoot (< spd garbage steps per batch drain-out, <1%
+            # of slot-steps) — while every extra depth is a separately
+            # LOADED executable, and loaded-program space is a real
+            # resource: program loads can fail with 'TPU backend error
+            # (Internal)' once too many executables accumulate
+            n = self.steps_per_dispatch
             try:
                 with device_dispatch():
                     if n > 1:
@@ -373,18 +373,23 @@ class Orchestrator:
         self.slots = [None] * self.engine.num_slots
         if self._paged:
             self._pages_reserved[:] = 0
-        # transient runtime failures (relay blips) can take seconds to
-        # clear — rebuilding the decode state retries with backoff instead
-        # of declaring the device dead on the first refusal
+        # transient runtime failures can take MINUTES to clear (measured:
+        # the relay refuses program work for 1-10+ min after a blip, then
+        # recovers) — rebuilding the decode state keeps retrying with
+        # capped backoff for a few minutes before declaring the device
+        # dead. In-flight streams stall but resume from host-held tokens.
         rebuilt = False
-        for attempt in range(5):
+        deadline = time.monotonic() + self.recover_deadline_s
+        backoff = 2.0
+        while time.monotonic() < deadline and not self._stop.is_set():
             try:
                 with device_dispatch():
                     self.decode_state = self.engine.init_decode_state()
                 rebuilt = True
                 break
             except Exception:  # noqa: BLE001 — retried with backoff
-                time.sleep(1.0 + 2.0 * attempt)
+                time.sleep(backoff)
+                backoff = min(backoff * 1.6, 20.0)
         if not rebuilt:
             for _, req in survivors:
                 self._fail(req, err)
