@@ -9,9 +9,15 @@
 # (vocab_expansion/expand_embedder.py) on MaxText/configs/v5e/*.sh tuning.
 set -e
 cd "$(dirname "$0")/../../../.."
+# NOTE: the measured single-chip regime is the tts-1b BODY with the
+# expanded 264k tied vocab (benchmarks/mfu_flagship.py MODEL_FLAGSHIP_VOCAB)
+# — configs/models/tts-flagship.yml is the 12B-class multi-chip model
+# (AOT-verified for v5e-256, PERF.md "Flagship (12B-class) AOT").
 python -m maxtext_indextts2_tpu.train.train \
-  maxtext_indextts2_tpu/configs/models/tts-flagship.yml \
-  dataset_type=synthetic \
+  dataset_type=synthetic decoder_block=tts \
+  base_emb_dim=2048 base_num_query_heads=16 base_num_kv_heads=8 \
+  base_mlp_dim=8192 base_num_decoder_layers=20 head_dim=128 \
+  vocab_size=264192 logits_via_embedding=true max_target_length=2048 \
   per_device_batch_size=4 fused_vocab_ce_chunk=512 quantization=int8 \
   remat_policy=full attention=flash "flash_block_sizes=[1024,1024]" \
   weight_dtype=bfloat16 scan_layers=false cast_logits_to_fp32=false \
