@@ -646,13 +646,23 @@ _CACHE_ENABLED = False
 
 def _enable_compilation_cache(path: str) -> None:
     """Persistent XLA compile cache (reference: base.yml:312 jax_cache_dir).
-    Especially valuable here: compiles go through a slow remote toolchain."""
+    Especially valuable here: compiles go through a slow remote toolchain.
+
+    The cache is PARTITIONED BY PLATFORM: CPU executables are AOT-compiled
+    for the compiling host's exact CPU features, and loading an entry
+    produced by a different host (the remote TPU toolchain's machine, in a
+    shared dir) can SIGILL/SEGV at execution — XLA itself warns 'could lead
+    to execution errors such as SIGILL' and a shared cache segfaulted the
+    CPU test suite."""
     global _CACHE_ENABLED
     if _CACHE_ENABLED:
         return
     try:
         import jax
 
+        plat = (jax.config.jax_platforms
+                or os.environ.get("JAX_PLATFORMS") or "default")
+        path = os.path.join(path, str(plat).split(",")[0])
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
