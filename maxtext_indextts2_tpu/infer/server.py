@@ -373,6 +373,25 @@ class Orchestrator:
         self.slots = [None] * self.engine.num_slots
         if self._paged:
             self._pages_reserved[:] = 0
+        import gc
+
+        import jax
+
+        # free the dead state's device buffers EXPLICITLY before rebuilding:
+        # the failed dispatch donated the multi-GB decode state, and an
+        # aborted execution can leave the donated buffers allocated
+        # device-side — every init_decode_state retry then fails with the
+        # same backend error (observed: rebuild refused for 240s straight
+        # while the rest of the chip kept working)
+        dead, self.decode_state = self.decode_state, None
+        for leaf in jax.tree_util.tree_leaves(dead):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:  # noqa: BLE001 — already invalid is fine
+                    pass
+        del dead
+        gc.collect()
         # transient runtime failures can take MINUTES to clear (measured:
         # the relay refuses program work for 1-10+ min after a blip, then
         # recovers) — rebuilding the decode state keeps retrying with
