@@ -314,6 +314,16 @@ class Engine:
         }
         return prefix, first_token
 
+    def refresh_decode(self):
+        """Drop cached decode-path executables (generate/generate_n/insert/
+        release) so the next call loads fresh ones — same rationale as
+        refresh_prefill: after a runtime blip a LOADED executable can keep
+        erroring while freshly loaded programs work."""
+        self._p_generate = None
+        self._p_generate_n = {}
+        self._p_insert = None
+        self._p_release = None
+
     def refresh_prefill(self):
         """Drop cached prefill executables so the next call re-jits.
 

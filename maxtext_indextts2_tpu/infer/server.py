@@ -402,6 +402,10 @@ class Orchestrator:
         backoff = 2.0
         while time.monotonic() < deadline and not self._stop.is_set():
             try:
+                # fresh executables, not just fresh buffers: the loaded
+                # decode programs themselves can be the poisoned part
+                self.engine.refresh_decode()
+                self.engine.refresh_prefill()
                 with device_dispatch():
                     self.decode_state = self.engine.init_decode_state()
                 rebuilt = True
