@@ -60,6 +60,7 @@ PROD_CFG = [
     # keeps per-stream decode above the 50 Hz token rate (PERF.md load
     # sweep). Locally-attached hosts can drop this to 4.
     "serving_steps_per_dispatch=16",
+    "tts_allow_force_frames=true",
 ]
 TINY_CFG = [
     "decoder_block=tts",
@@ -72,6 +73,7 @@ TINY_CFG = [
     "s2a_num_quantizers=4", "s2a_hidden_size=64", "s2a_num_layers=2",
     "s2a_num_heads=4", "s2a_timesteps=(2,2,2,2)", "s2a_cfg_until=0.5",
     "tts_batch_max=4", "tts_batch_window_ms=100",
+    "tts_allow_force_frames=true",
 ]
 
 

@@ -314,6 +314,10 @@ class Config:
     # up to tts_batch_max requests collected within tts_batch_window_ms
     tts_batch_max: int = 8  # measured S2A operating point (PERF.md)
     tts_batch_window_ms: int = 50
+    # load-testing only: let /tts clients pass force_frames (disables EOS
+    # termination — full frame budget per request). Off in production; the
+    # serving bench (benchmarks/tts_slo.py) turns it on.
+    tts_allow_force_frames: bool = False
 
     # ---------------------------------------------------------------- s2a / codec
     s2a_num_quantizers: int = 12
@@ -660,8 +664,13 @@ def _enable_compilation_cache(path: str) -> None:
     try:
         import jax
 
-        plat = (jax.config.jax_platforms
-                or os.environ.get("JAX_PLATFORMS") or "default")
+        plat = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS")
+        if not plat:
+            # auto-detection: two hosts resolving DIFFERENT backends (the
+            # TPU toolchain host vs a CPU test host) must not share one
+            # partition — default_backend() names what this process will
+            # actually run, at the cost of initializing the backend now
+            plat = jax.default_backend()
         path = os.path.join(path, str(plat).split(",")[0])
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -79,6 +79,7 @@ class Orchestrator:
         # batches to 'TPU backend error') — so the decode loop is THE device
         # thread and heavy stages time-slice it between decode dispatches.
         self._thunks: queue.Queue = queue.Queue()
+        self._loop_dead = threading.Event()  # set when _loop exits for good
         self._held_prefix = None  # disaggregated: refused head-of-line prefix
         self._retry: list[_Request] = []  # prefill-failed requests, re-admitted first
         self.max_prefill_attempts = 6
@@ -138,17 +139,18 @@ class Orchestrator:
     def run_on_loop(self, fn, timeout: float = 600.0):
         """Run ``fn()`` on the device loop between decode dispatches and
         return its result (raises its exception). Used by the TTS batcher
-        for the S2A/vocoder stages so ALL device work stays on one thread."""
-        box = {"done": threading.Event()}
+        for the S2A/vocoder stages so ALL device work stays on one thread.
 
-        def thunk():
-            try:
-                box["result"] = fn()
-            except Exception as e:  # noqa: BLE001 — re-raised in the caller
-                box["error"] = e
-            box["done"].set()
-
-        self._thunks.put(thunk)
+        Fails fast (instead of waiting out ``timeout``) when the device
+        loop has exited — unrecoverable device, or stop()."""
+        if self._loop_dead.is_set():
+            raise RuntimeError("device loop is not running")
+        box = {"done": threading.Event(), "fn": fn}
+        self._thunks.put(box)
+        if self._loop_dead.is_set():
+            # the loop may have exited between its final drain and our put;
+            # complete anything still queued (idempotent) so we don't hang
+            self._fail_pending_thunks(RuntimeError("device loop exited"))
         if not box["done"].wait(timeout):
             raise TimeoutError("device-loop thunk timed out")
         if "error" in box:
@@ -159,10 +161,27 @@ class Orchestrator:
         """Run up to ``limit`` queued thunks on this (the device) thread."""
         for _ in range(limit):
             try:
-                thunk = self._thunks.get_nowait()
+                box = self._thunks.get_nowait()
             except queue.Empty:
                 return
-            thunk()
+            try:
+                box["result"] = box["fn"]()
+            except Exception as e:  # noqa: BLE001 — re-raised in the caller
+                box["error"] = e
+            box["done"].set()
+
+    def _fail_pending_thunks(self, err: Exception):
+        """Complete every queued thunk with ``err`` (device loop exiting:
+        the thunks will never run, their callers must not block out the
+        full timeout)."""
+        while True:
+            try:
+                box = self._thunks.get_nowait()
+            except queue.Empty:
+                return
+            if not box["done"].is_set():
+                box["error"] = err
+                box["done"].set()
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int,
                stream: bool = False) -> _Request:
@@ -192,7 +211,14 @@ class Orchestrator:
         req.done.set()
 
     def _pages_needed(self, req: _Request) -> int:
-        return -(-(len(req.prompt) + req.max_new_tokens) // self._tpp)
+        # Constant dispatch depth lets the device advance an active slot's
+        # position up to steps_per_dispatch-1 steps past prompt+max_new
+        # before host-side emission finishes the slot — reserve that
+        # overshoot too, or a full pool could push the allocator onto the
+        # reserved null page (silent KV corruption, the exact failure this
+        # admission control exists to prevent).
+        overshoot = max(0, self.steps_per_dispatch - 1)
+        return -(-(len(req.prompt) + req.max_new_tokens + overshoot) // self._tpp)
 
     def _can_admit(self, req: _Request) -> bool:
         if not self._paged:
@@ -213,6 +239,16 @@ class Orchestrator:
             self._finish(slot)
 
     def _loop(self):
+        try:
+            self._loop_body()
+        finally:
+            # whatever the exit path (stop(), unrecoverable device, or an
+            # unexpected exception), queued thunks must fail fast rather
+            # than block their callers for the full thunk timeout
+            self._loop_dead.set()
+            self._fail_pending_thunks(RuntimeError("device loop exited"))
+
+    def _loop_body(self):
         while not self._stop.is_set():
             # admit new requests into free slots
             admitted = False
@@ -519,11 +555,17 @@ class TTSBatcher:
     """
 
     def __init__(self, pipeline, max_batch: int = 8, window_ms: int = 50,
-                 orchestrator: "Orchestrator | None" = None):
+                 orchestrator: "Orchestrator | None" = None,
+                 allow_force_frames: bool = False):
         self.pipeline = pipeline
         self.max_batch = max(1, max_batch)
         self.window_s = window_ms / 1e3
         self.orch = orchestrator
+        # force_frames disables EOS termination (full-frame-budget synthesis
+        # per request) — a load-testing knob, not something an untrusted
+        # /tts client may set. Enabled only by the bench harness
+        # (cfg.tts_allow_force_frames); otherwise stripped at submit.
+        self.allow_force_frames = allow_force_frames
         self.queue: queue.Queue[_TTSRequest] = queue.Queue()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -563,6 +605,8 @@ class TTSBatcher:
         self.thread.join(timeout=5)
 
     def submit(self, body: dict) -> _TTSRequest:
+        if not self.allow_force_frames:
+            body.pop("force_frames", None)
         req = _TTSRequest(body=body)
         self.queue.put(req)
         return req
@@ -697,6 +741,7 @@ def make_server(cfg: Config, port: int | None = None,
         tts_batcher = TTSBatcher(
             tts_pipeline, cfg.tts_batch_max, cfg.tts_batch_window_ms,
             orchestrator=orch,
+            allow_force_frames=cfg.tts_allow_force_frames,
         )
         tts_batcher.start()
 

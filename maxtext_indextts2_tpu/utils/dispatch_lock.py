@@ -40,8 +40,16 @@ class _FairRLock:
                 self._count += 1
                 return
             self._waiters.append(me)
-            while self._owner is not None or self._waiters[0] != me:
-                self._cv.wait()
+            try:
+                while self._owner is not None or self._waiters[0] != me:
+                    self._cv.wait()
+            except BaseException:
+                # Interrupted mid-wait (e.g. KeyboardInterrupt at shutdown):
+                # leaving our ident queued would wedge every later acquire on
+                # `_waiters[0] != me` forever. Remove it and wake the others.
+                self._waiters.remove(me)
+                self._cv.notify_all()
+                raise
             self._waiters.popleft()
             self._owner = me
             self._count = 1

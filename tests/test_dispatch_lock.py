@@ -64,3 +64,45 @@ def test_context_manager():
     with device_dispatch():
         with device_dispatch():  # reentrant through the contextmanager too
             pass
+
+
+def test_interrupted_waiter_does_not_wedge():
+    """A waiter interrupted inside cv.wait() (e.g. KeyboardInterrupt at
+    shutdown) must remove itself from the FIFO queue — leaving its ident at
+    the head would make every later acquire wait forever."""
+    lock = _FairRLock()
+    lock.acquire()  # main thread holds the lock
+
+    orig_wait = lock._cv.wait
+    state = {"raised": False, "interrupted": False, "acquired": False}
+
+    def flaky_wait(timeout=None):
+        if not state["raised"]:
+            state["raised"] = True
+            raise KeyboardInterrupt()
+        return orig_wait(timeout)
+
+    lock._cv.wait = flaky_wait
+
+    def waiter_b():
+        try:
+            lock.acquire()
+        except BaseException:
+            state["interrupted"] = True
+
+    b = threading.Thread(target=waiter_b)
+    b.start()
+    b.join(timeout=5)
+    assert state["interrupted"], "waiter should have been interrupted"
+    lock._cv.wait = orig_wait
+    lock.release()
+
+    def waiter_c():
+        lock.acquire()
+        state["acquired"] = True
+        lock.release()
+
+    c = threading.Thread(target=waiter_c)
+    c.start()
+    c.join(timeout=5)
+    assert state["acquired"], "lock wedged by the interrupted waiter's stale queue entry"

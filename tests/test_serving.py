@@ -587,3 +587,66 @@ def test_orchestrator_paged_pool_recycles_across_many_requests(engine):
         assert int(orch._pages_reserved.sum()) == 0
     finally:
         orch.stop()
+
+
+def test_run_on_loop_fails_fast_after_loop_exit(engine):
+    """Once the device loop has exited (stop() or unrecoverable device),
+    run_on_loop must fail immediately — queued thunks used to block their
+    callers for the full 600 s thunk timeout."""
+    import time
+
+    orch = Orchestrator(engine)
+    orch.start()
+    orch.stop()
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError):
+        orch.run_on_loop(lambda: 1, timeout=600)
+    assert time.monotonic() - t0 < 10
+
+
+def test_paged_reservation_covers_dispatch_overshoot(engine):
+    """Constant dispatch depth can advance a slot up to spd-1 steps past
+    prompt+max_new before host-side emission finishes it; admission must
+    reserve those pages too or a full pool can silently hand the stream
+    the null page."""
+    from maxtext_indextts2_tpu.infer.server import _Request
+
+    paged_cfg = load_config(CFG + [
+        "paged_attention=true", "pagedattn_num_pages=32",
+        "pagedattn_tokens_per_page=8",
+    ])
+    paged = Engine(paged_cfg, mesh=engine.mesh)
+    paged.params = engine.params
+    orch = Orchestrator(paged, steps_per_dispatch=4)
+    # prompt 3 + max_new 5 = 8 tokens = exactly 1 page of 8 — but depth-4
+    # dispatch can write up to 3 positions past that, needing a 2nd page
+    req = _Request(np.zeros(3, np.int32), 5)
+    assert orch._pages_needed(req) == 2
+    solo = Orchestrator(paged, steps_per_dispatch=1)
+    assert solo._pages_needed(req) == 1
+
+
+def test_tts_batcher_force_frames_gated_server_side():
+    """force_frames disables EOS termination — a load-test knob an
+    untrusted /tts client must not control. The batcher strips it unless
+    the server was built with allow_force_frames."""
+    from maxtext_indextts2_tpu.infer.server import TTSBatcher
+
+    seen = []
+
+    class FakePipeline:
+        def synthesize_batch(self, bodies, pad_to_batch=None):
+            seen.extend(bodies)
+            return [(np.zeros(3), {}) for _ in bodies]
+
+    for allow in (False, True):
+        seen.clear()
+        b = TTSBatcher(FakePipeline(), max_batch=2, window_ms=10,
+                       allow_force_frames=allow)
+        b.start()
+        try:
+            r = b.submit({"text": "hi", "force_frames": True})
+            assert r.done.wait(timeout=30) and r.error is None
+            assert ("force_frames" in seen[0]) == allow
+        finally:
+            b.stop()
