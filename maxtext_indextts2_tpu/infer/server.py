@@ -377,6 +377,15 @@ class Orchestrator:
                 self.stats["decode_failures"] = (
                     self.stats.get("decode_failures", 0) + 1
                 )
+                if self.stats["decode_failures"] <= 2:
+                    import sys
+                    import traceback
+
+                    print(f"[orch] decode failure "
+                          f"#{self.stats['decode_failures']} at "
+                          f"t={time.monotonic():.1f} active="
+                          f"{self.active_slots()}:\n"
+                          f"{traceback.format_exc()}", file=sys.stderr)
                 if not self._recover_decode(e):
                     # device unrecoverable: fail everything still queued and
                     # stop serving instead of dying silently
