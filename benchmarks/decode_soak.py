@@ -98,7 +98,20 @@ def run(argv=None) -> dict:
               f"t={failures[-1]['t_s']}s:\n{traceback.format_exc()}",
               file=sys.stderr)
 
+    # stay inside max_target_length: re-fill every slot (recovery-style)
+    # before positions reach the context bound
+    reset_every = max(1, (cfg.max_target_length - len(prompt) - spd) // spd)
+
     while time.perf_counter() < deadline:
+        if n_dispatch and n_dispatch % reset_every == 0:
+            try:
+                state = eng.init_decode_state()
+                for slot in range(eng.num_slots):
+                    prefix, _ = eng.prefill(prompt, len(prompt))
+                    state = eng.insert(prefix, state, slot)
+            except Exception as e:  # noqa: BLE001
+                fail("slot_reset", e)
+                break
         t0 = time.perf_counter()
         try:
             state, toks = eng.generate_n(state, spd)

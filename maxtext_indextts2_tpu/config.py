@@ -671,7 +671,24 @@ def _enable_compilation_cache(path: str) -> None:
             # partition — default_backend() names what this process will
             # actually run, at the cost of initializing the backend now
             plat = jax.default_backend()
-        path = os.path.join(path, str(plat).split(",")[0])
+        plat = str(plat).split(",")[0]
+        if plat == "cpu":
+            # CPU AOT results are compiled for the exact CPU features of
+            # the COMPILING machine; loading another host's entry warns
+            # 'Machine type ... doesn't match' and can SIGILL/SEGV mid-run
+            # (observed killing a full test suite). Shared cache dirs are
+            # common (NFS, bind-mounted /tmp), so fingerprint the host.
+            import hashlib
+
+            try:
+                with open("/proc/cpuinfo") as f:
+                    src = next((ln for ln in f if ln.startswith("flags")), "")
+            except OSError:
+                import platform as _platform
+
+                src = _platform.processor() or _platform.machine()
+            plat = f"cpu-{hashlib.sha1(src.encode()).hexdigest()[:8]}"
+        path = os.path.join(path, plat)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -185,9 +185,25 @@ class Orchestrator:
 
     def submit(self, prompt: np.ndarray, max_new_tokens: int,
                stream: bool = False) -> _Request:
-        req = _Request(np.asarray(prompt, np.int32), max_new_tokens,
+        req = _Request(np.asarray(prompt, np.int32), int(max_new_tokens),
                        stream_q=queue.Queue() if stream else None)
         self.stats["requests_total"] += 1
+        # length guards: decoding past max_target_length does NOT error —
+        # the device clamps the KV write onto the last cache row (verified
+        # on-chip), silently corrupting that stream — and a prompt longer
+        # than the prefill bucket can't prefill at all. Reject/clamp
+        # host-side so one bad request can't poison its slot.
+        cfg = self.engine.cfg
+        overshoot = max(0, self.steps_per_dispatch - 1)
+        budget = cfg.max_target_length - len(req.prompt) - overshoot
+        if len(req.prompt) > cfg.max_prefill_predict_length or budget < 1:
+            self._fail(req, ValueError(
+                f"prompt length {len(req.prompt)} exceeds serving limits "
+                f"(prefill bucket {cfg.max_prefill_predict_length}, "
+                f"context {cfg.max_target_length}, dispatch depth "
+                f"{self.steps_per_dispatch})"))
+            return req
+        req.max_new_tokens = min(req.max_new_tokens, budget)
         self.queue.put(req)
         return req
 

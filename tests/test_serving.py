@@ -650,3 +650,29 @@ def test_tts_batcher_force_frames_gated_server_side():
             assert ("force_frames" in seen[0]) == allow
         finally:
             b.stop()
+
+
+def test_submit_length_guards(engine):
+    """Decoding past max_target_length silently clamps the KV write onto
+    the last cache row (device-verified) — submit must clamp max_new_tokens
+    to the context budget and reject prompts the prefill bucket can't hold,
+    so one bad request can't corrupt its slot or poison the loop."""
+    cfg = engine.cfg  # bucket 16, context 64
+    orch = Orchestrator(engine, steps_per_dispatch=4)
+    orch.start()
+    try:
+        # over-length prompt: fails fast without ever reaching the device
+        r = orch.submit(np.arange(cfg.max_prefill_predict_length + 1,
+                                  dtype=np.int32) % 7, 4)
+        assert r.done.wait(timeout=30)
+        assert r.error is not None and "exceeds serving limits" in r.error
+
+        # oversized max_new_tokens: clamped to context - prompt - (spd-1)
+        prompt = np.array([3, 5, 7], np.int32)
+        budget = cfg.max_target_length - len(prompt) - 3
+        r = orch.submit(prompt, 10_000)
+        assert r.done.wait(timeout=120)
+        assert r.error is None
+        assert len(r.tokens) == budget
+    finally:
+        orch.stop()
