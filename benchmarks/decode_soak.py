@@ -42,6 +42,7 @@ def run(argv=None) -> dict:
     spd = int(kv.get("spd", "16"))
     churn = bool(int(kv.get("churn", "0")))
     s2a = bool(int(kv.get("s2a", "0")))
+    gil = int(kv.get("gil", "0"))
     log_every = int(kv.get("log_every", "25"))
 
     from maxtext_indextts2_tpu.config import load_config
@@ -76,6 +77,29 @@ def run(argv=None) -> dict:
     for slot in range(eng.num_slots):
         prefix, _ = eng.prefill(prompt, len(prompt))
         state = eng.insert(prefix, state, slot)
+
+    stop_gil = None
+    if gil:
+        # (started AFTER slot fill: the hogs starve warmup otherwise)
+        # gil=N: N background threads json-encode+decode a 5s/24kHz wav-sized
+        # float list in a loop — the serving bench's HTTP handler + in-process
+        # load-generator workload. If THIS kills the decode dispatches, the
+        # sustained-load failures are GIL starvation of the relay client,
+        # not device work.
+        import json as _json
+        import threading
+
+        stop_gil = threading.Event()
+        wav = np.random.default_rng(0).standard_normal(120_000).astype(np.float32)
+
+        def hog():
+            while not stop_gil.is_set():
+                s = _json.dumps({"wav": wav.tolist()})
+                _json.loads(s)
+
+        for _ in range(gil):
+            threading.Thread(target=hog, daemon=True).start()
+
 
     t_start = time.perf_counter()
     deadline = t_start + minutes * 60
@@ -160,9 +184,11 @@ def run(argv=None) -> dict:
                 fail("s2a", e)
                 break
 
+    if stop_gil is not None:
+        stop_gil.set()
     out = {
         "tiny": tiny, "minutes": minutes, "spd": spd,
-        "churn": churn, "s2a": s2a,
+        "churn": churn, "s2a": s2a, "gil": gil,
         "dispatches": n_dispatch, "s2a_passes": n_s2a,
         "wall_s": round(time.perf_counter() - t_start, 1),
         "dispatch_ms_p50": round(1e3 * float(np.median(dt_hist)), 2) if dt_hist else None,

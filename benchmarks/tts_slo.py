@@ -84,6 +84,7 @@ def _percentiles(xs, ps=(50, 95, 99)):
 
 
 def run(argv=None) -> dict:
+    import base64
     import http.client
 
     kv = dict(a.split("=", 1) for a in (argv or []))
@@ -136,7 +137,12 @@ def run(argv=None) -> dict:
     # weights would otherwise emit a terminating id within a few tokens and
     # the measured load would be a fraction of the offered one)
     body = {"text": "hi" if tiny else "benchmark sentence for the serving harness",
-            "prompt_wav_16k": w16.tolist(), "prompt_wav_24k": w24.tolist(),
+            # binary prompt upload + binary wav response: a JSON float list
+            # for a 5 s/24 kHz wav holds the GIL ~100x longer to encode and
+            # parse, which starves the serving threads (decode_soak gil mode)
+            "prompt_wav_16k_b64": base64.b64encode(w16.tobytes()).decode(),
+            "prompt_wav_24k_b64": base64.b64encode(w24.tobytes()).decode(),
+            "wav_encoding": "b64",
             "max_new_tokens": gen_tokens, "force_frames": True}
     t0 = time.perf_counter()
     # warm the frontend and S2A/vocoder shapes WITHOUT the single-stream LM
@@ -145,9 +151,10 @@ def run(argv=None) -> dict:
     # executables accumulated) — serving's LM programs are the
     # orchestrator's, warmed by the /tts request below, and the
     # generate_stream path must not load its own
-    sems, acs = pipeline.frontend_batch([dict(body)])
+    warm_body = dict(body, prompt_wav_16k=w16, prompt_wav_24k=w24)
+    sems, acs = pipeline.frontend_batch([warm_body])
     fake_gens = [[1] * gen_tokens]
-    pipeline.s2a_vocoder_batch([dict(body)], sems, acs, fake_gens,
+    pipeline.s2a_vocoder_batch([warm_body], sems, acs, fake_gens,
                                pad_to_batch=cfg.tts_batch_max)
     print(f"[tts_slo] warmup compile {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
@@ -169,7 +176,7 @@ def run(argv=None) -> dict:
             resp = conn.getresponse()
             data = json.loads(resp.read())
             if record is not None:
-                if resp.status == 200 and "wav" in data:
+                if resp.status == 200 and ("wav" in data or "wav_b64" in data):
                     record["e2e"] = time.perf_counter() - t_arrive
                     record["audio_s"] = data["info"]["audio_seconds"]
                 else:

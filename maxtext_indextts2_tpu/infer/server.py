@@ -845,6 +845,13 @@ def make_server(cfg: Config, port: int | None = None,
             try:
                 body = json.loads(self.rfile.read(length) or "{}")
                 body["text"]  # validate before enqueueing
+                for k in ("prompt_wav_16k", "prompt_wav_24k"):
+                    if k + "_b64" in body:  # binary prompt upload (float32 LE)
+                        import base64
+
+                        body[k] = np.frombuffer(
+                            base64.b64decode(body.pop(k + "_b64")), np.float32
+                        )
                 req = tts_batcher.submit(body)
                 finished = req.done.wait(timeout=870)
                 if req.error is not None or not finished or req.result is None:
@@ -854,9 +861,24 @@ def make_server(cfg: Config, port: int | None = None,
                     code = 500
                 else:
                     wav, info = req.result
-                    payload = json.dumps(
-                        {"wav": np.asarray(wav).tolist(), "info": info}
-                    ).encode()
+                    if body.get("wav_encoding") == "b64":
+                        # base64 of little-endian float32 — ~7x smaller than
+                        # a JSON float list and ~100x less GIL-held encode
+                        # time (a 5 s/24 kHz utterance is 240k floats; the
+                        # list path holds the GIL long enough to starve
+                        # every other serving thread, measured in
+                        # benchmarks/decode_soak.py gil mode)
+                        import base64
+
+                        wav32 = np.asarray(wav, np.float32)
+                        payload = json.dumps(
+                            {"wav_b64": base64.b64encode(wav32.tobytes()).decode(),
+                             "dtype": "float32", "info": info}
+                        ).encode()
+                    else:
+                        payload = json.dumps(
+                            {"wav": np.asarray(wav).tolist(), "info": info}
+                        ).encode()
                     code = 200
             except (json.JSONDecodeError, KeyError, ValueError) as e:
                 payload = json.dumps({"error": f"bad request: {e}"}).encode()
