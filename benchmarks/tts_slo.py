@@ -89,7 +89,7 @@ def run(argv=None) -> dict:
 
     kv = dict(a.split("=", 1) for a in (argv or []))
     known = {"tiny", "rate", "rates", "duration", "gen_tokens", "prompt_s",
-             "port", "lm_only"}
+             "port", "lm_only", "no_http"}
     cfg_overrides = [f"{k}={v}" for k, v in kv.items() if k not in known]
     tiny = bool(int(kv.get("tiny", "0")))
     rate = float(kv.get("rate", "1" if tiny else "2"))  # requests / s
@@ -167,7 +167,22 @@ def run(argv=None) -> dict:
     # LM path (generate_fn) before timing
     payload = json.dumps(body).encode()
 
-    def one_request(record: dict | None):
+    no_http = bool(int(kv.get("no_http", "0")))  # fault isolation: drive the
+    # batcher directly — same workload, no sockets/handler threads
+
+    def one_request_direct(record: dict | None):
+        t_arrive = time.perf_counter()
+        req = batcher.submit(dict(body, prompt_wav_16k=w16, prompt_wav_24k=w24))
+        ok = req.done.wait(timeout=870)
+        if record is not None:
+            if ok and req.error is None and req.result is not None:
+                wav, info = req.result
+                record["e2e"] = time.perf_counter() - t_arrive
+                record["audio_s"] = info["audio_seconds"]
+            else:
+                record["error"] = req.error or ("timed out" if not ok else "no result")
+
+    def one_request_http(record: dict | None):
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=900)
         t_arrive = time.perf_counter()
         try:
@@ -187,6 +202,7 @@ def run(argv=None) -> dict:
         finally:
             conn.close()
 
+    one_request = one_request_direct if no_http else one_request_http
     one_request(None)  # endpoint warm (orchestrator LM path)
 
     def measure(rate: float) -> dict:
