@@ -40,8 +40,9 @@ def run(argv=None) -> dict:
     tiny = bool(int(kv.get("tiny", "0")))
     minutes = float(kv.get("minutes", "1" if tiny else "5"))
     spd = int(kv.get("spd", "16"))
-    churn = bool(int(kv.get("churn", "0")))
+    churn = int(kv.get("churn", "0"))  # N release+prefill+insert cycles per dispatch
     s2a = bool(int(kv.get("s2a", "0")))
+    frontend = bool(int(kv.get("frontend", "0")))  # + frontend_batch per S2A cycle
     gil = int(kv.get("gil", "0"))
     log_every = int(kv.get("log_every", "25"))
 
@@ -65,8 +66,13 @@ def run(argv=None) -> dict:
         gens = [[1] * (8 if tiny else 250)]
 
         def s2a_pass():
+            if frontend:
+                # serving runs the conformer+codec-encode programs per batch
+                f_sems, f_acs = pipeline.frontend_batch([dict(body)])
+            else:
+                f_sems, f_acs = sems, acs
             return pipeline.s2a_vocoder_batch(
-                [dict(body)], sems, acs, gens, pad_to_batch=cfg.tts_batch_max)
+                [dict(body)], f_sems, f_acs, gens, pad_to_batch=cfg.tts_batch_max)
     else:
         eng = Engine(cfg)
         eng.load_params()
@@ -167,11 +173,14 @@ def run(argv=None) -> dict:
                   f"max={1e3 * max(recent):.1f}", file=sys.stderr)
         if churn:
             try:
-                # serving churn: one slot finishes and a new request lands
-                state = eng.release_slot(state, churn_slot)
-                prefix, _ = eng.prefill(prompt, len(prompt))
-                state = eng.insert(prefix, state, churn_slot)
-                churn_slot = (churn_slot + 1) % eng.num_slots
+                # serving churn: churn slots finish and new requests land
+                # BETWEEN decode dispatches (steady-state admission runs
+                # several prefill+insert pairs back-to-back)
+                for _ in range(churn):
+                    state = eng.release_slot(state, churn_slot)
+                    prefix, _ = eng.prefill(prompt, len(prompt))
+                    state = eng.insert(prefix, state, churn_slot)
+                    churn_slot = (churn_slot + 1) % eng.num_slots
             except Exception as e:  # noqa: BLE001
                 fail("churn", e)
                 break
@@ -188,7 +197,7 @@ def run(argv=None) -> dict:
         stop_gil.set()
     out = {
         "tiny": tiny, "minutes": minutes, "spd": spd,
-        "churn": churn, "s2a": s2a, "gil": gil,
+        "churn": churn, "s2a": s2a, "frontend": frontend, "gil": gil,
         "dispatches": n_dispatch, "s2a_passes": n_s2a,
         "wall_s": round(time.perf_counter() - t_start, 1),
         "dispatch_ms_p50": round(1e3 * float(np.median(dt_hist)), 2) if dt_hist else None,

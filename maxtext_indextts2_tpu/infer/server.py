@@ -88,6 +88,20 @@ class Orchestrator:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
         self.decode_state = None
+        # MTT_ORCH_TRACE=1: ring buffer of recent device calls, dumped on
+        # decode failure — post-mortem for sustained-load fault isolation
+        import collections
+        import os
+
+        self._trace: collections.deque | None = (
+            collections.deque(maxlen=400)
+            if os.environ.get("MTT_ORCH_TRACE") else None
+        )
+        # MTT_DISPATCH_PACE_MS: host-side gap inserted between decode
+        # dispatches (sustained-load fault-isolation experiment; also a
+        # fairness lever — gives admission/thunks a fixed share of the loop)
+        self.dispatch_pace_s = float(
+            os.environ.get("MTT_DISPATCH_PACE_MS", "0")) / 1e3
         # serving counters surfaced at /metrics (reference: maxengine_server
         # prometheus integration)
         self.stats = {
@@ -226,6 +240,10 @@ class Orchestrator:
             req.stream_q.put(None)
         req.done.set()
 
+    def _tr(self, op: str, **kw):
+        if self._trace is not None:
+            self._trace.append((round(time.monotonic(), 4), op, kw))
+
     def _pages_needed(self, req: _Request) -> int:
         # Constant dispatch depth lets the device advance an active slot's
         # position up to steps_per_dispatch-1 steps past prompt+max_new
@@ -245,6 +263,7 @@ class Orchestrator:
         )
 
     def _admit(self, slot, req, prefix, first_tok):
+        self._tr("insert", slot=slot)
         self.decode_state = self.engine.insert(prefix, self.decode_state, slot)
         self._emit(req, first_tok)
         self.slots[slot] = req
@@ -300,6 +319,7 @@ class Orchestrator:
                     req = self.queue.get_nowait()
                 try:
                     self.stats["prefills_total"] += 1
+                    self._tr("prefill", slot=slot, plen=len(req.prompt))
                     with device_dispatch():
                         prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
                         first_tok = int(np.asarray(first)[0])
@@ -367,6 +387,9 @@ class Orchestrator:
             # resource: program loads can fail with 'TPU backend error
             # (Internal)' once too many executables accumulate
             n = self.steps_per_dispatch
+            if self.dispatch_pace_s > 0:
+                time.sleep(self.dispatch_pace_s)
+            self._tr("generate_n", n=n, active=self.active_slots())
             try:
                 with device_dispatch():
                     if n > 1:
@@ -393,6 +416,12 @@ class Orchestrator:
                 self.stats["decode_failures"] = (
                     self.stats.get("decode_failures", 0) + 1
                 )
+                if self._trace is not None:
+                    import sys
+
+                    print("[orch] device-call trace (oldest first):\n" +
+                          "\n".join(repr(t) for t in self._trace),
+                          file=sys.stderr)
                 if self.stats["decode_failures"] <= 2:
                     import sys
                     import traceback
@@ -521,6 +550,7 @@ class Orchestrator:
         # mark the slot inactive device-side (stops pos advance) and, in
         # paged mode, return its pages to the pool immediately — otherwise a
         # finished slot holds (and in decode keeps growing) pages until reuse
+        self._tr("release", slot=slot)
         with device_dispatch():
             self.decode_state = self.engine.release_slot(self.decode_state, slot)
         if self._paged:
