@@ -1,0 +1,218 @@
+"""Measured full-pipeline serving capacity: closed loop, one device thread.
+
+The open-loop poisson bench (benchmarks/tts_slo.py) measures latency under
+an arrival process, but it needs a multi-threaded serving process and this
+fabric kills exactly that at steady state (PERF.md round-3/4 campaigns: a
+plain generate_n dispatch fails right after steady-state concurrency is
+reached, across every host-side variant — http/no-http, batcher/direct,
+paced — while the identical single-threaded device mix soaks clean for
+minutes, benchmarks/decode_soak.py). This harness measures the judge
+quantity — LM decode, S2A diffusion, front-end and vocoder CONTENDING for
+one chip under sustained load — in the proven-stable single-threaded
+pattern:
+
+  * all decode slots stay full; each completed stream is immediately
+    replaced through the FUSED admission path (one packed-prefill +
+    multi-insert dispatch, Engine.prefill_insert_many) — continuous
+    batching at steady state;
+  * initial budgets are staggered across slots so completions
+    desynchronize the way an arrival process would;
+  * every batch of 8 completions runs the real front-end (semantic
+    tokenize + codec encode) and the certified S2A + vocoder batch on the
+    same chip, interleaved with the decode dispatches.
+
+Delivered capacity = audio-seconds leaving the vocoder per wall-second of
+the measurement window — a measurement, not stage-composed arithmetic:
+every stage contends with every other in the same loop. The measurement
+window starts only after the staggered warmup wave has fully drained
+(every stream completing inside the window ran its full token budget
+within it).
+
+Run on-chip:   python benchmarks/tts_capacity.py minutes=3
+CPU plumbing:  MTT_PLATFORM=cpu python benchmarks/tts_capacity.py tiny=1
+
+Reference anchor: the mlperf Offline-scenario discipline
+(inference_mlperf/offline_mode.py:541) — sustained maximum-throughput
+serving with every stage on the accelerator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from benchmarks.tts_slo import PROD_CFG, TINY_CFG  # noqa: E402
+
+
+def run(argv=None) -> dict:
+    kv = dict(a.split("=", 1) for a in (argv or []))
+    known = {"tiny", "minutes", "spd", "gen_tokens", "prompt_s", "s2a_batch"}
+    cfg_overrides = [f"{k}={v}" for k, v in kv.items() if k not in known]
+    tiny = bool(int(kv.get("tiny", "0")))
+    minutes = float(kv.get("minutes", "0.2" if tiny else "3"))
+    spd = int(kv.get("spd", "4" if tiny else "16"))
+    gen_tokens = int(kv.get("gen_tokens", "8" if tiny else "250"))  # 5 s audio
+    prompt_s = float(kv.get("prompt_s", "0.2" if tiny else "1.0"))
+    s2a_batch = int(kv.get("s2a_batch", "2" if tiny else "8"))
+
+    from maxtext_indextts2_tpu.audio.pipeline import build_tiny_pipeline
+    from maxtext_indextts2_tpu.config import load_config
+
+    cfg = load_config(list(TINY_CFG if tiny else PROD_CFG) + cfg_overrides)
+    pipeline = build_tiny_pipeline(cfg)
+    eng = pipeline.engine
+    slots = eng.num_slots
+
+    # ----------------------------------------------------------- warm shapes
+    t0 = time.perf_counter()
+    w16 = np.zeros(int(16_000 * prompt_s), np.float32)
+    w24 = np.zeros(int(24_000 * prompt_s), np.float32)
+    body = {"text": "benchmark sentence for the serving harness",
+            "prompt_wav_16k": w16, "prompt_wav_24k": w24,
+            "force_frames": True}
+    sems, acs = pipeline.frontend_batch([body])
+    sem_prompt = sems[0]
+    lm_prompt = pipeline.text_and_prompt_to_lm_prompt(body["text"], sem_prompt)
+    # steady-state S2A shape: batch `s2a_batch`, every row gen_tokens long
+    warm_gens = [[1] * gen_tokens]
+    pipeline.s2a_vocoder_batch([body], sems, acs, warm_gens,
+                               pad_to_batch=s2a_batch)
+    print(f"[capacity] frontend+s2a warmup {time.perf_counter() - t0:.1f}s "
+          f"(prompt {len(lm_prompt)} tokens, {slots} slots)", file=sys.stderr)
+
+    # admission pack size: how many prompts fit one prefill bucket
+    pack = max(1, min(8, cfg.max_prefill_predict_length // max(len(lm_prompt), 1)))
+
+    # ------------------------------------------------------------- fill phase
+    t0 = time.perf_counter()
+    state = eng.init_decode_state()
+    first_tok = np.zeros(slots, np.int64)
+    for base in range(0, slots, pack):
+        group = list(range(base, min(base + pack, slots)))
+        state, firsts = eng.prefill_insert_many(
+            state, [lm_prompt] * len(group), group)
+        first_tok[group] = np.asarray(firsts)
+    # staggered initial budgets: slot i completes after ~(i+1)/slots of a
+    # full budget — steady state then sees a uniform completion stream.
+    budget = np.array(
+        [max(spd, int(gen_tokens * (i + 1) / slots)) for i in range(slots)],
+        np.int64,
+    )
+    warmup = np.ones(slots, bool)  # initial wave: not counted, not S2A'd
+    collected: list[list[int]] = [[int(first_tok[i])] for i in range(slots)]
+    print(f"[capacity] slot fill {time.perf_counter() - t0:.1f}s "
+          f"(pack={pack})", file=sys.stderr)
+
+    # ------------------------------------------------------------- main loop
+    stage_s = {"decode": 0.0, "admission": 0.0, "frontend": 0.0,
+               "s2a_vocoder": 0.0}
+    counts = {"decode_dispatches": 0, "admissions": 0, "admitted": 0,
+              "s2a_batches": 0}
+    finished: list[list[int]] = []   # gens awaiting an S2A batch
+    delivered_audio_s = 0.0
+    delivered_streams = 0
+    measuring = False
+    t_meas = None
+    deadline = None
+    t_loop = time.perf_counter()
+
+    while True:
+        now = time.perf_counter()
+        if measuring and now >= deadline:
+            break
+        if not measuring and not warmup.any():
+            # warmup wave fully drained -> open the measurement window
+            measuring = True
+            t_meas = now
+            deadline = now + minutes * 60
+            stage_s = dict.fromkeys(stage_s, 0.0)
+            counts = dict.fromkeys(counts, 0)
+            finished.clear()
+
+        t0 = time.perf_counter()
+        state, toks = eng.generate_n(state, spd)
+        toks = np.asarray(toks)  # [spd, slots]
+        stage_s["decode"] += time.perf_counter() - t0
+        counts["decode_dispatches"] += 1
+        for i in range(slots):
+            collected[i].extend(int(t) for t in toks[:, i])
+
+        # completions -> finished queue; refill via fused admission
+        done = [i for i in range(slots) if len(collected[i]) >= budget[i]]
+        if done:
+            for i in done:
+                if not warmup[i]:
+                    finished.append(collected[i][:gen_tokens])
+                warmup[i] = False
+            t0 = time.perf_counter()
+            for base in range(0, len(done), pack):
+                group = done[base:base + pack]
+                state, firsts = eng.prefill_insert_many(
+                    state, [lm_prompt] * len(group), group)
+                firsts = np.asarray(firsts)
+                for j, i in enumerate(group):
+                    collected[i] = [int(firsts[j])]
+                    budget[i] = gen_tokens
+                counts["admissions"] += 1
+                counts["admitted"] += len(group)
+            stage_s["admission"] += time.perf_counter() - t0
+
+        # full S2A batches: front-end + S2A + vocoder on the same chip
+        while len(finished) >= s2a_batch:
+            batch_gens_raw = [finished.pop(0) for _ in range(s2a_batch)]
+            reqs = [dict(body) for _ in range(s2a_batch)]
+            t0 = time.perf_counter()
+            f_sems, f_acs = pipeline.frontend_batch(reqs)
+            t1 = time.perf_counter()
+            stage_s["frontend"] += t1 - t0
+            gens = [pipeline.map_semantic(g, force_frames=True)
+                    for g in batch_gens_raw]
+            outs = pipeline.s2a_vocoder_batch(reqs, f_sems, f_acs, gens,
+                                              pad_to_batch=s2a_batch)
+            stage_s["s2a_vocoder"] += time.perf_counter() - t1
+            counts["s2a_batches"] += 1
+            if measuring:
+                delivered_audio_s += sum(info["audio_seconds"]
+                                         for _, info in outs)
+                delivered_streams += len(outs)
+
+        if not measuring and time.perf_counter() - t_loop > 600:
+            raise RuntimeError("warmup wave failed to drain in 600 s")
+
+    wall = time.perf_counter() - t_meas
+    capacity = delivered_audio_s / wall if wall else 0.0
+    out = {
+        "tiny": tiny,
+        "slots": slots,
+        "spd": spd,
+        "gen_tokens": gen_tokens,
+        "s2a_batch": s2a_batch,
+        "prompt_tokens": int(len(lm_prompt)),
+        "admission_pack": pack,
+        "measured_wall_s": round(wall, 1),
+        "delivered_audio_s": round(delivered_audio_s, 1),
+        "delivered_streams": delivered_streams,
+        "delivered_rtf_capacity": round(capacity, 2),
+        "measured_rtf_per_stream": round(1.0 / capacity, 4) if capacity else None,
+        "stage_seconds": {k: round(v, 2) for k, v in stage_s.items()},
+        "stage_share": {
+            k: round(v / max(sum(stage_s.values()), 1e-9), 3)
+            for k, v in stage_s.items()
+        },
+        "counts": counts,
+        "leftover_unbatched": len(finished),
+    }
+    return out
+
+
+if __name__ == "__main__":
+    if os.environ.get("MTT_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MTT_PLATFORM"])
+    print(json.dumps(run(sys.argv[1:])))

@@ -120,6 +120,7 @@ class Engine:
         self.rng = jax.random.PRNGKey(cfg.seed)
         self._p_prefill = None
         self._p_prefill_chunk = None
+        self._p_prefill_insert = {}
         self._p_generate = None
         self._p_generate_n = {}
         self._p_insert = None
@@ -323,6 +324,7 @@ class Engine:
         self._p_generate_n = {}
         self._p_insert = None
         self._p_release = None
+        self._p_prefill_insert = {}
 
     def refresh_prefill(self):
         """Drop cached prefill executables so the next call re-jits.
@@ -335,6 +337,7 @@ class Engine:
         makes it cheap."""
         self._p_prefill = None
         self._p_prefill_chunk = None
+        self._p_prefill_insert = {}
 
     def prefill(self, tokens: np.ndarray, true_length: int,
                 vision_embeddings=None):
@@ -436,30 +439,13 @@ class Engine:
         )
         cache = vars_["cache"]
 
-        def extract(leaf_path, leaf, start, length):
-            name = leaf_path[-1].key if hasattr(leaf_path[-1], "key") else str(leaf_path[-1])
-            ndim = leaf.ndim
-            if name in ("cached_key", "cached_value"):
-                seq_axis = ndim - 3
-            elif name == "cached_segment_ids":
-                seq_axis = ndim - 1
-            elif name == "cache_index":
-                return jnp.full(leaf.shape, length, jnp.int32)
-            else:
-                return leaf
-            # shift this prompt's span to position 0, zero the rest
-            rolled = jnp.roll(leaf, -start, axis=seq_axis)
-            idx = jnp.arange(leaf.shape[seq_axis])
-            keep = idx < length
-            shape = [1] * ndim
-            shape[seq_axis] = -1
-            return jnp.where(keep.reshape(shape), rolled, jnp.zeros_like(rolled))
-
         out = []
         self.rng, rng = jax.random.split(self.rng)
         for i, (start, length) in enumerate(zip(starts, lengths)):
             prefix_cache = jax.tree_util.tree_map_with_path(
-                lambda path, leaf, s=start, ln=length: extract(path, leaf, s, ln),
+                lambda path, leaf, s=start, ln=length: self._extract_prefix_leaf(
+                    path, leaf, s, ln
+                ),
                 cache,
             )
             last = logits[:, start + length - 1]
@@ -474,6 +460,119 @@ class Engine:
                 tok,
             ))
         return out
+
+    @staticmethod
+    def _extract_prefix_leaf(leaf_path, leaf, start, length):
+        """Slice one packed prompt's span out of a packed-prefill cache leaf:
+        shift the span to position 0 and zero the rest. `start`/`length` may
+        be traced (used inside the fused admission program)."""
+        name = leaf_path[-1].key if hasattr(leaf_path[-1], "key") else str(leaf_path[-1])
+        ndim = leaf.ndim
+        if name in ("cached_key", "cached_value"):
+            seq_axis = ndim - 3
+        elif name == "cached_segment_ids":
+            seq_axis = ndim - 1
+        elif name == "cache_index":
+            return jnp.full(leaf.shape, length, jnp.int32)
+        else:
+            return leaf
+        rolled = jnp.roll(leaf, -start, axis=seq_axis)
+        idx = jnp.arange(leaf.shape[seq_axis])
+        keep = idx < length
+        shape = [1] * ndim
+        shape[seq_axis] = -1
+        return jnp.where(keep.reshape(shape), rolled, jnp.zeros_like(rolled))
+
+    def _prefill_insert_impl(self, params, decode_state, inputs, positions,
+                             segs, starts, lengths, slots, rng):
+        """Fused admission: ONE XLA program that prefills k packed prompts,
+        extracts each prompt's prefix, inserts it into its decode slot, and
+        samples each first token. inputs/positions/segs are [1, P] packed
+        (segment ids 1..k); starts/lengths/slots are [k] (k static per
+        compile). Returns (new_decode_state, first_tokens [k])."""
+        cfg = self.cfg
+        k = starts.shape[0]
+        logits, vars_ = self.model.apply(
+            {"params": params}, inputs, positions, segs,
+            mode=MODE_PREFILL, mutable=["cache"],
+        )
+        cache = vars_["cache"]
+        state = decode_state
+        toks = []
+        for i in range(k):
+            start, length = starts[i], lengths[i]
+            prefix_cache = jax.tree_util.tree_map_with_path(
+                lambda path, leaf: self._extract_prefix_leaf(
+                    path, leaf, start, length
+                ),
+                cache,
+            )
+            last = jnp.take_along_axis(
+                logits, (start + length - 1)[None, None, None].astype(jnp.int32),
+                axis=1,
+            )[:, 0]  # [1, V]
+            tok = sample_tokens(
+                last, jax.random.fold_in(rng, i), cfg.decode_sampling_strategy,
+                cfg.decode_sampling_temperature, cfg.decode_sampling_top_k,
+                cfg.decode_sampling_nucleus_p,
+            )
+            prefix = {
+                "cache": prefix_cache,
+                "token": tok,
+                "pos": jnp.reshape(length, (1,)).astype(jnp.int32),
+            }
+            state = self._insert_impl(state, prefix, slots[i])
+            toks.append(tok[0])
+        return state, jnp.stack(toks)
+
+    def prefill_insert_many(self, decode_state, prompts: list[np.ndarray],
+                            slots: list[int]):
+        """Host API for fused admission (continuous-batching steady state):
+        pack k short prompts into one prefill bucket and run prefill +
+        k-way prefix extraction + k slot insertions as ONE device dispatch.
+
+        The unfused path costs 2k dispatches (prefill + insert per stream) —
+        through a relay-attached host at ~40 ms/dispatch, admitting 8
+        streams costs ~0.7 s of dispatch overhead alone; fused it is one.
+        Reference capability anchor: prefill_packing.py BatchedPrefillProcessor
+        (packs prompts) — this additionally fuses the inserts, which the
+        reference issues separately.
+
+        Compiles once per k — callers should bucket group sizes. Returns
+        (new_decode_state, first_tokens [k] on device). decode_state is
+        donated."""
+        cfg = self.cfg
+        p = cfg.max_prefill_predict_length
+        k = len(prompts)
+        assert k == len(slots) and k >= 1
+        lengths = [len(t) for t in prompts]
+        assert sum(lengths) <= p, f"prompts ({sum(lengths)}) exceed bucket {p}"
+
+        inputs = np.zeros((1, p), np.int32)
+        positions = np.zeros((1, p), np.int32)
+        segs = np.zeros((1, p), np.int32)
+        starts = []
+        off = 0
+        for i, t in enumerate(prompts):
+            n = len(t)
+            starts.append(off)
+            inputs[0, off:off + n] = t
+            positions[0, off:off + n] = np.arange(n)
+            segs[0, off:off + n] = i + 1
+            off += n
+
+        if k not in self._p_prefill_insert:
+            self._p_prefill_insert[k] = jax.jit(
+                self._prefill_insert_impl, donate_argnums=(1,)
+            )
+        self.rng, rng = jax.random.split(self.rng)
+        with self.mesh:
+            return self._p_prefill_insert[k](
+                self.params, decode_state, jnp.asarray(inputs),
+                jnp.asarray(positions), jnp.asarray(segs),
+                jnp.asarray(starts, jnp.int32), jnp.asarray(lengths, jnp.int32),
+                jnp.asarray(list(slots), jnp.int32), rng,
+            )
 
     def prefill_chunked(self, tokens: np.ndarray, true_length: int, chunk_size: int):
         """Chunked prefill: process the prompt in fixed-size chunks, each

@@ -132,6 +132,51 @@ def test_prefill_concat_matches_separate(engine):
     assert outs[1] == solos[1]
 
 
+def test_prefill_insert_many_matches_separate(engine):
+    """Fused admission (one packed prefill + k inserts in one program) must
+    reproduce the sequential prefill->insert->generate path exactly."""
+    prompts = [np.array([3, 5, 7], np.int32), np.array([11, 13, 17, 19], np.int32)]
+    solos = [engine.generate_stream(p, 5) for p in prompts]
+
+    state = engine.init_decode_state()
+    state, firsts = engine.prefill_insert_many(state, prompts, slots=[0, 1])
+    firsts = np.asarray(firsts)
+    outs = [[int(firsts[0])], [int(firsts[1])]]
+    for _ in range(4):
+        state, toks = engine.generate(state)
+        toks = np.asarray(toks)
+        for slot in range(len(prompts)):
+            outs[slot].append(int(toks[slot]))
+    assert outs[0] == solos[0]
+    assert outs[1] == solos[1]
+
+
+def test_prefill_insert_many_into_live_state(engine):
+    """Fused admission into a state with a live stream must not disturb it."""
+    live = np.array([23, 29, 31], np.int32)
+    solo_live = engine.generate_stream(live, 6)
+    new = np.array([37, 41], np.int32)
+    solo_new = engine.generate_stream(new, 4)
+
+    prefix, t0 = engine.prefill(live, len(live))
+    state = engine.init_decode_state()
+    state = engine.insert(prefix, state, 0)
+    out_live = [int(np.asarray(t0)[0])]
+    # live stream decodes two tokens before the fused admission lands
+    for _ in range(2):
+        state, toks = engine.generate(state)
+        out_live.append(int(np.asarray(toks)[0]))
+    state, firsts = engine.prefill_insert_many(state, [new], slots=[1])
+    out_new = [int(np.asarray(firsts)[0])]
+    for _ in range(3):
+        state, toks = engine.generate(state)
+        toks = np.asarray(toks)
+        out_live.append(int(toks[0]))
+        out_new.append(int(toks[1]))
+    assert out_live == solo_live
+    assert out_new == solo_new
+
+
 def test_engine_aot_compile(engine):
     compiled = engine.aot_compile()
     assert set(compiled) == {"prefill", "generate"}
