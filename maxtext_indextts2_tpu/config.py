@@ -310,6 +310,11 @@ class Config:
     # remote-relay fabrics: ~40 ms/dispatch vs 10.6 ms device step at 128
     # slots). Cost: a finishing stream decodes up to n-1 wasted tokens.
     serving_steps_per_dispatch: int = 4
+    # fused admission: up to N waiting requests are admitted per device
+    # dispatch (one packed prefill + N inserts + N first tokens in one XLA
+    # program, Engine.prefill_insert_many). <=1 restores the per-request
+    # prefill+insert path. Ignored in paged/disaggregated modes.
+    serving_admission_fusion_max: int = 8
     # /tts requests batch into one masked S2A pass (pipeline.synthesize_batch):
     # up to tts_batch_max requests collected within tts_batch_window_ms
     tts_batch_max: int = 8  # measured S2A operating point (PERF.md)

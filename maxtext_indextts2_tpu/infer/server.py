@@ -40,6 +40,10 @@ class _Request:
     # axon relay throws 'TPU backend error (Internal)' sporadically under
     # sustained load) retry instead of failing the request
     attempts: int = 0
+    # cleared when a FUSED admission dispatch containing this request
+    # failed: the request re-admits individually so one poisoned prompt
+    # cannot burn its cohort's retry budget (failure isolation)
+    fuse_ok: bool = True
 
 
 class Orchestrator:
@@ -53,11 +57,15 @@ class Orchestrator:
     here across threads sharing one chip's two program streams)."""
 
     def __init__(self, engine: Engine, eos_id: int | None = None,
-                 steps_per_dispatch: int = 4, mode: str = "interleaved"):
+                 steps_per_dispatch: int = 4, mode: str = "interleaved",
+                 admission_fusion_max: int = 8):
         self.engine = engine
         self.eos_id = eos_id
         self.steps_per_dispatch = steps_per_dispatch
         self.mode = mode
+        # fused admission group cap (engine.prefill_insert_many); <=1 keeps
+        # the per-request prefill+insert path
+        self.admission_fusion_max = admission_fusion_max
         self.prefix_queue: queue.Queue = queue.Queue(maxsize=max(engine.num_slots, 2))
         self.queue: queue.Queue[_Request] = queue.Queue()
         self.slots: list[_Request | None] = [None] * engine.num_slots
@@ -265,6 +273,12 @@ class Orchestrator:
     def _admit(self, slot, req, prefix, first_tok):
         self._tr("insert", slot=slot)
         self.decode_state = self.engine.insert(prefix, self.decode_state, slot)
+        self._admit_bookkeeping(slot, req, first_tok)
+
+    def _admit_bookkeeping(self, slot, req, first_tok):
+        """Host-side slot bookkeeping once the prefix is device-side —
+        shared by the per-request insert path and fused admission (where
+        the insert already happened inside prefill_insert_many)."""
         self._emit(req, first_tok)
         self.slots[slot] = req
         self.remaining[slot] = req.max_new_tokens - 1
@@ -283,174 +297,289 @@ class Orchestrator:
             self._loop_dead.set()
             self._fail_pending_thunks(RuntimeError("device loop exited"))
 
+    def _next_admissible(self) -> _Request | None:
+        """Pop the next admissible request (retry list first), or None."""
+        if self._retry:
+            if not self._can_admit(self._retry[0]):
+                return None
+            return self._retry.pop(0)
+        try:
+            req = self.queue.queue[0]  # peek before committing
+        except IndexError:
+            return None
+        if not self._can_admit(req):
+            return None  # head-of-line waits for pages to free up
+        return self.queue.get_nowait()
+
+    def _on_prefill_failure(self, reqs: list[_Request], e: Exception):
+        """Bounded-retry bookkeeping shared by the admission paths."""
+        self.stats["prefill_failures"] = (
+            self.stats.get("prefill_failures", 0) + 1
+        )
+        if self.stats["prefill_failures"] <= 2:
+            import sys
+            import traceback
+
+            print(f"[orch] prefill failure "
+                  f"#{self.stats['prefill_failures']} at "
+                  f"t={time.monotonic():.1f} active="
+                  f"{self.active_slots()}:\n"
+                  f"{traceback.format_exc()}", file=sys.stderr)
+        self._prefill_fail_streak += 1
+        if self._prefill_fail_streak >= 2:
+            # repeated failures while decode keeps working = poisoned
+            # prefill executable (engine.refresh_prefill docstring);
+            # reload a fresh one before retrying
+            self.engine.refresh_prefill()
+            self.stats["prefill_refreshes"] = (
+                self.stats.get("prefill_refreshes", 0) + 1
+            )
+            self._prefill_fail_streak = 0
+        for req in reqs:
+            req.attempts += 1
+            if req.attempts < self.max_prefill_attempts:
+                self._retry.append(req)
+            else:
+                self._fail(req, e)
+
+    def _admit_interleaved(self) -> bool:
+        """Admission for interleaved mode: FUSED — pack every admissible
+        request (up to free slots / the prefill bucket) and admit each group
+        as ONE device dispatch (engine.prefill_insert_many: packed prefill +
+        multi-insert + first-token sampling in a single XLA program). The
+        unfused path costs 2 dispatches per stream; at ~40 ms/dispatch
+        through a relay-attached host, steady-state admission of ~8
+        streams/batch cost more than the decode work it fed. Group sizes are
+        bucketed to powers of two so the loaded-executable set stays bounded
+        (loaded-program space is a real resource, PERF.md round-3)."""
+        cfg = self.engine.cfg
+        admitted = False
+        while True:
+            free = [i for i, r in enumerate(self.slots) if r is None]
+            if not free:
+                return admitted
+            # solo-fallback head: a request whose fused group failed
+            # re-admits individually (one poisoned prompt must not burn its
+            # cohort's retry budget — and must fail ALONE at the bounded
+            # attempt limit while its cohort proceeds)
+            if self._retry and not self._retry[0].fuse_ok:
+                if not self._can_admit(self._retry[0]):
+                    return admitted
+                req = self._retry.pop(0)
+                if not self._admit_via_prefill(free[0], req):
+                    return admitted  # let a decode round run between attempts
+                admitted = True
+                continue
+            group: list[_Request] = []
+            plen = 0
+            max_k = min(len(free), max(1, self.admission_fusion_max))
+            while len(group) < max_k:
+                if self._retry and not self._retry[0].fuse_ok:
+                    break  # solo head handled next round, not pulled in here
+                req = self._next_admissible()
+                if req is None:
+                    break
+                if group and plen + len(req.prompt) > cfg.max_prefill_predict_length:
+                    # doesn't fit this pack — lead the next group
+                    self._retry.insert(0, req)
+                    break
+                group.append(req)
+                plen += len(req.prompt)
+            if not group:
+                return admitted
+            # ladder sizes {1,2,4,8,...}: one executable per size, reused
+            k = 1
+            while k * 2 <= len(group):
+                k *= 2
+            for req in group[k:]:
+                self._retry.insert(0, req)
+            group = group[:k]
+            slots = free[:k]
+            try:
+                self.stats["prefills_total"] += len(group)
+                self._tr("prefill_insert", slots=slots,
+                         plens=[len(r.prompt) for r in group])
+                with device_dispatch():
+                    self.decode_state, firsts = self.engine.prefill_insert_many(
+                        self.decode_state, [r.prompt for r in group], slots
+                    )
+                    firsts = np.asarray(firsts)
+                for slot, req, tok in zip(slots, group, firsts):
+                    self._admit_bookkeeping(slot, req, int(tok))
+                admitted = True
+                self._prefill_fail_streak = 0
+            except Exception as e:  # noqa: BLE001 — transient dispatch
+                # failures retry (bounded); persistent ones surface to the
+                # caller. Return so a decode step (or the idle sleep) runs
+                # between attempts instead of hammering a wedged path.
+                if len(group) > 1:
+                    # failure isolation: re-admit each member individually so
+                    # a single poisoned prompt fails alone at the attempt
+                    # limit instead of taking its cohort down with it
+                    self.stats["admission_fusion_fallbacks"] = (
+                        self.stats.get("admission_fusion_fallbacks", 0) + 1
+                    )
+                    for req in group:
+                        req.fuse_ok = False
+                    self._retry[:0] = group
+                else:
+                    self._on_prefill_failure(group, e)
+                return admitted
+
+    def _admit_via_prefill(self, slot: int, req: _Request) -> bool:
+        """Single-request admission (separate prefill + insert dispatches);
+        the solo-fallback path for fused-group failures and the body of
+        _admit_sequential."""
+        try:
+            self.stats["prefills_total"] += 1
+            self._tr("prefill", slot=slot, plen=len(req.prompt))
+            with device_dispatch():
+                prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
+                first_tok = int(np.asarray(first)[0])
+                self._admit(slot, req, prefix, first_tok)
+            self._prefill_fail_streak = 0
+            return True
+        except Exception as e:  # noqa: BLE001 — bounded retry
+            self._on_prefill_failure([req], e)
+            return False
+
     def _loop_body(self):
         while not self._stop.is_set():
             # admit new requests into free slots
             admitted = False
-            while True:
-                slot = self._free_slot()
-                if slot is None:
-                    break
-                if self.mode == "disaggregated":
-                    if self._held_prefix is None:
-                        try:
-                            self._held_prefix = self.prefix_queue.get_nowait()
-                        except queue.Empty:
-                            break
-                    req, prefix, first_tok = self._held_prefix
-                    if not self._can_admit(req):
-                        break  # head-of-line waits for pages to free up
-                    self._held_prefix = None
-                    self._admit(slot, req, prefix, first_tok)
-                    admitted = True
-                    continue
-                if self._retry:
-                    req = self._retry[0]
-                    if not self._can_admit(req):
-                        break
-                    req = self._retry.pop(0)
-                else:
-                    try:
-                        req = self.queue.queue[0]  # peek before committing prefill
-                    except IndexError:
-                        break
-                    if not self._can_admit(req):
-                        break  # head-of-line waits for pages to free up
-                    req = self.queue.get_nowait()
-                try:
-                    self.stats["prefills_total"] += 1
-                    self._tr("prefill", slot=slot, plen=len(req.prompt))
-                    with device_dispatch():
-                        prefix, first = self.engine.prefill(req.prompt, len(req.prompt))
-                        first_tok = int(np.asarray(first)[0])
-                        self._admit(slot, req, prefix, first_tok)
-                    admitted = True
-                    self._prefill_fail_streak = 0
-                except Exception as e:  # noqa: BLE001 — transient dispatch
-                    # failures retry (bounded); persistent ones surface to
-                    # the caller. Break so a decode step (or the idle sleep)
-                    # runs between attempts instead of hammering a wedged
-                    # dispatch path.
-                    self.stats["prefill_failures"] = (
-                        self.stats.get("prefill_failures", 0) + 1
-                    )
-                    if self.stats["prefill_failures"] <= 2:
-                        import sys
-                        import traceback
-
-                        print(f"[orch] prefill failure "
-                              f"#{self.stats['prefill_failures']} at "
-                              f"t={time.monotonic():.1f} active="
-                              f"{self.active_slots()}:\n"
-                              f"{traceback.format_exc()}", file=sys.stderr)
-                    self._prefill_fail_streak += 1
-                    if self._prefill_fail_streak >= 2:
-                        # repeated failures while decode keeps working =
-                        # poisoned prefill executable (engine.refresh_prefill
-                        # docstring); reload a fresh one before retrying
-                        self.engine.refresh_prefill()
-                        self.stats["prefill_refreshes"] = (
-                            self.stats.get("prefill_refreshes", 0) + 1
-                        )
-                        self._prefill_fail_streak = 0
-                    req.attempts += 1
-                    if req.attempts < self.max_prefill_attempts:
-                        self._retry.append(req)
-                    else:
-                        self._fail(req, e)
-                    break
+            if self.mode != "disaggregated" and not self._paged:
+                admitted = self._admit_interleaved()
+            else:
+                admitted = self._admit_sequential()
 
             self._drain_thunks()
             if not any(r is not None for r in self.slots):
                 if not admitted:
                     time.sleep(0.001)
                 continue
-
-            # amortize dispatch overhead: fuse several decode steps into one
-            # jit dispatch. Slots finish MID-dispatch on the host side — the
-            # emission loop below stops at each request's remaining count
-            # (or eos) and frees the slot; the device decodes a finished
-            # slot's garbage for at most n-1 steps (<1% of slot-steps at 128
-            # slots) and release_slot resets it. This keeps depth at spd
-            # under steady load — clamping to the MINIMUM remaining (tried
-            # first) collapses depth whenever any of ~50 staggered streams
-            # nears its finish, and single-step-when-any-finishes (the
-            # original) starved tails outright (366/486, PERF.md). Depth
-            # only shrinks in drain-out (max remaining < spd), rounded to
-            # powers of two so the per-n jitted scan cache stays bounded.
-            # constant dispatch depth: ONE decode executable for the whole
-            # serving lifetime. Host-side emission clamps each stream at its
-            # remaining count, so a shallower drain ladder only saves the
-            # tail overshoot (< spd garbage steps per batch drain-out, <1%
-            # of slot-steps) — while every extra depth is a separately
-            # LOADED executable, and loaded-program space is a real
-            # resource: program loads can fail with 'TPU backend error
-            # (Internal)' once too many executables accumulate
-            n = self.steps_per_dispatch
-            if self.dispatch_pace_s > 0:
-                time.sleep(self.dispatch_pace_s)
-            self._tr("generate_n", n=n, active=self.active_slots())
-            try:
-                with device_dispatch():
-                    if n > 1:
-                        self.decode_state, toks_n = self.engine.generate_n(
-                            self.decode_state, n
-                        )
-                        toks_n = np.asarray(toks_n)  # [n, slots]
-                    else:
-                        self.decode_state, toks = self.engine.generate(
-                            self.decode_state
-                        )
-                        toks_n = np.asarray(toks)[None, :]
-            except Exception as e:  # noqa: BLE001 — a dead decode step must
-                # not strand in-flight streams blocked on their stream_q.
-                # The donated decode state is unusable after a failed
-                # dispatch, but the HOST knows everything each stream needs:
-                # prompt + tokens emitted so far. Recovery RESUMES every
-                # active stream by re-prefilling prompt+generated into a
-                # fresh decode state (transient relay errors — observed
-                # 'TPU backend error (Internal)' mid-run — cost one prefill
-                # per active slot instead of mass-killing all in-flight
-                # streams). Streams whose resume prefill also fails are
-                # failed individually.
-                self.stats["decode_failures"] = (
-                    self.stats.get("decode_failures", 0) + 1
-                )
-                if self._trace is not None:
-                    import sys
-
-                    print("[orch] device-call trace (oldest first):\n" +
-                          "\n".join(repr(t) for t in self._trace),
-                          file=sys.stderr)
-                if self.stats["decode_failures"] <= 2:
-                    import sys
-                    import traceback
-
-                    print(f"[orch] decode failure "
-                          f"#{self.stats['decode_failures']} at "
-                          f"t={time.monotonic():.1f} active="
-                          f"{self.active_slots()}:\n"
-                          f"{traceback.format_exc()}", file=sys.stderr)
-                if not self._recover_decode(e):
-                    # device unrecoverable: fail everything still queued and
-                    # stop serving instead of dying silently
-                    self._stop.set()
-                    while True:
-                        try:
-                            self._fail(self.queue.get_nowait(), e)
-                        except queue.Empty:
-                            break
-                    return
+            if self._decode_round():
                 continue
-            for step_toks in toks_n:
-                for i, req in enumerate(self.slots):
-                    if req is None:
-                        continue
-                    tok = int(step_toks[i])
-                    self._emit(req, tok)
-                    self.remaining[i] -= 1
-                    if self.remaining[i] <= 0 or (self.eos_id is not None and tok == self.eos_id):
-                        self._finish(i)
+            return
+
+    def _admit_sequential(self) -> bool:
+        """Per-request admission (disaggregated mode's prefix queue, and the
+        paged path — page reservation is per-slot host bookkeeping around
+        each insert)."""
+        admitted = False
+        while True:
+            slot = self._free_slot()
+            if slot is None:
+                break
+            if self.mode == "disaggregated":
+                if self._held_prefix is None:
+                    try:
+                        self._held_prefix = self.prefix_queue.get_nowait()
+                    except queue.Empty:
+                        break
+                req, prefix, first_tok = self._held_prefix
+                if not self._can_admit(req):
+                    break  # head-of-line waits for pages to free up
+                self._held_prefix = None
+                self._admit(slot, req, prefix, first_tok)
+                admitted = True
+                continue
+            req = self._next_admissible()
+            if req is None:
+                break
+            if not self._admit_via_prefill(slot, req):
+                break
+            admitted = True
+        return admitted
+
+    def _decode_round(self) -> bool:
+        """One decode dispatch + host-side emission. Returns False when the
+        device is unrecoverable (the serving loop must exit)."""
+        # amortize dispatch overhead: fuse several decode steps into one
+        # jit dispatch. Slots finish MID-dispatch on the host side — the
+        # emission loop below stops at each request's remaining count
+        # (or eos) and frees the slot; the device decodes a finished
+        # slot's garbage for at most n-1 steps (<1% of slot-steps at 128
+        # slots) and release_slot resets it. This keeps depth at spd
+        # under steady load — clamping to the MINIMUM remaining (tried
+        # first) collapses depth whenever any of ~50 staggered streams
+        # nears its finish, and single-step-when-any-finishes (the
+        # original) starved tails outright (366/486, PERF.md). Depth
+        # only shrinks in drain-out (max remaining < spd), rounded to
+        # powers of two so the per-n jitted scan cache stays bounded.
+        # constant dispatch depth: ONE decode executable for the whole
+        # serving lifetime. Host-side emission clamps each stream at its
+        # remaining count, so a shallower drain ladder only saves the
+        # tail overshoot (< spd garbage steps per batch drain-out, <1%
+        # of slot-steps) — while every extra depth is a separately
+        # LOADED executable, and loaded-program space is a real
+        # resource: program loads can fail with 'TPU backend error
+        # (Internal)' once too many executables accumulate
+        n = self.steps_per_dispatch
+        if self.dispatch_pace_s > 0:
+            time.sleep(self.dispatch_pace_s)
+        self._tr("generate_n", n=n, active=self.active_slots())
+        try:
+            with device_dispatch():
+                if n > 1:
+                    self.decode_state, toks_n = self.engine.generate_n(
+                        self.decode_state, n
+                    )
+                    toks_n = np.asarray(toks_n)  # [n, slots]
+                else:
+                    self.decode_state, toks = self.engine.generate(
+                        self.decode_state
+                    )
+                    toks_n = np.asarray(toks)[None, :]
+        except Exception as e:  # noqa: BLE001 — a dead decode step must
+            # not strand in-flight streams blocked on their stream_q.
+            # The donated decode state is unusable after a failed
+            # dispatch, but the HOST knows everything each stream needs:
+            # prompt + tokens emitted so far. Recovery RESUMES every
+            # active stream by re-prefilling prompt+generated into a
+            # fresh decode state (transient relay errors — observed
+            # 'TPU backend error (Internal)' mid-run — cost one prefill
+            # per active slot instead of mass-killing all in-flight
+            # streams). Streams whose resume prefill also fails are
+            # failed individually.
+            self.stats["decode_failures"] = (
+                self.stats.get("decode_failures", 0) + 1
+            )
+            if self._trace is not None:
+                import sys
+
+                print("[orch] device-call trace (oldest first):\n" +
+                      "\n".join(repr(t) for t in self._trace),
+                      file=sys.stderr)
+            if self.stats["decode_failures"] <= 2:
+                import sys
+                import traceback
+
+                print(f"[orch] decode failure "
+                      f"#{self.stats['decode_failures']} at "
+                      f"t={time.monotonic():.1f} active="
+                      f"{self.active_slots()}:\n"
+                      f"{traceback.format_exc()}", file=sys.stderr)
+            if not self._recover_decode(e):
+                # device unrecoverable: fail everything still queued and
+                # stop serving instead of dying silently
+                self._stop.set()
+                while True:
+                    try:
+                        self._fail(self.queue.get_nowait(), e)
+                    except queue.Empty:
+                        break
+                return False
+            return True
+        for step_toks in toks_n:
+            for i, req in enumerate(self.slots):
+                if req is None:
+                    continue
+                tok = int(step_toks[i])
+                self._emit(req, tok)
+                self.remaining[i] -= 1
+                if self.remaining[i] <= 0 or (self.eos_id is not None and tok == self.eos_id):
+                    self._finish(i)
+        return True
 
     def _recover_decode(self, err: Exception) -> bool:
         """Rebuild the decode state after a failed decode dispatch and
@@ -789,6 +918,7 @@ def make_server(cfg: Config, port: int | None = None,
         engine or (tts_pipeline.engine if tts_pipeline else Engine(cfg)),
         steps_per_dispatch=cfg.serving_steps_per_dispatch,
         mode=cfg.serving_mode,
+        admission_fusion_max=cfg.serving_admission_fusion_max,
     )
     orch.start()
     tts_batcher = None

@@ -59,6 +59,37 @@ def test_orchestrator_concurrent_requests(engine):
         orch.stop()
 
 
+def test_orchestrator_fused_admission_groups(engine):
+    """Interleaved admission packs waiting requests into ONE
+    prefill_insert_many dispatch (group sizes power-of-two, bounded by free
+    slots) and the decoded streams still match solo decode exactly."""
+    group_sizes = []
+    orig = engine.prefill_insert_many
+
+    def recording(state, prompts, slots):
+        group_sizes.append(len(prompts))
+        return orig(state, prompts, slots)
+
+    engine.prefill_insert_many = recording
+    orch = Orchestrator(engine)
+    orch.start()
+    try:
+        prompts = [np.array([3, 5, 7], np.int32), np.array([11, 13], np.int32),
+                   np.array([2, 4, 6, 8], np.int32)]
+        reqs = [orch.submit(p, 5) for p in prompts]
+        for r in reqs:
+            assert r.done.wait(timeout=120), "request timed out"
+            assert r.error is None
+        for p, r in zip(prompts, reqs):
+            assert r.tokens == engine.generate_stream(p, 5)
+        # 2 slots, 3 requests submitted together: at least one fused group
+        assert max(group_sizes) == 2, group_sizes
+        assert all(k in (1, 2) for k in group_sizes), group_sizes
+    finally:
+        orch.stop()
+        engine.prefill_insert_many = orig
+
+
 def test_orchestrator_prefill_retry(engine):
     """Transient prefill dispatch failures (observed: sporadic 'TPU backend
     error (Internal)' from the axon relay under load) retry instead of
@@ -67,15 +98,15 @@ def test_orchestrator_prefill_retry(engine):
     from maxtext_indextts2_tpu.infer.server import Orchestrator
 
     calls = {"n": 0}
-    orig = engine.prefill
+    orig = engine.prefill_insert_many
 
-    def flaky(prompt, true_len):
+    def flaky(state, prompts, slots):
         calls["n"] += 1
         if calls["n"] <= 2:
             raise RuntimeError("TPU backend error (Internal)")
-        return orig(prompt, true_len)
+        return orig(state, prompts, slots)
 
-    engine.prefill = flaky
+    engine.prefill_insert_many = flaky
     orch = Orchestrator(engine)
     orch.start()
     try:
@@ -87,12 +118,12 @@ def test_orchestrator_prefill_retry(engine):
         assert r.tokens == engine.generate_stream(np.array([3, 5, 7], np.int32), 5)
     finally:
         orch.stop()
-        engine.prefill = orig
+        engine.prefill_insert_many = orig
 
-    def always_fails(prompt, true_len):
+    def always_fails(state, prompts, slots):
         raise RuntimeError("permanently broken")
 
-    engine.prefill = always_fails
+    engine.prefill_insert_many = always_fails
     orch = Orchestrator(engine)
     orch.start()
     try:
@@ -101,7 +132,7 @@ def test_orchestrator_prefill_retry(engine):
         assert r.error is not None and "permanently broken" in r.error
     finally:
         orch.stop()
-        engine.prefill = orig
+        engine.prefill_insert_many = orig
 
 
 def test_orchestrator_mixed_depth_dispatch(engine):
@@ -314,13 +345,24 @@ def test_tts_batcher_partial_lm_failure_isolated(engine):
             return [(np.zeros(1), {"tokens": t}) for t in toks]
 
     orig = engine.prefill
+    orig_many = engine.prefill_insert_many
 
+    # poison the first request's prompt in BOTH admission paths: the fused
+    # group dispatch fails as a whole, falls back to per-request admission
+    # (fuse_ok=False), where the poisoned prompt fails alone at the attempt
+    # limit while its cohort proceeds
     def poisoned_for_first(prompt, true_len):
         if prompt[0] == 3:  # first request's prompt
             raise RuntimeError("TPU backend error (Internal)")
         return orig(prompt, true_len)
 
+    def poisoned_many(state, prompts, slots):
+        if any(p[0] == 3 for p in prompts):
+            raise RuntimeError("TPU backend error (Internal)")
+        return orig_many(state, prompts, slots)
+
     engine.prefill = poisoned_for_first
+    engine.prefill_insert_many = poisoned_many
     orch = Orchestrator(engine)
     orch.max_prefill_attempts = 2
     orch.start()
@@ -334,6 +376,7 @@ def test_tts_batcher_partial_lm_failure_isolated(engine):
         assert reqs[1].error is None
         # the survivor's second pass reused the tokens already generated
         engine.prefill = orig
+        engine.prefill_insert_many = orig_many
         want = engine.generate_stream(np.array([2, 4, 6], np.int32), 5)
         assert calls[-1] == [want]
         assert reqs[1].result[1]["tokens"] == want
@@ -341,6 +384,7 @@ def test_tts_batcher_partial_lm_failure_isolated(engine):
         b.stop()
         orch.stop()
         engine.prefill = orig
+        engine.prefill_insert_many = orig_many
 
 
 def test_tts_batcher_phased_device_loop(engine):
@@ -371,13 +415,22 @@ def test_tts_batcher_phased_device_loop(engine):
             return [(np.zeros(1), {"tokens": g}) for g in gens]
 
     orig = engine.prefill
+    orig_many = engine.prefill_insert_many
 
+    # poison the "bad" prompt in both admission paths (fused group dispatch
+    # + the per-request fallback it degrades to)
     def poisoned_for_bad(prompt, true_len):
         if prompt[0] == 3:
             raise RuntimeError("TPU backend error (Internal)")
         return orig(prompt, true_len)
 
+    def poisoned_many(state, prompts, slots):
+        if any(p[0] == 3 for p in prompts):
+            raise RuntimeError("TPU backend error (Internal)")
+        return orig_many(state, prompts, slots)
+
     engine.prefill = poisoned_for_bad
+    engine.prefill_insert_many = poisoned_many
     orch = Orchestrator(engine)
     orch.max_prefill_attempts = 2
     orch.start()
@@ -390,6 +443,7 @@ def test_tts_batcher_phased_device_loop(engine):
         assert reqs[0].error is not None and "LM generation" in reqs[0].error
         assert reqs[1].error is None, reqs[1].error
         engine.prefill = orig
+        engine.prefill_insert_many = orig_many
         want = engine.generate_stream(np.array([2, 4, 6], np.int32), 5)
         assert reqs[1].result[1]["tokens"] == want
         # every phase thunk ran on the orchestrator's decode thread
@@ -398,6 +452,7 @@ def test_tts_batcher_phased_device_loop(engine):
         b.stop()
         orch.stop()
         engine.prefill = orig
+        engine.prefill_insert_many = orig_many
 
 
 def test_orchestrator_prefill_refresh_on_streak(engine):
@@ -414,16 +469,16 @@ def test_orchestrator_prefill_refresh_on_streak(engine):
         orig_refresh()
 
     calls = {"n": 0}
-    orig = engine.prefill
+    orig = engine.prefill_insert_many
 
-    def flaky(prompt, true_len):
+    def flaky(state, prompts, slots):
         calls["n"] += 1
         if calls["n"] <= 2:
             raise RuntimeError("TPU backend error (Internal)")
-        return orig(prompt, true_len)
+        return orig(state, prompts, slots)
 
     engine.refresh_prefill = counting_refresh
-    engine.prefill = flaky
+    engine.prefill_insert_many = flaky
     orch = Orch(engine)
     orch.start()
     try:
@@ -434,7 +489,7 @@ def test_orchestrator_prefill_refresh_on_streak(engine):
         assert orch.stats.get("prefill_refreshes", 0) == 1
     finally:
         orch.stop()
-        engine.prefill = orig
+        engine.prefill_insert_many = orig
         engine.refresh_prefill = orig_refresh
 
 
