@@ -85,15 +85,32 @@ def run(argv=None) -> dict:
     print(f"[capacity] frontend+s2a warmup {time.perf_counter() - t0:.1f}s "
           f"(prompt {len(lm_prompt)} tokens, {slots} slots)", file=sys.stderr)
 
-    # admission pack size: how many prompts fit one prefill bucket
+    # admission pack sizes: power-of-two ladder bounded by what fits one
+    # prefill bucket — each size is ONE compiled executable, and every size
+    # is pre-warmed during the fill phase so no admission compile can land
+    # inside the measurement window
     pack = max(1, min(8, cfg.max_prefill_predict_length // max(len(lm_prompt), 1)))
+    ladder = [k for k in (8, 4, 2, 1) if k <= pack]
+
+    def ladder_chunks(n: int) -> list[int]:
+        out = []
+        for k in ladder:
+            while n >= k:
+                out.append(k)
+                n -= k
+        return out
 
     # ------------------------------------------------------------- fill phase
     t0 = time.perf_counter()
     state = eng.init_decode_state()
     first_tok = np.zeros(slots, np.int64)
-    for base in range(0, slots, pack):
-        group = list(range(base, min(base + pack, slots)))
+    # warm every ladder size: the tail of the fill runs each size once
+    warm_sizes = ladder[1:] if sum(ladder[1:]) <= slots else []
+    fill_chunks = ladder_chunks(slots - sum(warm_sizes)) + warm_sizes
+    base = 0
+    for k in fill_chunks:
+        group = list(range(base, base + k))
+        base += k
         state, firsts = eng.prefill_insert_many(
             state, [lm_prompt] * len(group), group)
         first_tok[group] = np.asarray(firsts)

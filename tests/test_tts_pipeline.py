@@ -76,6 +76,44 @@ def test_synthesize_batch_heterogeneous(pipeline):
     assert [len(w) for w, _ in out2] == [3 * 480, 5 * 480]
 
 
+def test_frontend_batch_matches_per_request(pipeline):
+    """Batched (bucketed) frontend must reproduce the per-request result
+    bit-for-bit on bucket-exact rows, and handle mixed lengths."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+
+    def req(sec):
+        return {
+            "prompt_wav_16k": rng.standard_normal(int(16000 * sec)).astype(np.float32) * 0.1,
+            "prompt_wav_24k": rng.standard_normal(int(24000 * sec)).astype(np.float32) * 0.1,
+        }
+
+    # bucket-exact (multiples of 0.5 s): bitwise parity with per-request
+    reqs = [req(1.0), req(0.5), req(1.0)]
+    sems, acs = pipeline.frontend_batch(reqs)
+    for r, sem, ac in zip(reqs, sems, acs):
+        w16 = r["prompt_wav_16k"]
+        ref_sem, ref_len = pipeline.semantic_tokenizer.tokenize(w16[None])
+        ref_sem = np.asarray(ref_sem)[0, : int(np.asarray(ref_len)[0])]
+        np.testing.assert_array_equal(sem, ref_sem)
+        ref_ac = pipeline._jit_tok(
+            pipeline.codec_params, jnp.asarray(r["prompt_wav_24k"])[None]
+        )
+        ref_ac = np.asarray(jnp.transpose(ref_ac, (1, 2, 0))[0])
+        np.testing.assert_array_equal(ac, ref_ac[: ac.shape[0]])
+
+    # mixed non-bucket lengths: shapes scale with true length
+    reqs = [req(0.8), req(1.2)]
+    sems, acs = pipeline.frontend_batch(reqs)
+    assert sems[0].shape[0] < sems[1].shape[0]
+    assert acs[0].shape[0] == int(24000 * 0.8) // 480
+    assert acs[1].shape[0] == int(24000 * 1.2) // 480
+    for s, a in zip(sems, acs):
+        assert np.isfinite(a).all() if a.dtype.kind == "f" else True
+        assert s.ndim == 1 and a.ndim == 2
+
+
 def test_lm_prompt_construction(pipeline):
     m = pipeline.mapping
     prompt = pipeline.text_and_prompt_to_lm_prompt("ab", np.array([0, 5]))
