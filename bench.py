@@ -1,12 +1,14 @@
 """Benchmark entry point — prints ONE JSON line.
 
 Default benchmark (the driver's north-star metric, BASELINE.json): zero-shot
-TTS serving — effective real-time factor per stream across the three pipeline
-stages (LM decode at 128 slots, S2A reverse diffusion, vocoder decode),
-measured on-chip via benchmarks/tts_rtf.py. vs_baseline = 0.1 / rtf (the
-target is RTF < 0.1/stream; >1 means target beaten). `MTT_BENCH=mfu` runs
-the training-MFU bench instead (220M LM vs the reference's 61.1% MFU for a
-16B on v5e-256 — BASELINE.md; no same-size reference number exists).
+TTS serving RTF per stream, MEASURED in the closed-loop full-pipeline
+harness (benchmarks/tts_capacity.py — LM decode at 128 slots with fused
+admission, real front-end, certified S2A, vocoder, all contending on one
+chip). vs_baseline = 0.1 / rtf (the target is RTF < 0.1/stream; >1 means
+target beaten). Other modes: `MTT_BENCH=rtf_composed` (the pre-round-4
+stage-composed arithmetic, also the automatic fallback), `MTT_BENCH=slo`
+(open-loop poisson latency harness), `MTT_BENCH=mfu` (training MFU, 220M
+LM vs the reference's 61.1% for a 16B on v5e-256 — BASELINE.md).
 """
 
 from __future__ import annotations
@@ -20,6 +22,37 @@ import jax.numpy as jnp
 
 BASELINE_MFU = 0.611  # reference 16B @ v5e-256 (README.md:93)
 BASELINE_RTF = 0.1  # north-star: RTF < 0.1/stream (BASELINE.md)
+
+
+def main_measured():
+    """Default headline: the MEASURED full-pipeline serving RTF — LM decode
+    (128 slots, fused admission), real front-end, certified S2A and vocoder
+    CONTENDING on one chip in the closed-loop harness
+    (benchmarks/tts_capacity.py). This replaces the stage-composed
+    arithmetic headline (VERDICT r2 item #1: 'make the headline a
+    measurement'); the composed mode remains as MTT_BENCH=rtf_composed and
+    as the fallback when the measured run fails."""
+    import benchmarks.tts_capacity as cap
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    args = ["minutes=2"] if on_tpu else ["tiny=1"]
+    out = cap.run(args)
+    rtf = out.get("measured_rtf_per_stream")
+    if not rtf:
+        raise RuntimeError(f"no delivered streams: {out}")
+    print(json.dumps({
+        "metric": "tts_rtf_per_stream",
+        "value": round(rtf, 4),
+        "unit": "rtf",
+        "vs_baseline": round(BASELINE_RTF / rtf, 3),
+        "detail": {
+            "on_tpu": on_tpu,
+            "mode": "measured_closed_loop",
+            "per_chip_streams": out["delivered_rtf_capacity"],
+            "v5e8_streams_estimate": round(out["delivered_rtf_capacity"] * 8, 1),
+            **out,
+        },
+    }))
 
 
 def main_rtf():
@@ -274,7 +307,7 @@ if __name__ == "__main__":
                     "vs_baseline": 0.0,
                     "detail": {"error": repr(e)[:500]},
                 }))
-        else:
+        elif mode == "rtf_composed":
             try:
                 main_rtf()
             except Exception as e:  # noqa: BLE001 - always emit the JSON line
@@ -289,3 +322,27 @@ if __name__ == "__main__":
                         }
                     )
                 )
+        else:
+            # default: measured closed-loop serving RTF; stage-composed
+            # arithmetic is the fallback if the measured run fails
+            try:
+                main_measured()
+            except Exception as e:  # noqa: BLE001 — fall back, still one line
+                import sys as _sys
+
+                print(f"[bench] measured mode failed ({e!r}); "
+                      "falling back to stage-composed", file=_sys.stderr)
+                try:
+                    main_rtf()
+                except Exception as e2:  # noqa: BLE001 - always emit JSON
+                    print(
+                        json.dumps(
+                            {
+                                "metric": "tts_rtf_per_stream",
+                                "value": 0.0,
+                                "unit": "rtf",
+                                "vs_baseline": 0.0,
+                                "detail": {"error": repr(e2)[:500]},
+                            }
+                        )
+                    )
