@@ -58,7 +58,10 @@ def run(argv=None) -> dict:
     spd = int(kv.get("spd", "4" if tiny else "16"))
     gen_tokens = int(kv.get("gen_tokens", "8" if tiny else "250"))  # 5 s audio
     prompt_s = float(kv.get("prompt_s", "0.2" if tiny else "1.0"))
-    s2a_batch = int(kv.get("s2a_batch", "2" if tiny else "8"))
+    # batch 16 measured best for 5 s utterances (10.6 vs 11.7 ms/audio-s at
+    # batch 8 — shorter sequences than the 10 s utterances whose measured
+    # optimum was 8, PERF.md round 4)
+    s2a_batch = int(kv.get("s2a_batch", "2" if tiny else "16"))
 
     from maxtext_indextts2_tpu.audio.pipeline import build_tiny_pipeline
     from maxtext_indextts2_tpu.config import load_config
@@ -75,12 +78,15 @@ def run(argv=None) -> dict:
     body = {"text": "benchmark sentence for the serving harness",
             "prompt_wav_16k": w16, "prompt_wav_24k": w24,
             "force_frames": True}
-    sems, acs = pipeline.frontend_batch([body])
+    # warm the frontend at the steady-state batch shape (the serving loop
+    # calls it with s2a_batch requests; an unwarmed shape would compile
+    # ~45 s INSIDE the measurement window — round-4 lesson)
+    sems, acs = pipeline.frontend_batch([dict(body) for _ in range(s2a_batch)])
     sem_prompt = sems[0]
     lm_prompt = pipeline.text_and_prompt_to_lm_prompt(body["text"], sem_prompt)
     # steady-state S2A shape: batch `s2a_batch`, every row gen_tokens long
     warm_gens = [[1] * gen_tokens]
-    pipeline.s2a_vocoder_batch([body], sems, acs, warm_gens,
+    pipeline.s2a_vocoder_batch([body], sems[:1], acs[:1], warm_gens,
                                pad_to_batch=s2a_batch)
     print(f"[capacity] frontend+s2a warmup {time.perf_counter() - t0:.1f}s "
           f"(prompt {len(lm_prompt)} tokens, {slots} slots)", file=sys.stderr)

@@ -82,6 +82,20 @@ class TTSPipeline:
             lambda params, wav: self.codec.apply(params, wav, method=self.codec.tokenize)
         )
 
+        # fused frontend: semantic tokenize + acoustic codec encode in ONE
+        # XLA program — one dispatch + one host fetch per length bucket
+        # instead of two dispatches + three fetches (each ~40 ms through a
+        # relay-attached host; measured 31.5% of the closed-loop serving
+        # pass before fusion, PERF.md round 4)
+        def _frontend_impl(tok_params, codec_params, wav16, lens16, wav24):
+            ids, feat_lengths = self.semantic_tokenizer._tokenize_impl(
+                tok_params, wav16, lens16
+            )
+            ac = self.codec.apply(codec_params, wav24, method=self.codec.tokenize)
+            return ids, feat_lengths, jnp.transpose(ac, (1, 2, 0))  # [B, P, Q]
+
+        self._jit_frontend = jax.jit(_frontend_impl)
+
     # ------------------------------------------------------- weight porting
     def load_torch_audio_weights(
         self,
@@ -376,20 +390,26 @@ class TTSPipeline:
 
         with device_dispatch():
             for (l16, l24), idx in groups.items():
-                wav16 = np.zeros((len(idx), l16), np.float32)
-                lens = np.zeros(len(idx), np.int32)
+                # batch dim padded to a power of two: one compiled frontend
+                # executable per (bucket, pow2-batch) instead of one per
+                # arrival-batch size — a mid-serving frontend compile costs
+                # ~45 s through the relay and showed up as 29% of the first
+                # measured capacity windows (PERF.md round 4)
+                bp = 1
+                while bp < len(idx):
+                    bp *= 2
+                wav16 = np.zeros((bp, l16), np.float32)
+                lens = np.full(bp, l16, np.int32)
+                wav24 = np.zeros((bp, l24), np.float32)
                 for j, i in enumerate(idx):
                     wav16[j, : len(w16s[i])] = w16s[i]
                     lens[j] = len(w16s[i])
-                sem, sem_len = self.semantic_tokenizer.tokenize(wav16, lens)
-                sem, sem_len = np.asarray(sem), np.asarray(sem_len)
-                wav24 = np.zeros((len(idx), l24), np.float32)
-                for j, i in enumerate(idx):
                     wav24[j, : len(w24s[i])] = w24s[i]
-                ac = np.asarray(jnp.transpose(
-                    self._jit_tok(self.codec_params, jnp.asarray(wav24)),
-                    (1, 2, 0),
-                ))  # [B, P, Q]
+                # one dispatch, one fetch
+                sem, sem_len, ac = jax.device_get(self._jit_frontend(
+                    self.semantic_tokenizer.params, self.codec_params,
+                    jnp.asarray(wav16), jnp.asarray(lens), jnp.asarray(wav24),
+                ))
                 for j, i in enumerate(idx):
                     sems[i] = sem[j, : int(sem_len[j])]
                     acs[i] = ac[j, : len(w24s[i]) // hop]
