@@ -119,7 +119,7 @@ def run(argv=None) -> dict:
                 for g in gens
             ]
 
-        def fake_frontend(requests):
+        def fake_frontend(requests, pad_to_batch=None):
             return ([np.zeros(8, np.int64)] * len(requests),
                     [np.zeros((8, pipeline.s2a.cfg.num_quantizers), np.int32)]
                     * len(requests))
@@ -152,7 +152,10 @@ def run(argv=None) -> dict:
     # orchestrator's, warmed by the /tts request below, and the
     # generate_stream path must not load its own
     warm_body = dict(body, prompt_wav_16k=w16, prompt_wav_24k=w24)
-    sems, acs = pipeline.frontend_batch([warm_body])
+    # pad_to_batch matches the serving batcher's frontend shape — the warm
+    # compile here IS the executable serving will run
+    sems, acs = pipeline.frontend_batch([warm_body],
+                                        pad_to_batch=cfg.tts_batch_max)
     fake_gens = [[1] * gen_tokens]
     pipeline.s2a_vocoder_batch([warm_body], sems, acs, fake_gens,
                                pad_to_batch=cfg.tts_batch_max)

@@ -355,7 +355,7 @@ class TTSPipeline:
         )
 
     def frontend_batch(
-        self, requests: list[dict]
+        self, requests: list[dict], pad_to_batch: int | None = None
     ) -> tuple[list[np.ndarray], list[np.ndarray]]:
         """Stage 0 (device): prompt wavs -> (semantic tokens, acoustic
         tokens) per request. Split out so the serving batcher can run it as
@@ -390,14 +390,17 @@ class TTSPipeline:
 
         with device_dispatch():
             for (l16, l24), idx in groups.items():
-                # batch dim padded to a power of two: one compiled frontend
-                # executable per (bucket, pow2-batch) instead of one per
-                # arrival-batch size — a mid-serving frontend compile costs
-                # ~45 s through the relay and showed up as 29% of the first
-                # measured capacity windows (PERF.md round 4)
+                # batch dim padded to a power of two (or straight to
+                # ``pad_to_batch`` — the serving batcher passes its window
+                # max so ONE executable covers every arrival-batch size):
+                # a mid-serving frontend compile costs ~45 s through the
+                # relay and showed up as 29% of the first measured capacity
+                # windows (PERF.md round 4)
                 bp = 1
                 while bp < len(idx):
                     bp *= 2
+                if pad_to_batch is not None:
+                    bp = max(bp, pad_to_batch)
                 wav16 = np.zeros((bp, l16), np.float32)
                 lens = np.full(bp, l16, np.int32)
                 wav24 = np.zeros((bp, l24), np.float32)

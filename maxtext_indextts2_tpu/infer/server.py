@@ -870,7 +870,11 @@ class TTSBatcher:
         Returns (results, survivors) aligned with each other."""
         pipeline, orch = self.pipeline, self.orch
         bodies = [r.body for r in batch]
-        sems, acs = orch.run_on_loop(lambda: pipeline.frontend_batch(bodies))
+        # pad_to_batch: one frontend executable for every arrival-batch size
+        # (a mid-serving compile costs ~45 s through the relay)
+        sems, acs = orch.run_on_loop(
+            lambda: pipeline.frontend_batch(bodies, pad_to_batch=self.max_batch)
+        )
         lm_prompts = [
             pipeline.text_and_prompt_to_lm_prompt(b["text"], s)
             for b, s in zip(bodies, sems)

@@ -397,7 +397,7 @@ def test_tts_batcher_phased_device_loop(engine):
     loop_thread_ids = []
 
     class PhasedFake:
-        def frontend_batch(self, bodies):
+        def frontend_batch(self, bodies, pad_to_batch=None):
             loop_thread_ids.append(threading.get_ident())
             return ([np.zeros(2, np.int32)] * len(bodies),
                     [np.zeros((2, 1), np.int32)] * len(bodies))
