@@ -37,6 +37,31 @@ from benchmarks.tts_slo import PROD_CFG, TINY_CFG  # noqa: E402
 
 def run(argv=None) -> dict:
     kv = dict(a.split("=", 1) for a in (argv or []))
+    if int(kv.get("thread", "0")):
+        # decisive isolation experiment: the IDENTICAL soak body, but on a
+        # spawned (non-main) thread while main sleeps — every stable run so
+        # far dispatched from the main thread, and every failing serving
+        # process dispatches from the orchestrator's spawned thread
+        import threading
+
+        kv.pop("thread")
+        box: dict = {}
+        argv2 = [f"{k}={v}" for k, v in kv.items()]
+
+        def body():
+            try:
+                box["out"] = run(argv2)
+            except BaseException as e:  # noqa: BLE001 — surfaced below
+                box["err"] = e
+
+        th = threading.Thread(target=body)
+        th.start()
+        th.join()
+        if "err" in box:
+            raise box["err"]
+        out = box["out"]
+        out["off_main_thread"] = True
+        return out
     tiny = bool(int(kv.get("tiny", "0")))
     minutes = float(kv.get("minutes", "1" if tiny else "5"))
     spd = int(kv.get("spd", "16"))
