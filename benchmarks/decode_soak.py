@@ -157,66 +157,92 @@ def run(argv=None) -> dict:
     # before positions reach the context bound
     reset_every = max(1, (cfg.max_target_length - len(prompt) - spd) // spd)
 
-    while time.perf_counter() < deadline:
-        if n_dispatch and n_dispatch % reset_every == 0:
+    def _soak_loop():
+        nonlocal state, n_dispatch, n_s2a, churn_slot, next_s2a, recoveries
+        while time.perf_counter() < deadline:
+            if n_dispatch and n_dispatch % reset_every == 0:
+                try:
+                    state = eng.init_decode_state()
+                    for slot in range(eng.num_slots):
+                        prefix, _ = eng.prefill(prompt, len(prompt))
+                        state = eng.insert(prefix, state, slot)
+                except Exception as e:  # noqa: BLE001
+                    fail("slot_reset", e)
+                    break
+            t0 = time.perf_counter()
             try:
-                state = eng.init_decode_state()
-                for slot in range(eng.num_slots):
-                    prefix, _ = eng.prefill(prompt, len(prompt))
-                    state = eng.insert(prefix, state, slot)
-            except Exception as e:  # noqa: BLE001
-                fail("slot_reset", e)
-                break
-        t0 = time.perf_counter()
-        try:
-            state, toks = eng.generate_n(state, spd)
-            _ = np.asarray(toks)  # host fetch = true sync point
-        except Exception as e:  # noqa: BLE001 — the event under study
-            fail("generate_n", e)
-            # one recovery attempt, orchestrator-style; then keep soaking
+                state, toks = eng.generate_n(state, spd)
+                _ = np.asarray(toks)  # host fetch = true sync point
+            except Exception as e:  # noqa: BLE001 — the event under study
+                fail("generate_n", e)
+                # one recovery attempt, orchestrator-style; then keep soaking
+                try:
+                    eng.refresh_decode()
+                    eng.refresh_prefill()
+                    state = eng.init_decode_state()
+                    for slot in range(eng.num_slots):
+                        prefix, _ = eng.prefill(prompt, len(prompt))
+                        state = eng.insert(prefix, state, slot)
+                    recoveries += 1
+                    print(f"[soak] recovered after failure #{len(failures)}",
+                          file=sys.stderr)
+                except Exception as e2:  # noqa: BLE001
+                    fail("recovery", e2)
+                    break
+                continue
+            n_dispatch += 1
+            dt_hist.append(time.perf_counter() - t0)
+            if n_dispatch % log_every == 0:
+                recent = dt_hist[-log_every:]
+                print(f"[soak] {n_dispatch} dispatches "
+                      f"t={time.perf_counter() - t_start:.0f}s "
+                      f"ms/dispatch p50={1e3 * float(np.median(recent)):.1f} "
+                      f"max={1e3 * max(recent):.1f}", file=sys.stderr)
+            if churn:
+                try:
+                    # serving churn: churn slots finish and new requests land
+                    # BETWEEN decode dispatches (steady-state admission runs
+                    # several prefill+insert pairs back-to-back)
+                    for _ in range(churn):
+                        state = eng.release_slot(state, churn_slot)
+                        prefix, _ = eng.prefill(prompt, len(prompt))
+                        state = eng.insert(prefix, state, churn_slot)
+                        churn_slot = (churn_slot + 1) % eng.num_slots
+                except Exception as e:  # noqa: BLE001
+                    fail("churn", e)
+                    break
+            if s2a_pass is not None and time.perf_counter() >= next_s2a:
+                try:
+                    s2a_pass()
+                    n_s2a += 1
+                    next_s2a = time.perf_counter() + 0.6
+                except Exception as e:  # noqa: BLE001
+                    fail("s2a", e)
+                    break
+
+    if int(kv.get("split", "0")):
+        # decisive isolation: engine build + warmup + slot fill ran on THIS
+        # (the calling) thread; the sustained loop now runs on a SECOND
+        # thread — the exact thread lifecycle of the serving process (main
+        # thread warms, the orchestrator thread serves), which is the one
+        # pattern every failing run shares and every passing soak lacks
+        import threading
+
+        box: dict = {}
+
+        def _runner():
             try:
-                eng.refresh_decode()
-                eng.refresh_prefill()
-                state = eng.init_decode_state()
-                for slot in range(eng.num_slots):
-                    prefix, _ = eng.prefill(prompt, len(prompt))
-                    state = eng.insert(prefix, state, slot)
-                recoveries += 1
-                print(f"[soak] recovered after failure #{len(failures)}",
-                      file=sys.stderr)
-            except Exception as e2:  # noqa: BLE001
-                fail("recovery", e2)
-                break
-            continue
-        n_dispatch += 1
-        dt_hist.append(time.perf_counter() - t0)
-        if n_dispatch % log_every == 0:
-            recent = dt_hist[-log_every:]
-            print(f"[soak] {n_dispatch} dispatches "
-                  f"t={time.perf_counter() - t_start:.0f}s "
-                  f"ms/dispatch p50={1e3 * float(np.median(recent)):.1f} "
-                  f"max={1e3 * max(recent):.1f}", file=sys.stderr)
-        if churn:
-            try:
-                # serving churn: churn slots finish and new requests land
-                # BETWEEN decode dispatches (steady-state admission runs
-                # several prefill+insert pairs back-to-back)
-                for _ in range(churn):
-                    state = eng.release_slot(state, churn_slot)
-                    prefix, _ = eng.prefill(prompt, len(prompt))
-                    state = eng.insert(prefix, state, churn_slot)
-                    churn_slot = (churn_slot + 1) % eng.num_slots
-            except Exception as e:  # noqa: BLE001
-                fail("churn", e)
-                break
-        if s2a_pass is not None and time.perf_counter() >= next_s2a:
-            try:
-                s2a_pass()
-                n_s2a += 1
-                next_s2a = time.perf_counter() + 0.6
-            except Exception as e:  # noqa: BLE001
-                fail("s2a", e)
-                break
+                _soak_loop()
+            except BaseException as e:  # noqa: BLE001 — surfaced below
+                box["err"] = e
+
+        th = threading.Thread(target=_runner)
+        th.start()
+        th.join()
+        if "err" in box:
+            raise box["err"]
+    else:
+        _soak_loop()
 
     if stop_gil is not None:
         stop_gil.set()
