@@ -104,8 +104,12 @@ def run(argv=None) -> dict:
 
     prompt = np.arange(1, 40, dtype=np.int32) % 200
     state = eng.init_decode_state()
-    # fill every slot so decode runs the serving shape
-    for slot in range(eng.num_slots):
+    # fill=N: only the first N slots active — the serving processes that
+    # fail at low arrival rates run MOSTLY-EMPTY decode states (active=8 of
+    # 128; inactive ragged-decode slots have valid length 0), while every
+    # passing soak ran all slots full. Default: fill every slot.
+    fill = int(kv.get("fill", str(eng.num_slots)))
+    for slot in range(min(fill, eng.num_slots)):
         prefix, _ = eng.prefill(prompt, len(prompt))
         state = eng.insert(prefix, state, slot)
 
@@ -163,7 +167,7 @@ def run(argv=None) -> dict:
             if n_dispatch and n_dispatch % reset_every == 0:
                 try:
                     state = eng.init_decode_state()
-                    for slot in range(eng.num_slots):
+                    for slot in range(min(fill, eng.num_slots)):
                         prefix, _ = eng.prefill(prompt, len(prompt))
                         state = eng.insert(prefix, state, slot)
                 except Exception as e:  # noqa: BLE001
@@ -180,7 +184,7 @@ def run(argv=None) -> dict:
                     eng.refresh_decode()
                     eng.refresh_prefill()
                     state = eng.init_decode_state()
-                    for slot in range(eng.num_slots):
+                    for slot in range(min(fill, eng.num_slots)):
                         prefix, _ = eng.prefill(prompt, len(prompt))
                         state = eng.insert(prefix, state, slot)
                     recoveries += 1
@@ -207,7 +211,7 @@ def run(argv=None) -> dict:
                         state = eng.release_slot(state, churn_slot)
                         prefix, _ = eng.prefill(prompt, len(prompt))
                         state = eng.insert(prefix, state, churn_slot)
-                        churn_slot = (churn_slot + 1) % eng.num_slots
+                        churn_slot = (churn_slot + 1) % min(fill, eng.num_slots)
                 except Exception as e:  # noqa: BLE001
                     fail("churn", e)
                     break
@@ -249,6 +253,7 @@ def run(argv=None) -> dict:
     out = {
         "tiny": tiny, "minutes": minutes, "spd": spd,
         "churn": churn, "s2a": s2a, "frontend": frontend, "gil": gil,
+        "fill": fill,
         "dispatches": n_dispatch, "s2a_passes": n_s2a,
         "wall_s": round(time.perf_counter() - t_start, 1),
         "dispatch_ms_p50": round(1e3 * float(np.median(dt_hist)), 2) if dt_hist else None,
