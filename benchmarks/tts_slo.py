@@ -89,7 +89,7 @@ def run(argv=None) -> dict:
 
     kv = dict(a.split("=", 1) for a in (argv or []))
     known = {"tiny", "rate", "rates", "duration", "gen_tokens", "prompt_s",
-             "port", "lm_only", "no_http"}
+             "port", "lm_only", "no_http", "server_only", "client"}
     cfg_overrides = [f"{k}={v}" for k, v in kv.items() if k not in known]
     tiny = bool(int(kv.get("tiny", "0")))
     rate = float(kv.get("rate", "1" if tiny else "2"))  # requests / s
@@ -98,6 +98,83 @@ def run(argv=None) -> dict:
     duration = float(kv.get("duration", "8" if tiny else "60"))
     gen_tokens = int(kv.get("gen_tokens", "8" if tiny else "250"))  # 5 s audio
     prompt_s = float(kv.get("prompt_s", "0.2" if tiny else "1.0"))
+
+    # client=host:port — drive poisson load against an EXTERNAL serving
+    # process (started with server_only=1). The last untried failure-
+    # isolation axis: every failing run so far generated load from
+    # in-process threads; out-of-process load leaves the serving process
+    # with only its own threads (orchestrator loop, batcher, HTTP
+    # handlers).
+    client = kv.get("client")
+    if client:
+        host, port_s = client.rsplit(":", 1)
+        w16 = np.zeros(int(16_000 * prompt_s), np.float32)
+        w24 = np.zeros(int(24_000 * prompt_s), np.float32)
+        body = {"text": "hi" if tiny else
+                "benchmark sentence for the serving harness",
+                "prompt_wav_16k_b64": base64.b64encode(w16.tobytes()).decode(),
+                "prompt_wav_24k_b64": base64.b64encode(w24.tobytes()).decode(),
+                "wav_encoding": "b64",
+                "max_new_tokens": gen_tokens, "force_frames": True}
+        payload = json.dumps(body).encode()
+
+        def one_request(record):
+            conn = http.client.HTTPConnection(host, int(port_s), timeout=900)
+            t_arrive = time.perf_counter()
+            try:
+                conn.request("POST", "/tts", payload,
+                             {"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                data = json.loads(resp.read())
+                if record is not None:
+                    if resp.status == 200 and ("wav" in data or "wav_b64" in data):
+                        record["e2e"] = time.perf_counter() - t_arrive
+                        record["audio_s"] = data["info"]["audio_seconds"]
+                    else:
+                        record["error"] = data.get("error", f"http {resp.status}")
+            except Exception as e:  # noqa: BLE001 — recorded
+                if record is not None:
+                    record["error"] = f"{type(e).__name__}: {e}"
+            finally:
+                conn.close()
+
+        one_request(None)  # connectivity check
+        outs = []
+        for r in rates:
+            rng = np.random.default_rng(0)
+            records, threads = [], []
+            t_start = time.perf_counter()
+            t_next = t_start
+            while t_next - t_start < duration:
+                now = time.perf_counter()
+                if now < t_next:
+                    time.sleep(t_next - now)
+                rec: dict = {}
+                records.append(rec)
+                th = threading.Thread(target=one_request, args=(rec,),
+                                      daemon=True)
+                th.start()
+                threads.append(th)
+                t_next += rng.exponential(1.0 / r)
+            for th in threads:
+                th.join(timeout=900)
+            wall = time.perf_counter() - t_start
+            done = [x for x in records if "e2e" in x]
+            errors = [x["error"] for x in records if "error" in x]
+            audio_s = sum(x["audio_s"] for x in done)
+            outs.append({
+                "rate_rps": r, "duration_s": duration,
+                "gen_tokens": gen_tokens,
+                "completed": len(done), "total": len(records),
+                "error_count": len(errors), "errors": errors[:3],
+                "e2e_s": _percentiles([x["e2e"] for x in done]),
+                "audio_seconds_delivered": round(audio_s, 1),
+                "delivered_rtf_capacity": round(audio_s / wall, 2),
+                "out_of_process_client": True,
+            })
+            print(f"[tts_slo client] rate={r}: {json.dumps(outs[-1])}",
+                  file=sys.stderr)
+        return outs[0] if len(outs) == 1 else {"sweep": outs}
 
     from maxtext_indextts2_tpu.audio.pipeline import build_tiny_pipeline
     from maxtext_indextts2_tpu.config import load_config
@@ -207,6 +284,20 @@ def run(argv=None) -> dict:
 
     one_request = one_request_direct if no_http else one_request_http
     one_request(None)  # endpoint warm (orchestrator LM path)
+
+    if int(kv.get("server_only", "0")):
+        # hold the warm server for an out-of-process load generator
+        # (client=host:port mode); runs until the process is killed
+        print(f"[tts_slo] READY port={port}", file=sys.stderr, flush=True)
+        try:
+            while True:
+                time.sleep(60)
+        except KeyboardInterrupt:
+            pass
+        httpd.shutdown()
+        batcher.stop()
+        orch.stop()
+        return {"server_only": True, "port": port}
 
     def measure(rate: float) -> dict:
         """One poisson arrival process at ``rate`` against the warm server."""
