@@ -1,0 +1,487 @@
+"""Single-threaded event-loop TTS server: sockets and device on ONE thread.
+
+Why this exists: on relay-attached fabrics, a serving process with ANY
+helper threads beside the device thread dies under sustained load with
+'TPU backend error (Internal)' — three rounds of isolation exonerated
+every device-call pattern, every thread lifecycle, GIL pressure, and the
+load generator itself (PERF.md "failure isolation ledger"); the one
+pattern every stable run shares is zero extra threads. This server is
+that pattern as an architecture: a selectors-based non-blocking HTTP
+front-end multiplexed with the continuous-batching decode loop, fused
+admission, and the batched TTS stages, all on the caller's thread. The
+only blocking calls are device dispatches. By construction it is also
+immune to GIL starvation of the device thread (decode_soak gil mode:
+helper threads stalled dispatches up to 176 s in the threaded server).
+
+Reference anchor: the threaded server (infer/server.py) mirrors
+maxengine_server's orchestrator-with-workers shape; this is the
+single-controller-loop alternative for hostile host environments. Both
+share Engine, TTSPipeline, and the serving config knobs.
+
+Endpoints (HTTP/1.1, Connection: close):
+  GET  /health                 -> {"ok": true, "active": N}
+  POST /tts {text, prompt_wav_16k_b64, prompt_wav_24k_b64,
+             max_new_tokens?, force_frames?, wav_encoding: "b64"}
+       -> {"wav_b64": ..., "info": {...}}
+
+Run: python -m maxtext_indextts2_tpu.infer.uniserver <overrides...>
+Drive with: python benchmarks/tts_slo.py client=host:port ...
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import selectors
+import socket
+import time
+
+import numpy as np
+
+from maxtext_indextts2_tpu.config import Config
+
+
+class _Conn:
+    """One client connection's read/write state (non-blocking)."""
+
+    __slots__ = ("sock", "rbuf", "wbuf", "need", "headers_done")
+
+    def __init__(self, sock):
+        self.sock = sock
+        self.rbuf = b""
+        self.wbuf = b""
+        self.need = None  # total bytes (headers + body) once known
+        self.headers_done = False
+
+
+class _Stream:
+    """One in-flight TTS request."""
+
+    __slots__ = ("conn", "body", "sem", "ac", "lm_prompt", "max_new",
+                 "force_frames", "tokens", "slot", "t_arrive")
+
+    def __init__(self, conn, body, t_arrive):
+        self.conn = conn
+        self.body = body
+        self.sem = None
+        self.ac = None
+        self.lm_prompt = None
+        self.max_new = 0
+        self.force_frames = False
+        self.tokens: list[int] = []
+        self.slot = -1
+        self.t_arrive = t_arrive
+
+
+class UniServer:
+    """Single-threaded serving executor. Call serve_forever() from the
+    thread that owns the device (usually the main thread)."""
+
+    def __init__(self, cfg: Config, pipeline, port: int | None = None):
+        self.cfg = cfg
+        self.pipeline = pipeline
+        self.engine = pipeline.engine
+        self.port = port if port is not None else cfg.inference_server_port
+        self.spd = max(1, cfg.serving_steps_per_dispatch)
+        self.batch_max = max(1, cfg.tts_batch_max)
+        self.window_s = cfg.tts_batch_window_ms / 1e3
+        self.fuse_max = max(1, cfg.serving_admission_fusion_max)
+        self.eos_id = None  # audio streams terminate via map_semantic
+        self.stats = {"requests_total": 0, "requests_completed": 0,
+                      "decode_dispatches": 0, "s2a_batches": 0,
+                      "errors": 0}
+        self._sel = selectors.DefaultSelector()
+        self._pending: list[_Stream] = []   # parsed, awaiting frontend+admit
+        self._pending_t0 = None
+        self._lm_done: list[_Stream] = []   # LM finished, awaiting S2A batch
+        self._lm_done_t0 = None
+        self._slots: list[_Stream | None] = [None] * self.engine.num_slots
+        self._remaining = np.zeros(self.engine.num_slots, np.int64)
+        self._stop = False
+        self.decode_state = None
+        self._lsock = None
+
+    # ------------------------------------------------------------ lifecycle
+    def start(self):
+        if self.engine.params is None:
+            self.engine.load_params()
+        self.decode_state = self.engine.init_decode_state()
+        self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._lsock.bind(("0.0.0.0", self.port))
+        self._lsock.listen(128)
+        self._lsock.setblocking(False)
+        self._sel.register(self._lsock, selectors.EVENT_READ, None)
+
+    def stop(self):
+        self._stop = True
+
+    def close(self):
+        for key in list(self._sel.get_map().values()):
+            try:
+                key.fileobj.close()
+            except OSError:
+                pass
+        self._sel.close()
+
+    def serve_forever(self, deadline_s: float | None = None):
+        """The event loop: socket IO and device work interleaved on THIS
+        thread. deadline_s bounds the run (benches/tests)."""
+        t_end = time.monotonic() + deadline_s if deadline_s else None
+        while not self._stop:
+            if t_end is not None and time.monotonic() >= t_end:
+                break
+            busy = self._poll_sockets()
+            busy |= self._admit_ready()
+            busy |= self._decode_round()
+            busy |= self._s2a_round()
+            self._flush_writes()
+            if not busy:
+                # idle: block in the selector (not a sleep) so arrivals wake
+                # the loop immediately
+                self._poll_sockets(timeout=0.02)
+
+    # -------------------------------------------------------------- sockets
+    def _poll_sockets(self, timeout: float = 0.0) -> bool:
+        busy = False
+        for key, mask in self._sel.select(timeout):
+            if key.data is None:
+                try:
+                    sock, _ = self._lsock.accept()
+                except OSError:
+                    continue
+                sock.setblocking(False)
+                self._sel.register(sock, selectors.EVENT_READ, _Conn(sock))
+                busy = True
+                continue
+            conn: _Conn = key.data
+            if mask & selectors.EVENT_READ:
+                busy |= self._read_conn(conn)
+            if mask & selectors.EVENT_WRITE:
+                busy |= self._write_conn(conn)
+        return busy
+
+    def _read_conn(self, conn: _Conn) -> bool:
+        try:
+            data = conn.sock.recv(1 << 16)
+        except BlockingIOError:
+            return False
+        except OSError:
+            self._drop(conn)
+            return True
+        if not data:
+            self._drop(conn)
+            return True
+        conn.rbuf += data
+        if conn.need is None and b"\r\n\r\n" in conn.rbuf:
+            head, _, _ = conn.rbuf.partition(b"\r\n\r\n")
+            clen = 0
+            for line in head.split(b"\r\n")[1:]:
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-length":
+                    clen = int(v.strip() or 0)
+            conn.need = len(head) + 4 + clen
+        if conn.need is not None and len(conn.rbuf) >= conn.need:
+            self._handle_request(conn)
+            return True
+        return False
+
+    def _handle_request(self, conn: _Conn):
+        raw, conn.rbuf = conn.rbuf[:conn.need], conn.rbuf[conn.need:]
+        conn.need = None
+        head, _, body_bytes = raw.partition(b"\r\n\r\n")
+        request_line = head.split(b"\r\n", 1)[0].decode("latin-1")
+        parts = request_line.split()
+        method, path = (parts + ["", ""])[:2]
+        if method == "GET" and path == "/health":
+            self._respond(conn, 200, {"ok": True, "active": self._active()})
+            return
+        if method != "POST" or path != "/tts":
+            self._respond(conn, 404, {"error": "not found"})
+            return
+        try:
+            body = json.loads(body_bytes)
+            st = _Stream(conn, body, time.perf_counter())
+            overshoot = self.spd - 1
+            budget = (self.cfg.max_target_length - overshoot)
+            st.max_new = min(int(body.get("max_new_tokens", 256)), budget)
+            st.force_frames = bool(body.get("force_frames")) and \
+                self.cfg.tts_allow_force_frames
+            self.stats["requests_total"] += 1
+            self._pending.append(st)
+            if self._pending_t0 is None:
+                self._pending_t0 = time.monotonic()
+        except Exception as e:  # noqa: BLE001 — bad request
+            self._respond(conn, 400, {"error": repr(e)[:300]})
+
+    def _respond(self, conn: _Conn, status: int, obj: dict):
+        payload = json.dumps(obj).encode()
+        reason = {200: "OK", 400: "Bad Request", 404: "Not Found",
+                  500: "Internal Server Error"}.get(status, "OK")
+        conn.wbuf += (
+            f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: application/json\r\nContent-Length: "
+            f"{len(payload)}\r\nConnection: close\r\n\r\n"
+        ).encode() + payload
+        try:
+            self._sel.modify(conn.sock, selectors.EVENT_READ |
+                             selectors.EVENT_WRITE, conn)
+        except (KeyError, ValueError, OSError):
+            pass
+
+    def _write_conn(self, conn: _Conn) -> bool:
+        if not conn.wbuf:
+            return False
+        try:
+            n = conn.sock.send(conn.wbuf)
+        except BlockingIOError:
+            return False
+        except OSError:
+            self._drop(conn)
+            return True
+        conn.wbuf = conn.wbuf[n:]
+        if not conn.wbuf:
+            self._drop(conn)  # Connection: close
+        return True
+
+    def _flush_writes(self):
+        for key in list(self._sel.get_map().values()):
+            if isinstance(key.data, _Conn) and key.data.wbuf:
+                self._write_conn(key.data)
+
+    def _drop(self, conn: _Conn):
+        try:
+            self._sel.unregister(conn.sock)
+        except (KeyError, ValueError):
+            pass
+        try:
+            conn.sock.close()
+        except OSError:
+            pass
+
+    # -------------------------------------------------------------- serving
+    def _active(self) -> int:
+        return sum(1 for s in self._slots if s is not None)
+
+    def _free_slots(self) -> list[int]:
+        return [i for i, s in enumerate(self._slots) if s is None]
+
+    def warm(self, prompt_s: float = 1.0, gen_tokens: int = 250):
+        """Compile every steady-state executable before serving: padded
+        frontend, S2A/vocoder batch, the fused-admission ladder, and the
+        decode dispatch. A first compile through the relay costs minutes —
+        it must never land on a live request."""
+        w16 = np.zeros(int(16_000 * prompt_s), np.float32)
+        w24 = np.zeros(int(24_000 * prompt_s), np.float32)
+        body = {"text": "warmup sentence for the serving executor",
+                "prompt_wav_16k": w16, "prompt_wav_24k": w24}
+        sems, acs = self.pipeline.frontend_batch(
+            [dict(body) for _ in range(self.batch_max)],
+            pad_to_batch=self.batch_max)
+        self.pipeline.s2a_vocoder_batch(
+            [body], sems[:1], acs[:1], [[1] * gen_tokens],
+            pad_to_batch=self.batch_max)
+        lm_prompt = self.pipeline.text_and_prompt_to_lm_prompt(
+            body["text"], sems[0])
+        bucket = self.cfg.max_prefill_predict_length
+        state = self.decode_state
+        k = 1
+        while k <= self.fuse_max and k <= self.engine.num_slots and \
+                k * len(lm_prompt) <= bucket:
+            state, _ = self.engine.prefill_insert_many(
+                state, [lm_prompt] * k, list(range(k)))
+            k *= 2
+        state, _ = self.engine.generate_n(state, self.spd)
+        # fresh state: warmup streams must not leak into serving
+        self.decode_state = self.engine.init_decode_state()
+
+    def _admit_ready(self) -> bool:
+        """Window-gated: frontend the pending batch, build LM prompts, admit
+        via fused prefill_insert_many groups."""
+        if not self._pending:
+            return False
+        waited = time.monotonic() - (self._pending_t0 or 0)
+        free = self._free_slots()
+        if len(self._pending) < self.batch_max and waited < self.window_s:
+            return False
+        if not free:
+            return False
+        batch = self._pending[: min(self.batch_max, len(free))]
+        del self._pending[: len(batch)]
+        self._pending_t0 = time.monotonic() if self._pending else None
+        try:
+            bodies = []
+            for st in batch:
+                b = dict(st.body)
+                if "prompt_wav_16k_b64" in b:
+                    b["prompt_wav_16k"] = np.frombuffer(
+                        base64.b64decode(b["prompt_wav_16k_b64"]), np.float32)
+                if "prompt_wav_24k_b64" in b:
+                    b["prompt_wav_24k"] = np.frombuffer(
+                        base64.b64decode(b["prompt_wav_24k_b64"]), np.float32)
+                bodies.append(b)
+            sems, acs = self.pipeline.frontend_batch(
+                bodies, pad_to_batch=self.batch_max)
+            for st, sem, ac in zip(batch, sems, acs):
+                st.sem, st.ac = sem, ac
+                st.lm_prompt = self.pipeline.text_and_prompt_to_lm_prompt(
+                    st.body.get("text", ""), sem)
+                st.max_new = min(
+                    st.max_new,
+                    self.cfg.max_target_length - len(st.lm_prompt) -
+                    (self.spd - 1),
+                )
+        except Exception as e:  # noqa: BLE001 — fail the whole batch
+            for st in batch:
+                self._fail(st, e)
+            return True
+        # fused admission in power-of-two groups (one executable per size)
+        bucket = self.cfg.max_prefill_predict_length
+        todo = [st for st in batch if len(st.lm_prompt) <= bucket]
+        for st in batch:
+            if len(st.lm_prompt) > bucket:
+                self._fail(st, ValueError("prompt exceeds prefill bucket"))
+        while todo:
+            free = self._free_slots()
+            k, plen = 0, 0
+            limit = min(len(free), self.fuse_max, len(todo))
+            while k < limit and plen + len(todo[k].lm_prompt) <= bucket:
+                plen += len(todo[k].lm_prompt)
+                k += 1
+            k = 1 << (max(k, 1).bit_length() - 1)  # largest pow2 <= k
+            group, todo = todo[:k], todo[k:]
+            slots = free[:k]
+            try:
+                self.decode_state, firsts = self.engine.prefill_insert_many(
+                    self.decode_state, [st.lm_prompt for st in group], slots)
+                firsts = np.asarray(firsts)
+            except Exception as e:  # noqa: BLE001
+                for st in group + todo:
+                    self._fail(st, e)
+                return True
+            for st, slot, tok in zip(group, slots, firsts):
+                st.slot = slot
+                st.tokens = [int(tok)]
+                self._slots[slot] = st
+                self._remaining[slot] = st.max_new - 1
+                if self._remaining[slot] <= 0:
+                    self._finish_lm(slot)
+        return True
+
+    def _decode_round(self) -> bool:
+        if self._active() == 0:
+            return False
+        try:
+            self.decode_state, toks = self.engine.generate_n(
+                self.decode_state, self.spd)
+            toks = np.asarray(toks)  # [spd, slots]
+        except Exception as e:  # noqa: BLE001 — fail in-flight streams; a
+            # fresh decode state lets later requests proceed if the device
+            # recovers (single-threaded recovery: rebuild once, no retries)
+            self.stats["errors"] += 1
+            for i, st in enumerate(self._slots):
+                if st is not None:
+                    self._slots[i] = None
+                    self._fail(st, e)
+            try:
+                self.engine.refresh_decode()
+                self.decode_state = self.engine.init_decode_state()
+            except Exception:  # noqa: BLE001 — device gone; stop serving
+                self._stop = True
+            return True
+        self.stats["decode_dispatches"] += 1
+        for step in toks:
+            for i, st in enumerate(self._slots):
+                if st is None:
+                    continue
+                st.tokens.append(int(step[i]))
+                self._remaining[i] -= 1
+                if self._remaining[i] <= 0:
+                    self._finish_lm(i)
+        return True
+
+    def _finish_lm(self, slot: int):
+        st = self._slots[slot]
+        self._slots[slot] = None
+        if st is None:
+            return
+        self._lm_done.append(st)
+        if self._lm_done_t0 is None:
+            self._lm_done_t0 = time.monotonic()
+
+    def _s2a_round(self) -> bool:
+        if not self._lm_done:
+            return False
+        waited = time.monotonic() - (self._lm_done_t0 or 0)
+        if len(self._lm_done) < self.batch_max and waited < self.window_s \
+                and (self._active() or self._pending):
+            return False
+        batch = self._lm_done[: self.batch_max]
+        del self._lm_done[: len(batch)]
+        self._lm_done_t0 = time.monotonic() if self._lm_done else None
+        try:
+            gens = [self.pipeline.map_semantic(st.tokens,
+                                               force_frames=st.force_frames)
+                    for st in batch]
+            outs = self.pipeline.s2a_vocoder_batch(
+                [st.body for st in batch],
+                [st.sem for st in batch], [st.ac for st in batch],
+                gens, pad_to_batch=self.batch_max)
+        except Exception as e:  # noqa: BLE001
+            for st in batch:
+                self._fail(st, e)
+            return True
+        self.stats["s2a_batches"] += 1
+        for st, (wav, info) in zip(batch, outs):
+            info = {k: v for k, v in info.items() if not k.startswith("t_")}
+            info["e2e_s"] = round(time.perf_counter() - st.t_arrive, 3)
+            self.stats["requests_completed"] += 1
+            self._respond(st.conn, 200, {
+                "wav_b64": base64.b64encode(
+                    np.asarray(wav, np.float32).tobytes()).decode(),
+                "info": info,
+            })
+        return True
+
+    def _fail(self, st: _Stream, e: Exception):
+        self.stats["errors"] += 1
+        self._respond(st.conn, 500, {"error": repr(e)[:500]})
+
+
+def main(argv=None):
+    import sys
+
+    from maxtext_indextts2_tpu.audio.pipeline import build_tiny_pipeline
+    from maxtext_indextts2_tpu.config import load_config
+
+    args = list(argv if argv is not None else sys.argv[1:])
+    port = None
+    rest = []
+    for a in args:
+        if a.startswith("port="):
+            port = int(a.split("=", 1)[1])
+        else:
+            rest.append(a)
+    cfg = load_config(rest)
+    pipeline = build_tiny_pipeline(cfg)
+    srv = UniServer(cfg, pipeline, port=port)
+    srv.start()
+    t0 = time.perf_counter()
+    srv.warm()
+    print(f"[uniserver] warm {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    print(f"[uniserver] READY port={srv.port}", file=sys.stderr, flush=True)
+    try:
+        srv.serve_forever()
+    finally:
+        srv.close()
+
+
+if __name__ == "__main__":
+    import os
+
+    if os.environ.get("MTT_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["MTT_PLATFORM"])
+    main()
