@@ -312,8 +312,10 @@ class Config:
     serving_steps_per_dispatch: int = 4
     # fused admission: up to N waiting requests are admitted per device
     # dispatch (one packed prefill + N inserts + N first tokens in one XLA
-    # program, Engine.prefill_insert_many). <=1 restores the per-request
-    # prefill+insert path. Ignored in paged/disaggregated modes.
+    # program, Engine.prefill_insert_many). <=1 dispatches to the
+    # sequential per-request prefill+insert path (threaded server only;
+    # UniServer always fuses). Ignored in paged/disaggregated modes,
+    # which are sequential regardless.
     serving_admission_fusion_max: int = 8
     # /tts requests batch into one masked S2A pass (pipeline.synthesize_batch):
     # up to tts_batch_max requests collected within tts_batch_window_ms
@@ -685,10 +687,21 @@ def _enable_compilation_cache(path: str) -> None:
             # common (NFS, bind-mounted /tmp), so fingerprint the host.
             import hashlib
 
-            try:
-                with open("/proc/cpuinfo") as f:
-                    src = next((ln for ln in f if ln.startswith("flags")), "")
-            except OSError:
+            src = ""
+            # The cpuinfo 'flags' line alone is NOT a sufficient key: two
+            # different physical hosts can present identical masked flags
+            # in a VM while LLVM's cpuid-based detection differs — a stale
+            # entry from the other host then segfaults at load (observed
+            # killing the full suite at 95%). Scope the partition to this
+            # boot: reuse within a session (the real win — reruns, many
+            # processes) survives; cross-host reuse (the hazard) cannot.
+            for probe in ("/proc/sys/kernel/random/boot_id", "/proc/cpuinfo"):
+                try:
+                    with open(probe) as f:
+                        src += f.read(4096)
+                except OSError:
+                    pass
+            if not src:
                 import platform as _platform
 
                 src = _platform.processor() or _platform.machine()

@@ -391,8 +391,9 @@ class Orchestrator:
             k = 1
             while k * 2 <= len(group):
                 k *= 2
-            for req in group[k:]:
-                self._retry.insert(0, req)
+            # slice-assign keeps the overflow's arrival order (per-item
+            # insert(0, ...) in forward iteration would reverse it)
+            self._retry[:0] = group[k:]
             group = group[:k]
             slots = free[:k]
             try:
@@ -424,6 +425,19 @@ class Orchestrator:
                     self._retry[:0] = group
                 else:
                     self._on_prefill_failure(group, e)
+                # prefill_insert_many donates decode_state: a failed dispatch
+                # can leave self.decode_state pointing at deleted buffers.
+                # With no active streams (cold-start burst) no decode round
+                # runs to trigger _recover_decode, so every solo retry would
+                # hit the dead state until the attempt budget burns out —
+                # rebuild here if the buffers are gone.
+                if not self._ensure_live_decode_state(e):
+                    self._stop.set()
+                    while True:
+                        try:
+                            self._fail(self.queue.get_nowait(), e)
+                        except queue.Empty:
+                            break
                 return admitted
 
     def _admit_via_prefill(self, slot: int, req: _Request) -> bool:
@@ -447,9 +461,12 @@ class Orchestrator:
         while not self._stop.is_set():
             # admit new requests into free slots
             admitted = False
-            if self.mode != "disaggregated" and not self._paged:
+            if (self.mode != "disaggregated" and not self._paged
+                    and self.admission_fusion_max > 1):
                 admitted = self._admit_interleaved()
             else:
+                # disaggregated, paged, or fusion disabled (<=1): the
+                # documented per-request prefill+insert path
                 admitted = self._admit_sequential()
 
             self._drain_thunks()
@@ -580,6 +597,25 @@ class Orchestrator:
                 if self.remaining[i] <= 0 or (self.eos_id is not None and tok == self.eos_id):
                     self._finish(i)
         return True
+
+    def _ensure_live_decode_state(self, err: Exception) -> bool:
+        """After a failed dispatch that DONATED decode_state
+        (prefill_insert_many / insert), the state may point at deleted
+        device buffers. Keep it if it is still live (failure happened
+        before launch, e.g. at trace time); otherwise run the full
+        recovery path. Returns False when the device is unrecoverable."""
+        import jax
+
+        try:
+            dead = any(
+                getattr(leaf, "is_deleted", lambda: False)()
+                for leaf in jax.tree_util.tree_leaves(self.decode_state)
+            )
+        except Exception:  # noqa: BLE001 — unreadable state counts as dead
+            dead = True
+        if not dead:
+            return True
+        return self._recover_decode(err)
 
     def _recover_decode(self, err: Exception) -> bool:
         """Rebuild the decode state after a failed decode dispatch and
