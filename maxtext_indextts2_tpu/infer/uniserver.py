@@ -18,11 +18,19 @@ maxengine_server's orchestrator-with-workers shape; this is the
 single-controller-loop alternative for hostile host environments. Both
 share Engine, TTSPipeline, and the serving config knobs.
 
-Endpoints (HTTP/1.1, Connection: close):
+Endpoints (HTTP/1.1, Connection: close) — feature parity with the
+threaded server (infer/server.py make_server):
   GET  /health                 -> {"ok": true, "active": N}
+  GET  /metrics                -> prometheus text exposition
   POST /tts {text, prompt_wav_16k_b64, prompt_wav_24k_b64,
              max_new_tokens?, force_frames?, wav_encoding: "b64"}
        -> {"wav_b64": ..., "info": {...}}
+  POST /generate {prompt: [ids], max_new_tokens?, eos_id?}
+       -> {"tokens": [...]}
+  POST /generate_stream        -> ndjson {"token": t} per line; an error
+       line ends a failed stream (clients distinguish failure from a
+       short completion). LM streams share decode slots and the fused
+       admission ladder with TTS streams.
 
 Run: python -m maxtext_indextts2_tpu.infer.uniserver <overrides...>
 Drive with: python benchmarks/tts_slo.py client=host:port ...
@@ -44,7 +52,7 @@ from maxtext_indextts2_tpu.config import Config
 class _Conn:
     """One client connection's read/write state (non-blocking)."""
 
-    __slots__ = ("sock", "rbuf", "wbuf", "need", "headers_done")
+    __slots__ = ("sock", "rbuf", "wbuf", "need", "headers_done", "hold")
 
     def __init__(self, sock):
         self.sock = sock
@@ -52,15 +60,17 @@ class _Conn:
         self.wbuf = b""
         self.need = None  # total bytes (headers + body) once known
         self.headers_done = False
+        self.hold = False  # streaming response: keep open on empty wbuf
 
 
 class _Stream:
-    """One in-flight TTS request."""
+    """One in-flight request (TTS synthesis or token-LM generation)."""
 
     __slots__ = ("conn", "body", "sem", "ac", "lm_prompt", "max_new",
-                 "force_frames", "tokens", "slot", "t_arrive")
+                 "force_frames", "tokens", "slot", "t_arrive", "kind",
+                 "stream", "eos_id")
 
-    def __init__(self, conn, body, t_arrive):
+    def __init__(self, conn, body, t_arrive, kind="tts", stream=False):
         self.conn = conn
         self.body = body
         self.sem = None
@@ -71,6 +81,9 @@ class _Stream:
         self.tokens: list[int] = []
         self.slot = -1
         self.t_arrive = t_arrive
+        self.kind = kind        # "tts" | "lm"
+        self.stream = stream    # ndjson per-token streaming (/generate_stream)
+        self.eos_id = None
 
 
 class UniServer:
@@ -78,6 +91,17 @@ class UniServer:
     thread that owns the device (usually the main thread)."""
 
     def __init__(self, cfg: Config, pipeline, port: int | None = None):
+        # UniServer admits unconditionally via fused prefill_insert_many
+        # with plain slot bookkeeping — no page reservation, and paged
+        # insert inside the fused jit would trace slot/length. Paged and
+        # disaggregated configs belong to the threaded server's
+        # sequential-admission path (infer/server.py).
+        if cfg.paged_attention:
+            raise ValueError("UniServer does not support paged_attention; "
+                             "use infer.server (sequential admission)")
+        if cfg.serving_mode != "interleaved":
+            raise ValueError(f"UniServer supports interleaved serving only, "
+                             f"got serving_mode={cfg.serving_mode!r}")
         self.cfg = cfg
         self.pipeline = pipeline
         self.engine = pipeline.engine
@@ -86,6 +110,8 @@ class UniServer:
         self.batch_max = max(1, cfg.tts_batch_max)
         self.window_s = cfg.tts_batch_window_ms / 1e3
         self.fuse_max = max(1, cfg.serving_admission_fusion_max)
+        # b64 float32 prompt audio for minutes of speech fits well below
+        self.max_body = 64 << 20
         self.eos_id = None  # audio streams terminate via map_semantic
         self.stats = {"requests_total": 0, "requests_completed": 0,
                       "decode_dispatches": 0, "s2a_batches": 0,
@@ -109,6 +135,7 @@ class UniServer:
         self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._lsock.bind(("0.0.0.0", self.port))
+        self.port = self._lsock.getsockname()[1]  # resolve port=0 (tests)
         self._lsock.listen(128)
         self._lsock.setblocking(False)
         self._sel.register(self._lsock, selectors.EVENT_READ, None)
@@ -173,6 +200,10 @@ class UniServer:
             self._drop(conn)
             return True
         conn.rbuf += data
+        if conn.need is None and b"\r\n\r\n" not in conn.rbuf \
+                and len(conn.rbuf) > (64 << 10):
+            self._drop(conn)  # runaway headers
+            return True
         if conn.need is None and b"\r\n\r\n" in conn.rbuf:
             head, _, _ = conn.rbuf.partition(b"\r\n\r\n")
             clen = 0
@@ -180,6 +211,12 @@ class UniServer:
                 k, _, v = line.partition(b":")
                 if k.strip().lower() == b"content-length":
                     clen = int(v.strip() or 0)
+            if clen > self.max_body:
+                # reject before buffering: best-effort flush, then close
+                self._respond(conn, 413, {"error": "body too large"})
+                self._write_conn(conn)
+                self._drop(conn)
+                return True
             conn.need = len(head) + 4 + clen
         if conn.need is not None and len(conn.rbuf) >= conn.need:
             self._handle_request(conn)
@@ -196,17 +233,32 @@ class UniServer:
         if method == "GET" and path == "/health":
             self._respond(conn, 200, {"ok": True, "active": self._active()})
             return
-        if method != "POST" or path != "/tts":
+        if method == "GET" and path == "/metrics":
+            self._respond_raw(conn, 200, self.metrics_text().encode(),
+                              ctype="text/plain; version=0.0.4")
+            return
+        if method != "POST" or path not in ("/tts", "/generate",
+                                            "/generate_stream"):
             self._respond(conn, 404, {"error": "not found"})
             return
         try:
             body = json.loads(body_bytes)
-            st = _Stream(conn, body, time.perf_counter())
             overshoot = self.spd - 1
             budget = (self.cfg.max_target_length - overshoot)
-            st.max_new = min(int(body.get("max_new_tokens", 256)), budget)
-            st.force_frames = bool(body.get("force_frames")) and \
-                self.cfg.tts_allow_force_frames
+            if path == "/tts":
+                st = _Stream(conn, body, time.perf_counter())
+                st.max_new = min(int(body.get("max_new_tokens", 256)), budget)
+                st.force_frames = bool(body.get("force_frames")) and \
+                    self.cfg.tts_allow_force_frames
+            else:
+                st = _Stream(conn, body, time.perf_counter(), kind="lm",
+                             stream=(path == "/generate_stream"))
+                st.lm_prompt = np.asarray(body["prompt"], np.int32)
+                if st.lm_prompt.ndim != 1 or st.lm_prompt.size == 0:
+                    raise ValueError("prompt must be a non-empty 1-d id list")
+                st.max_new = min(int(body.get("max_new_tokens", 32)), budget)
+                if body.get("eos_id") is not None:
+                    st.eos_id = int(body["eos_id"])
             self.stats["requests_total"] += 1
             self._pending.append(st)
             if self._pending_t0 is None:
@@ -214,15 +266,54 @@ class UniServer:
         except Exception as e:  # noqa: BLE001 — bad request
             self._respond(conn, 400, {"error": repr(e)[:300]})
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition format (stdlib-only), mirroring
+        Orchestrator.metrics_text (reference: maxengine_server prometheus)."""
+        lines = []
+        for k, v in self.stats.items():
+            lines.append(f"# TYPE serving_{k} counter")
+            lines.append(f"serving_{k} {v}")
+        lines.append("# TYPE serving_active_slots gauge")
+        lines.append(f"serving_active_slots {self._active()}")
+        lines.append("# TYPE serving_queue_depth gauge")
+        lines.append(f"serving_queue_depth {len(self._pending)}")
+        return "\n".join(lines) + "\n"
+
     def _respond(self, conn: _Conn, status: int, obj: dict):
-        payload = json.dumps(obj).encode()
+        self._respond_raw(conn, status, json.dumps(obj).encode())
+
+    def _respond_raw(self, conn: _Conn, status: int, payload: bytes,
+                     ctype: str = "application/json"):
         reason = {200: "OK", 400: "Bad Request", 404: "Not Found",
+                  413: "Payload Too Large",
                   500: "Internal Server Error"}.get(status, "OK")
+        conn.hold = False
         conn.wbuf += (
             f"HTTP/1.1 {status} {reason}\r\n"
-            f"Content-Type: application/json\r\nContent-Length: "
+            f"Content-Type: {ctype}\r\nContent-Length: "
             f"{len(payload)}\r\nConnection: close\r\n\r\n"
         ).encode() + payload
+        self._want_write(conn)
+
+    def _begin_stream(self, conn: _Conn):
+        """Streaming ndjson response: headers out immediately, no
+        Content-Length — Connection: close delimits the body."""
+        conn.hold = True
+        conn.wbuf += (b"HTTP/1.1 200 OK\r\nContent-Type: "
+                      b"application/x-ndjson\r\nConnection: close\r\n\r\n")
+        self._want_write(conn)
+
+    def _stream_line(self, conn: _Conn, obj: dict):
+        conn.wbuf += json.dumps(obj).encode() + b"\n"
+        self._want_write(conn)
+
+    def _end_stream(self, conn: _Conn):
+        conn.hold = False
+        if not conn.wbuf:
+            self._drop(conn)
+        # else: _write_conn drops once wbuf drains (hold cleared)
+
+    def _want_write(self, conn: _Conn):
         try:
             self._sel.modify(conn.sock, selectors.EVENT_READ |
                              selectors.EVENT_WRITE, conn)
@@ -240,7 +331,7 @@ class UniServer:
             self._drop(conn)
             return True
         conn.wbuf = conn.wbuf[n:]
-        if not conn.wbuf:
+        if not conn.wbuf and not conn.hold:
             self._drop(conn)  # Connection: close
         return True
 
@@ -309,32 +400,38 @@ class UniServer:
         batch = self._pending[: min(self.batch_max, len(free))]
         del self._pending[: len(batch)]
         self._pending_t0 = time.monotonic() if self._pending else None
-        try:
-            bodies = []
-            for st in batch:
-                b = dict(st.body)
-                if "prompt_wav_16k_b64" in b:
-                    b["prompt_wav_16k"] = np.frombuffer(
-                        base64.b64decode(b["prompt_wav_16k_b64"]), np.float32)
-                if "prompt_wav_24k_b64" in b:
-                    b["prompt_wav_24k"] = np.frombuffer(
-                        base64.b64decode(b["prompt_wav_24k_b64"]), np.float32)
-                bodies.append(b)
-            sems, acs = self.pipeline.frontend_batch(
-                bodies, pad_to_batch=self.batch_max)
-            for st, sem, ac in zip(batch, sems, acs):
-                st.sem, st.ac = sem, ac
-                st.lm_prompt = self.pipeline.text_and_prompt_to_lm_prompt(
-                    st.body.get("text", ""), sem)
-                st.max_new = min(
-                    st.max_new,
-                    self.cfg.max_target_length - len(st.lm_prompt) -
-                    (self.spd - 1),
-                )
-        except Exception as e:  # noqa: BLE001 — fail the whole batch
-            for st in batch:
-                self._fail(st, e)
-            return True
+        tts_batch = [st for st in batch if st.kind == "tts"]
+        if tts_batch:
+            try:
+                bodies = []
+                for st in tts_batch:
+                    b = dict(st.body)
+                    if "prompt_wav_16k_b64" in b:
+                        b["prompt_wav_16k"] = np.frombuffer(
+                            base64.b64decode(b["prompt_wav_16k_b64"]),
+                            np.float32)
+                    if "prompt_wav_24k_b64" in b:
+                        b["prompt_wav_24k"] = np.frombuffer(
+                            base64.b64decode(b["prompt_wav_24k_b64"]),
+                            np.float32)
+                    bodies.append(b)
+                sems, acs = self.pipeline.frontend_batch(
+                    bodies, pad_to_batch=self.batch_max)
+                for st, sem, ac in zip(tts_batch, sems, acs):
+                    st.sem, st.ac = sem, ac
+                    st.lm_prompt = self.pipeline.text_and_prompt_to_lm_prompt(
+                        st.body.get("text", ""), sem)
+            except Exception as e:  # noqa: BLE001 — fail the TTS cohort;
+                # co-arrived /generate requests proceed
+                for st in tts_batch:
+                    self._fail(st, e)
+                batch = [st for st in batch if st.kind != "tts"]
+        for st in batch:
+            st.max_new = min(
+                st.max_new,
+                self.cfg.max_target_length - len(st.lm_prompt) -
+                (self.spd - 1),
+            )
         # fused admission in power-of-two groups (one executable per size)
         bucket = self.cfg.max_prefill_predict_length
         todo = [st for st in batch if len(st.lm_prompt) <= bucket]
@@ -364,7 +461,13 @@ class UniServer:
                 st.tokens = [int(tok)]
                 self._slots[slot] = st
                 self._remaining[slot] = st.max_new - 1
-                if self._remaining[slot] <= 0:
+                if st.stream:
+                    # headers + first token leave as soon as admission
+                    # lands: clients measure true TTFB
+                    self._begin_stream(st.conn)
+                    self._stream_line(st.conn, {"token": int(tok)})
+                if self._remaining[slot] <= 0 or (
+                        st.eos_id is not None and int(tok) == st.eos_id):
                     self._finish_lm(slot)
         return True
 
@@ -394,9 +497,13 @@ class UniServer:
             for i, st in enumerate(self._slots):
                 if st is None:
                     continue
-                st.tokens.append(int(step[i]))
+                tok = int(step[i])
+                st.tokens.append(tok)
                 self._remaining[i] -= 1
-                if self._remaining[i] <= 0:
+                if st.stream:
+                    self._stream_line(st.conn, {"token": tok})
+                if self._remaining[i] <= 0 or (
+                        st.eos_id is not None and tok == st.eos_id):
                     self._finish_lm(i)
         return True
 
@@ -404,6 +511,13 @@ class UniServer:
         st = self._slots[slot]
         self._slots[slot] = None
         if st is None:
+            return
+        if st.kind == "lm":
+            self.stats["requests_completed"] += 1
+            if st.stream:
+                self._end_stream(st.conn)
+            else:
+                self._respond(st.conn, 200, {"tokens": st.tokens})
             return
         self._lm_done.append(st)
         if self._lm_done_t0 is None:
@@ -445,7 +559,13 @@ class UniServer:
 
     def _fail(self, st: _Stream, e: Exception):
         self.stats["errors"] += 1
-        self._respond(st.conn, 500, {"error": repr(e)[:500]})
+        if st.stream and st.conn.hold:
+            # streaming headers already out: an explicit error line ends
+            # the stream (clients tell failure from a short completion)
+            self._stream_line(st.conn, {"error": repr(e)[:500]})
+            self._end_stream(st.conn)
+        else:
+            self._respond(st.conn, 500, {"error": repr(e)[:500]})
 
 
 def main(argv=None):
