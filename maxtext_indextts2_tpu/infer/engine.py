@@ -112,6 +112,24 @@ class Engine:
                 "(the page pool stores raw KV; int8 codes + scales would be "
                 "scattered without dequantization)"
             )
+        if (cfg.ici_context_autoregressive_parallelism > 1
+                or cfg.dcn_context_autoregressive_parallelism > 1):
+            # Sequence-sharded KV cache (cache_sequence ->
+            # context_autoregressive, parallel/sharding.py): only the XLA
+            # dot_product decode path supports it — GSPMD partitions the
+            # attention contraction over the sequence shards and inserts
+            # the softmax collectives. The Pallas ragged/bucketed/paged
+            # decode kernels run under shard_map with each device holding a
+            # slot's FULL cache and cannot read a sequence-sharded buffer.
+            # (Reference axis: base.yml:318,405,417 context_autoregressive.)
+            assert cfg.decode_attention == "dot_product", (
+                "ici/dcn_context_autoregressive_parallelism > 1 requires "
+                f"decode_attention=dot_product, got {cfg.decode_attention!r}"
+            )
+            assert not cfg.paged_attention, (
+                "context_autoregressive parallelism is incompatible with "
+                "paged_attention (page pool is not sequence-sharded)"
+            )
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else create_device_mesh(cfg)
         self.model = model or Transformer(cfg=cfg, mesh=self.mesh)

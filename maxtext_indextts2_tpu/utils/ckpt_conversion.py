@@ -308,6 +308,8 @@ _CONVERTERS = {
     "mixtral": ("convert_hf_mixtral_to_framework", "convert_framework_to_hf_mixtral"),
     "deepseek": ("convert_hf_deepseek_to_framework", None),
     "gpt3": ("convert_hf_gpt2_to_framework", None),
+    # source-format alias: paxml tensorstore layout of the same family
+    "gpt3_paxml": ("convert_paxml_gpt3_to_framework", None),
     "llama4": ("convert_hf_llama4_to_framework", None),
     "qwen3_moe": ("convert_hf_qwen3_moe_to_framework", None),
 }
@@ -748,6 +750,100 @@ def convert_hf_gpt2_to_framework(state_dict: dict, cfg: Config) -> dict:
         "decoder_norm": {"scale": get("transformer.ln_f.weight"),
                          "bias": get("transformer.ln_f.bias")},
     }}
+
+
+def convert_paxml_gpt3_to_framework(get, cfg: Config) -> dict:
+    """paxml-format GPT-3 (the MLPerf reference checkpoint) -> framework
+    gpt3-family params (layers stacked on axis 0).
+
+    ``get(name)`` returns the paxml variable for a dotted name like
+    ``.params.lm.transformer.repeat.sub.x_layers_0.self_attention.combined_qkv.w``
+    — callers bind it to a tensorstore reader (load_paxml_gpt3_checkpoint)
+    or a dict (tests). Name map and axis conventions mirror the reference
+    converter (MaxText/convert_gpt3_ckpt_from_paxml.py:109-186 keystr_map),
+    re-laid for this repo's axis-0 layer stacking instead of MaxText's
+    param_scan_axis=1:
+      combined_qkv.w [L, 3, E, nq, hd] -> q/k/v kernels [L, E, nq, hd]
+      post.w         [L, E, nq, hd]    -> out kernel    [L, nq, hd, E]
+      ffn linear.w   [L, E, M]/[L, M, E] direct; norms [L, E] direct
+      softmax.logits_ffn.linear.w [E, V] -> token embedding [V, E] (tied)
+    """
+    E = cfg.emb_dim
+    nq, hd = cfg.num_query_heads, cfg.head_dim
+    P = ".params.lm"
+    X = P + ".transformer.repeat.sub.x_layers_0"
+
+    def g(name):
+        return np.asarray(get(name))
+
+    def qkv(part):
+        w = g(f"{X}.self_attention.combined_qkv.w")
+        b = g(f"{X}.self_attention.combined_qkv.b")
+        L = w.shape[0]
+        return {
+            "kernel": w[:, part].reshape(L, E, nq, hd),
+            "bias": b[:, part].reshape(L, nq, hd),
+        }
+
+    out_w = g(f"{X}.self_attention.post.w")  # [L, E, nq, hd]
+    layers = {
+        "self_attention_0": {
+            "query": qkv(0), "key": qkv(1), "value": qkv(2),
+            "out": {
+                "kernel": np.moveaxis(out_w, 1, -1),  # -> [L, nq, hd, E]
+                "bias": g(f"{X}.self_attention.post.b"),
+            },
+        },
+        "mlp_0": {
+            "wi": {"kernel": g(f"{X}.ff_layer.ffn_layer1.linear.w"),
+                   "bias": g(f"{X}.ff_layer.ffn_layer1.bias.b")},
+            "wo": {"kernel": g(f"{X}.ff_layer.ffn_layer2.linear.w"),
+                   "bias": g(f"{X}.ff_layer.ffn_layer2.bias.b")},
+        },
+        "pre_self_attention_norm_0": {
+            "scale": g(f"{X}.layer_norm.scale"),
+            "bias": g(f"{X}.layer_norm.bias"),
+        },
+        "pre_mlp_norm_0": {
+            "scale": g(f"{X}.ff_layer.layer_norm.scale"),
+            "bias": g(f"{X}.ff_layer.layer_norm.bias"),
+        },
+    }
+    return {"params": {
+        "token_embedder": {"embedding": _pad_vocab(
+            g(f"{P}.softmax.logits_ffn.linear.w").T, cfg.vocab_size)},
+        "position_embedder": {"embedding": _pad_vocab(
+            g(f"{P}.position_emb.emb_var"), cfg.max_target_length)},
+        "decoder": {"layers": layers},
+        "decoder_norm": {"scale": g(f"{P}.final_ln.scale"),
+                         "bias": g(f"{P}.final_ln.bias")},
+    }}
+
+
+def load_paxml_gpt3_checkpoint(path: str, cfg: Config) -> dict:
+    """Read a paxml GPT-3 checkpoint (its ``state`` directory) and convert.
+
+    Each paxml variable is a zarr tensorstore in a directory literally named
+    ``mdl_vars<dotted name>`` (reference convert_gpt3_ckpt_from_paxml.py:
+    228-240 reads the same layout from GCS). Supports local paths and
+    gs:// URIs.
+    """
+    import os as _os
+
+    import tensorstore as ts
+
+    def get(name):
+        full = f"mdl_vars{name}"
+        if path.startswith("gs://"):
+            bucket, prefix = path[len("gs://"):].split("/", 1)
+            kv = {"driver": "gcs", "bucket": bucket,
+                  "path": _os.path.join(prefix, full)}
+        else:
+            kv = {"driver": "file", "path": _os.path.join(path, full)}
+        spec = {"driver": "zarr", "metadata_key": ".zarray", "kvstore": kv}
+        return ts.open(ts.Spec(spec), open=True).result().read().result()
+
+    return convert_paxml_gpt3_to_framework(get, cfg)
 
 
 def convert_hf_llama4_to_framework(state_dict: dict, cfg: Config) -> dict:

@@ -1001,3 +1001,83 @@ def test_hf_config_for_families():
     tts = load_config(base + ["decoder_block=tts", "audio_codebook_size=64",
                               "semantic_codebook_size=64"])
     assert hf_config_for(tts) is None
+
+
+def test_paxml_gpt3_golden_shapes(tmp_path):
+    """paxml-format GPT-3 import (reference convert_gpt3_ckpt_from_paxml.py):
+    synthesize a paxml `state` directory with the reference's tensorstore
+    layout (zarr arrays in dirs literally named mdl_vars.params.lm...),
+    load it, and require the converted tree to match the gpt3 family's
+    init-shape tree exactly — then run a forward pass on it."""
+    import tensorstore as ts
+
+    from maxtext_indextts2_tpu.utils.ckpt_conversion import (
+        load_paxml_gpt3_checkpoint,
+    )
+
+    cfg = load_config([
+        "decoder_block=gpt3", "base_emb_dim=64", "base_mlp_dim=256",
+        "base_num_decoder_layers=3", "base_num_query_heads=4",
+        "base_num_kv_heads=4", "head_dim=16", "vocab_size=256",
+        "max_target_length=32", "dtype=float32", "weight_dtype=float32",
+        "attention=dot_product",
+    ])
+    L, E, M = 3, 64, 256
+    nq, hd = 4, 16
+    V, S = 256, 32
+    rng = np.random.default_rng(7)
+    P = ".params.lm"
+    X = P + ".transformer.repeat.sub.x_layers_0"
+    pax = {
+        f"{X}.self_attention.combined_qkv.w": (L, 3, E, nq, hd),
+        f"{X}.self_attention.combined_qkv.b": (L, 3, nq, hd),
+        f"{X}.self_attention.post.w": (L, E, nq, hd),
+        f"{X}.self_attention.post.b": (L, E),
+        f"{X}.ff_layer.ffn_layer1.linear.w": (L, E, M),
+        f"{X}.ff_layer.ffn_layer1.bias.b": (L, M),
+        f"{X}.ff_layer.ffn_layer2.linear.w": (L, M, E),
+        f"{X}.ff_layer.ffn_layer2.bias.b": (L, E),
+        f"{X}.layer_norm.scale": (L, E),
+        f"{X}.layer_norm.bias": (L, E),
+        f"{X}.ff_layer.layer_norm.scale": (L, E),
+        f"{X}.ff_layer.layer_norm.bias": (L, E),
+        f"{P}.softmax.logits_ffn.linear.w": (E, V),
+        f"{P}.position_emb.emb_var": (S, E),
+        f"{P}.final_ln.scale": (E,),
+        f"{P}.final_ln.bias": (E,),
+    }
+    for name, shape in pax.items():
+        arr = (rng.standard_normal(shape) * 0.02).astype(np.float32)
+        spec = {
+            "driver": "zarr", "metadata_key": ".zarray",
+            "kvstore": {"driver": "file",
+                        "path": str(tmp_path / f"mdl_vars{name}")},
+            "metadata": {"shape": list(shape), "dtype": "<f4"},
+            "create": True,
+        }
+        ts.open(ts.Spec(spec)).result().write(arr).result()
+
+    params = load_paxml_gpt3_checkpoint(str(tmp_path), cfg)
+
+    from maxtext_indextts2_tpu.models import Transformer
+
+    model = Transformer(cfg=cfg)
+    dummy = jnp.zeros((1, 16), jnp.int32)
+    from flax import linen as nn
+
+    want = nn.meta.unbox(jax.eval_shape(
+        lambda r: model.init(r, dummy, dummy, dummy), jax.random.PRNGKey(0)
+    )["params"])
+    got = params["params"]
+    want_shapes = jax.tree.map(lambda x: tuple(x.shape), want)
+    got_shapes = jax.tree.map(lambda x: tuple(np.shape(x)), got)
+    assert want_shapes == got_shapes, (
+        f"converted tree differs from model init:\n{got_shapes}\nvs\n{want_shapes}"
+    )
+
+    params = {"params": jax.tree.map(jnp.asarray, got)}
+    tokens = jnp.asarray(rng.integers(0, V, size=(2, 16)), jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(16), (2, 16))
+    logits = model.apply(params, tokens, positions, jnp.ones((2, 16), jnp.int32))
+    assert logits.shape == (2, 16, V)
+    assert np.isfinite(np.asarray(logits)).all()

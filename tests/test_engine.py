@@ -684,3 +684,60 @@ def test_paged_pages_grow_across_boundaries():
     want = dense.generate_stream(prompt, 8)
     got = paged.generate_stream(prompt, 8)
     assert got == want
+
+
+def test_engine_context_autoregressive_decode_parity():
+    """Inference with the KV cache SEQUENCE-sharded over the
+    context_autoregressive mesh axis (reference: base.yml:318,405,417) —
+    greedy decode must match the replicated engine, and the decode-state
+    cache buffers must actually be sharded along their sequence dim.
+
+    Only decode_attention=dot_product supports this (GSPMD partitions the
+    attention contraction and inserts the softmax collectives); the Pallas
+    ragged/paged kernels hold full per-slot caches under shard_map and are
+    guarded off in Engine.__init__."""
+    prompt = np.array([3, 5, 7, 11, 13], np.int32)
+
+    eng_rep = Engine(load_config(CFG))
+    eng_rep.load_params()
+    want = eng_rep.generate_stream(prompt, 8)
+
+    cfg = load_config(CFG + ["ici_context_autoregressive_parallelism=2",
+                             "ici_fsdp_parallelism=4"])
+    eng = Engine(cfg)
+    eng.load_params()
+    got = eng.generate_stream(prompt, 8)
+    assert got == want
+
+    # The steady-state decode program's output cache must be physically
+    # sequence-sharded (init_decode_state alone is single-device until the
+    # first dispatch propagates the constraint).
+    state = eng.init_decode_state()
+    pre, _ = eng.prefill(prompt, len(prompt))
+    state = eng.insert(pre, state, 0)
+    state, _ = eng.generate(state)
+    keys = [
+        leaf for path, leaf in jax.tree_util.tree_leaves_with_path(state["cache"])
+        if "cached_key" in jax.tree_util.keystr(path)
+    ]
+    assert keys, "decode state should hold dense KV buffers"
+    for k in keys:
+        # [slots, max_len, nkv, d]: sequence dim (1) split over the
+        # 2-way context_autoregressive axis
+        shard = k.sharding.shard_shape(k.shape)
+        assert shard[1] == k.shape[1] // 2, (
+            f"cache sequence dim not sharded: global {k.shape}, shard {shard}"
+        )
+
+
+def test_engine_context_autoregressive_guards():
+    cfg = load_config(CFG + ["ici_context_autoregressive_parallelism=2",
+                             "ici_fsdp_parallelism=4",
+                             "decode_attention=ragged"])
+    with pytest.raises(AssertionError, match="dot_product"):
+        Engine(cfg)
+    cfg = load_config(CFG + ["ici_context_autoregressive_parallelism=2",
+                             "ici_fsdp_parallelism=4",
+                             "paged_attention=true", "scan_layers=false"])
+    with pytest.raises(AssertionError, match="paged"):
+        Engine(cfg)
