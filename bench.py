@@ -141,6 +141,28 @@ def main_slo():
     }))
 
 
+def main_smoke():
+    """MTT_BENCH=smoke: run every Pallas kernel for real on the attached
+    device and check parity vs a jnp reference (ops/smoke.py). The round's
+    on-chip pre-flight — run this before any measurement session so a
+    Mosaic lowering regression is caught by a named check, not by a
+    mysterious mid-bench failure."""
+    from maxtext_indextts2_tpu.ops import smoke
+
+    results = smoke.run_all()
+    n_ok = sum(1 for r in results if r["ok"])
+    print(json.dumps({
+        "metric": "pallas_smoke_pass_fraction",
+        "value": round(n_ok / max(len(results), 1), 4),
+        "unit": "fraction",
+        "vs_baseline": 1.0 if n_ok == len(results) else 0.0,
+        "detail": {
+            "backend": jax.default_backend(),
+            "checks": results,
+        },
+    }))
+
+
 def main():
     from maxtext_indextts2_tpu.config import load_config
     from maxtext_indextts2_tpu.parallel import create_device_mesh
@@ -296,6 +318,8 @@ if __name__ == "__main__":
         mode = os.environ.get("MTT_BENCH", "rtf")
         if mode == "mfu" or "--mfu" in sys.argv:
             main()
+        elif mode == "smoke" or "--smoke" in sys.argv:
+            main_smoke()
         elif mode == "slo" or "--slo" in sys.argv:
             try:
                 main_slo()

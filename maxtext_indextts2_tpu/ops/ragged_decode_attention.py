@@ -304,12 +304,20 @@ def _kernel_v2(
             # expanded q uses kv head r//group, so scales fold into the
             # SCORE matrix (64x fewer multiplies than dequantizing the
             # [block_kv, nkv, d] values, and no 8-lane -> 128-lane
-            # broadcast relayout)
+            # broadcast relayout). out[r, c] = sc[c, r // group] is built
+            # by contracting a {0,1} head-selector against sc's nkv dim:
+            # an explicit sc.T relayout of the narrow [block_kv, 2] block
+            # crashes the Mosaic lowering at nkv=2 (caught by the round-5
+            # on-chip smoke, ops/smoke.py ragged_v2_int8).
             sc = sref[0, pl.ds(j * block_kv, block_kv), :]
-            sc_t = sc.T  # [nkv, block_kv]
-            return jnp.broadcast_to(
-                sc_t[:, None, :], (sc_t.shape[0], group, block_kv)
-            ).reshape(sc_t.shape[0] * group, block_kv)
+            nkv_ = sc.shape[1]
+            row_head = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv_), 0) // group
+            head_id = jax.lax.broadcasted_iota(jnp.int32, (nq, nkv_), 1)
+            onehot = (row_head == head_id).astype(jnp.float32)
+            return jax.lax.dot_general(
+                onehot, sc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         if quantized:
             # int8 values feed the MXU after a plain cast; the per-(pos,
@@ -386,6 +394,26 @@ def ragged_decode_attention_v2(
     group = nq // nkv
     quantized = k_scale is not None
 
+    # int8 arrays tile (4, 128) over the two minor dims: a DMA slice of an
+    # int8 [B, S, nkv, d] cache needs nkv % 4 == 0 (Mosaic: "slice shape
+    # along dimension 2 must be aligned to tiling (4)", caught by the
+    # round-5 on-chip smoke). Serving configs keep nkv % 4 == 0 and never
+    # pay this; for other head counts, zero-pad the head axis — NOTE this
+    # copies the cache each call, so it is a correctness fallback, not a
+    # serving path.
+    nkv_pad = nkv
+    if quantized and k.dtype == jnp.int8 and nkv % 4 != 0:
+        nkv_pad = -(-nkv // 4) * 4
+        hp = [(0, 0), (0, 0), (0, nkv_pad - nkv), (0, 0)]
+        k = jnp.pad(k, hp)
+        v = jnp.pad(v, hp)
+        k_scale = jnp.pad(k_scale.reshape(b_sz, s_len, nkv),
+                          [(0, 0), (0, 0), (0, nkv_pad - nkv)],
+                          constant_values=1.0)
+        v_scale = jnp.pad(v_scale.reshape(b_sz, s_len, nkv),
+                          [(0, 0), (0, 0), (0, nkv_pad - nkv)],
+                          constant_values=1.0)
+
     # GQA pre-expansion as in v1 (one dot per block, no in-kernel transpose)
     q_grouped = q.reshape(b_sz, nkv, group, d)
     q_exp = (
@@ -393,23 +421,27 @@ def ragged_decode_attention_v2(
         * jnp.eye(nkv, dtype=q.dtype)[None, :, :, None, None]
     )
     q_exp = q_exp.transpose(0, 2, 3, 1, 4).reshape(b_sz, nq, nkv * d)
+    if nkv_pad != nkv:
+        # head h's d-slice sits at column offset h*d in both layouts; the
+        # padded heads are zero columns the dots ignore
+        q_exp = jnp.pad(q_exp, [(0, 0), (0, 0), (0, (nkv_pad - nkv) * d)])
     # k, v stay in their NATIVE [B, S, nkv, d] cache layout — reshaping them
     # here materializes the whole cache (measured 79% of the decode step)
 
     args = [lengths.astype(jnp.int32), q_exp, k, v]
     kv_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
     scratch = [
-        pltpu.VMEM((2, block_kv, nkv, d), k.dtype),
-        pltpu.VMEM((2, block_kv, nkv, d), v.dtype),
+        pltpu.VMEM((2, block_kv, nkv_pad, d), k.dtype),
+        pltpu.VMEM((2, block_kv, nkv_pad, d), v.dtype),
     ]
     if quantized:
         # whole-slot scale blocks on the regular pipeline ([S, nkv] f32)
         args += [
-            k_scale.astype(jnp.float32).reshape(b_sz, s_len, nkv),
-            v_scale.astype(jnp.float32).reshape(b_sz, s_len, nkv),
+            k_scale.astype(jnp.float32).reshape(b_sz, s_len, nkv_pad),
+            v_scale.astype(jnp.float32).reshape(b_sz, s_len, nkv_pad),
         ]
         kv_specs += [
-            pl.BlockSpec((1, s_len, nkv), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec((1, s_len, nkv_pad), lambda b, lens: (b, 0, 0)),
         ] * 2
     scratch.append(pltpu.SMEM((1,), jnp.int32))  # DMA buffer parity
     scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
@@ -418,10 +450,10 @@ def ragged_decode_attention_v2(
         num_scalar_prefetch=1,
         grid=(b_sz,),
         in_specs=[
-            pl.BlockSpec((1, nq, nkv * d), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec((1, nq, nkv_pad * d), lambda b, lens: (b, 0, 0)),
             *kv_specs,
         ],
-        out_specs=pl.BlockSpec((1, nq, nkv * d), lambda b, lens: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, nq, nkv_pad * d), lambda b, lens: (b, 0, 0)),
         scratch_shapes=scratch,
     )
     out_exp = pl.pallas_call(
@@ -434,12 +466,12 @@ def ragged_decode_attention_v2(
             group=group,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b_sz, nq, nkv * d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_sz, nq, nkv_pad * d), q.dtype),
         interpret=interpret,
         name="ragged_decode_v2",
     )(*args)
 
-    out = out_exp.reshape(b_sz, nkv, group, nkv, d)
+    out = out_exp.reshape(b_sz, nkv, group, nkv_pad, d)
     idx = jnp.arange(nkv)
     out = out[:, idx, :, idx, :]
     return out.transpose(1, 0, 2, 3).reshape(b_sz, nq, d)
