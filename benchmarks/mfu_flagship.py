@@ -61,6 +61,23 @@ STREAMING = [o for o in BEST if not o.startswith("fused_vocab_ce_chunk")] + [
     "fused_vocab_ce_tile=8192",
 ]
 
+# round-5 levers (VERDICT r4 item #2): the fused CE's own matmuls go int8
+# with the kernel quantized ONCE per step (fused_ce_int8 — AQT's per-call
+# dot_general would re-read the bf16 [E,V] kernel every chunk), and the
+# [chunk, V] logits slices materialize in bf16 (fused_ce_logits_dtype).
+R5_FULL = BEST_INT8 + ["fused_ce_int8=true", "fused_ce_logits_dtype=bfloat16"]
+R5_TRIALS = (
+    R5_FULL,
+    BEST_INT8 + ["fused_ce_int8=true"],
+    BEST_INT8 + ["fused_ce_logits_dtype=bfloat16"],
+    [o for o in R5_FULL if not o.startswith("fused_vocab_ce_chunk")]
+    + ["fused_vocab_ce_chunk=1024"],
+    [o for o in R5_FULL if not o.startswith("fused_vocab_ce_chunk")]
+    + ["fused_vocab_ce_chunk=256"],
+    [o for o in R5_FULL if not o.startswith("per_device_batch_size")]
+    + ["per_device_batch_size=8"],
+)
+
 TRIALS = (
     BEST_INT8,
     BEST,
@@ -103,6 +120,8 @@ def main():
         trials = TRIALS[:1]
     elif "--streaming" in sys.argv:
         trials = TRIALS[2:6]
+    elif "--r5" in sys.argv:
+        trials = R5_TRIALS
     for ov in trials:
         try:
             print(json.dumps(train_trial(ov)), flush=True)

@@ -71,6 +71,16 @@ class Config:
     # so the unembed kernel moves through HBM a constant number of times and
     # dW is written once per tile. Takes precedence over fused_vocab_ce_chunk.
     fused_vocab_ce_tile: int = 0
+    # int8 fused CE (ops/losses.py chunked_unembed_cross_entropy_int8): the
+    # unembed matmuls run int8 x int8 with the [E,V] kernel quantized ONCE
+    # per step (hoisted out of the chunk scan, unlike AQT's per-call
+    # quantization) — halves the kernel HBM stream and doubles MXU rate at
+    # the flagship's 264k vocab. Requires fused_vocab_ce_chunk > 0.
+    fused_ce_int8: bool = False
+    # dtype of the materialized [chunk, V] logits slices in the fused CE
+    # ("" = float32). bfloat16 halves the dominant HBM transient; the CE
+    # reductions still run in f32.
+    fused_ce_logits_dtype: str = ""
     normalize_embedding_logits: bool = True
     logits_dot_in_fp32: bool = False
     cast_logits_to_fp32: bool = True

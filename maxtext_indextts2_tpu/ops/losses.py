@@ -89,6 +89,7 @@ def chunked_unembed_cross_entropy(
     soft_cap: float = 0.0,
     scale: float = 1.0,
     compute_dtype=None,
+    logits_dtype=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Vocab projection fused INTO the loss: the [B,S,V] logits never
     materialize.
@@ -130,12 +131,16 @@ def chunked_unembed_cross_entropy(
     tc = tf.reshape(-1, chunk)
     wc = wf.reshape(-1, chunk)
     dt = compute_dtype or y.dtype
+    ldt = jnp.dtype(logits_dtype) if logits_dtype else jnp.float32
 
     @jax.checkpoint
     def chunk_loss_sum(y_c, t_c, w_c, kern):
+        # the [chunk, V] logits slice is the step's dominant HBM transient
+        # at 264k vocab; logits_dtype=bfloat16 halves its write+read bytes
+        # (the CE reductions upcast to f32 in-register)
         logits = jnp.dot(
-            y_c.astype(dt), kern.astype(dt), preferred_element_type=jnp.float32
-        )
+            y_c.astype(dt), kern.astype(dt), preferred_element_type=ldt
+        ).astype(jnp.float32)
         if scale != 1.0:
             logits = logits * scale
         if soft_cap > 0.0:
@@ -310,6 +315,179 @@ def _stream_ce_bwd(z_loss, vt, soft_cap, scale, dt, res, g):
 
 
 _stream_ce.defvjp(_stream_ce_fwd, _stream_ce_bwd)
+
+
+def _rowq8(x):
+    """Per-row symmetric absmax int8: x [..., K] -> (int8, f32 scale [...])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-30) / 127.0
+    q = jnp.round(xf / s[..., None]).astype(jnp.int8)
+    return q, s
+
+
+def _colq8(k):
+    """Per-column absmax int8 for the [E, V] unembed kernel."""
+    kf = k.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(kf), axis=0), 1e-30) / 127.0
+    q = jnp.round(kf / s[None, :]).astype(jnp.int8)
+    return q, s
+
+
+def chunked_unembed_cross_entropy_int8(
+    y: jax.Array,
+    kernel: jax.Array,
+    targets: jax.Array,
+    weights: jax.Array,
+    z_loss: float = 0.0,
+    chunk: int = 512,
+    soft_cap: float = 0.0,
+    scale: float = 1.0,
+    logits_dtype="bfloat16",
+) -> tuple[jax.Array, jax.Array]:
+    """int8 fused unembed+CE with the kernel quantized ONCE per step.
+
+    Same contract as chunked_unembed_cross_entropy, but the unembed matmuls
+    run int8 x int8 on the MXU with AQT semantics (dynamic per-row activation
+    scales, per-column kernel scales, straight-through kernel gradient).
+    AQT's own dot_general would re-quantize the [E, V] kernel inside every
+    chunk — at 264k vocab that is 1.08 GB of bf16 reads plus an int8
+    round-trip PER CHUNK, which is why cfg.quantization=int8 deliberately
+    does not reach the fused CE (benchmarks/mfu_flagship.py). Here the
+    custom VJP hoists quantization: kq/sk are computed once, saved as
+    residuals, and every forward/recompute/dy matmul streams the int8
+    kernel (half the bytes, double the MXU rate). dW accumulates in the
+    kernel dtype via one bf16 matmul per chunk, exactly like the AD path.
+    Reference regime anchor: MaxText AQT int8 training (README int8 blog);
+    the reference has no fused-CE equivalent to quantize.
+    """
+    b, s, e = y.shape
+    n = b * s
+    yf = y.reshape(n, e)
+    tf = targets.reshape(n).astype(jnp.int32)
+    wf = weights.reshape(n).astype(jnp.float32)
+    pad = (-n) % chunk
+    if pad:
+        yf = jnp.pad(yf, ((0, pad), (0, 0)))
+        tf = jnp.pad(tf, (0, pad))
+        wf = jnp.pad(wf, (0, pad))
+    yc = yf.reshape(-1, chunk, e)
+    tc = tf.reshape(-1, chunk)
+    wc = wf.reshape(-1, chunk)
+    loss_sum = _q8_ce(yc, kernel, tc, wc, z_loss, soft_cap, scale,
+                      str(logits_dtype))
+    denom = jnp.maximum(jnp.sum(wf), 1e-6)
+    return loss_sum / denom, denom
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _q8_ce(yc, kernel, tc, wc, z_loss, soft_cap, scale, ldt):
+    loss_sum, _ = _q8_ce_fwd_impl(yc, kernel, tc, wc, z_loss, soft_cap,
+                                  scale, ldt)
+    return loss_sum
+
+
+def _q8_logits(y_c, kq, sk, soft_cap, scale, ldt):
+    yq, sy = _rowq8(y_c)
+    acc = jax.lax.dot_general(
+        yq, kq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.dtype(ldt),
+    ).astype(jnp.float32)
+    logits = acc * (sy[:, None] * sk[None, :])
+    if scale != 1.0:
+        logits = logits * scale
+    if soft_cap > 0.0:
+        logits = soft_cap * jnp.tanh(logits / soft_cap)
+    return logits
+
+
+def _q8_ce_fwd_impl(yc, kernel, tc, wc, z_loss, soft_cap, scale, ldt):
+    kq, sk = _colq8(kernel)
+
+    def body(acc, xs):
+        y_c, t_c, w_c = xs
+        logits = _q8_logits(y_c, kq, sk, soft_cap, scale, ldt)
+        m = jnp.max(logits, axis=-1)
+        l = jnp.sum(jnp.exp(logits - m[:, None]), axis=-1)
+        lse = jnp.log(l) + m
+        tl = jnp.take_along_axis(logits, t_c[:, None], axis=-1)[:, 0]
+        total = (lse - tl) + z_loss * jnp.square(lse)
+        return acc + jnp.sum(total * w_c), lse
+
+    loss_sum, lse = jax.lax.scan(
+        body, jnp.zeros((), jnp.float32), (yc, tc, wc)
+    )
+    return loss_sum, (kq, sk, lse)
+
+
+def _q8_ce_fwd(yc, kernel, tc, wc, z_loss, soft_cap, scale, ldt):
+    loss_sum, (kq, sk, lse) = _q8_ce_fwd_impl(
+        yc, kernel, tc, wc, z_loss, soft_cap, scale, ldt
+    )
+    return loss_sum, (yc, kq, sk, tc, wc, lse,
+                      jnp.zeros((), kernel.dtype))  # dtype sentinel
+
+
+def _q8_ce_bwd(z_loss, soft_cap, scale, ldt, res, g):
+    yc, kq, sk, tc, wc, lse, ksent = res
+    kdtype = ksent.dtype
+    t_chunks, c, e = yc.shape
+    v = kq.shape[1]
+
+    def body(dw, xs):
+        y_c, t_c, w_c, lse_c = xs
+        logits = _q8_logits(y_c, kq, sk, soft_cap, scale, ldt)
+        p = jnp.exp(logits - lse_c[:, None])
+        coef = w_c * g
+        pz = coef * (1.0 + 2.0 * z_loss * lse_c)
+        if soft_cap > 0.0:
+            # logits holds the POST-cap value: logits/cap = tanh(x), and
+            # d(cap*tanh(x/cap))/dx = 1 - tanh^2
+            capchain = 1.0 - jnp.square(logits / soft_cap)
+        else:
+            capchain = None
+        # dlog splits into the SMOOTH softmax part and the one-hot target
+        # spike. The spike's magnitude (~coef) sets the int8 absmax scale,
+        # which would crush the ~1/V-sized softmax terms to the quantization
+        # step — so only the smooth part is quantized for the dy matmul and
+        # the spike's dy contribution is applied EXACTLY via an [E]-column
+        # gather of the int8 kernel (E*chunk values, free next to the
+        # matmul).
+        dsoft = p * pz[:, None]
+        if capchain is not None:
+            dsoft = dsoft * capchain
+        if scale != 1.0:
+            dsoft = dsoft * scale
+        # fold the per-column sk INTO the operand so the matmul itself is
+        # int8 x int8 (sk sits inside the V-contraction)
+        gq, sg = _rowq8(dsoft * sk[None, :])
+        dy_c = jax.lax.dot_general(
+            gq, kq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sg[:, None]
+        # exact one-hot correction: row r subtracts
+        # coef_r * capchain[r, t_r] * scale * W_deq[:, t_r]
+        spike = -coef * scale
+        if capchain is not None:
+            spike = spike * jnp.take_along_axis(
+                capchain, t_c[:, None], axis=-1)[:, 0]
+        w_t = jnp.take(kq, t_c, axis=1).astype(jnp.float32).T  # [C, E]
+        dy_c = dy_c + (spike * sk[t_c])[:, None] * w_t
+        # full dlog only for the bf16 dW matmul (no quantization issue: the
+        # matmul contracts over rows, not within them)
+        dlog = dsoft.at[jnp.arange(c), t_c].add(spike)
+        # dW w.r.t. the RAW kernel (straight-through past quantization)
+        dwt = jax.lax.dot_general(
+            y_c.astype(jnp.bfloat16), dlog.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        return dw + dwt.astype(dw.dtype), dy_c
+
+    dw0 = jnp.zeros((e, v), kdtype)
+    dw, dy = jax.lax.scan(body, dw0, (yc, tc, wc, lse))
+    return dy.astype(yc.dtype), dw, None, None
+
+
+_q8_ce.defvjp(_q8_ce_fwd, _q8_ce_bwd)
 
 
 def masked_cross_entropy(

@@ -141,7 +141,19 @@ def loss_fn(model: Transformer, cfg: Config, params, batch, rng, is_train: bool 
             kernel = params["logits_dense"]["kernel"]
             scale = 1.0
         ce_dt = jnp.float32 if cfg.logits_dot_in_fp32 else jnp.dtype(cfg.dtype)
-        if cfg.fused_vocab_ce_tile > 0:
+        ce_ldt = cfg.fused_ce_logits_dtype or None
+        if cfg.fused_ce_int8 and cfg.fused_vocab_ce_chunk > 0:
+            from maxtext_indextts2_tpu.ops.losses import (
+                chunked_unembed_cross_entropy_int8,
+            )
+
+            loss, total_weights = chunked_unembed_cross_entropy_int8(
+                out, kernel, batch["targets"], weights,
+                z_loss=cfg.z_loss_weight, chunk=cfg.fused_vocab_ce_chunk,
+                soft_cap=cfg.final_logits_soft_cap, scale=scale,
+                logits_dtype=ce_ldt or "bfloat16",
+            )
+        elif cfg.fused_vocab_ce_tile > 0:
             from maxtext_indextts2_tpu.ops.losses import (
                 streaming_unembed_cross_entropy,
             )
@@ -157,7 +169,7 @@ def loss_fn(model: Transformer, cfg: Config, params, batch, rng, is_train: bool 
                 out, kernel, batch["targets"], weights,
                 z_loss=cfg.z_loss_weight, chunk=cfg.fused_vocab_ce_chunk,
                 soft_cap=cfg.final_logits_soft_cap, scale=scale,
-                compute_dtype=ce_dt,
+                compute_dtype=ce_dt, logits_dtype=ce_ldt,
             )
     else:
         loss, total_weights = masked_cross_entropy(

@@ -154,6 +154,105 @@ def test_streaming_vocab_ce_trains():
     assert metrics["loss"] < 7.0
 
 
+def test_int8_fused_ce_matches_ste_oracle():
+    """chunked_unembed_cross_entropy_int8 == a straight-through-estimator
+    oracle (same quantization, full-logits CE, autodiff through STE
+    reparameterization) in value (tight) and gradient (loose: the int8 path
+    additionally quantizes dlog for the dy matmul)."""
+    import jax.numpy as jnp
+
+    from maxtext_indextts2_tpu.ops.losses import (
+        chunked_unembed_cross_entropy_int8,
+        masked_cross_entropy,
+    )
+
+    rng = np.random.default_rng(0)
+    b, s, e, v = 2, 24, 64, 512
+    y = jnp.asarray(rng.standard_normal((b, s, e)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((e, v)) * 0.05, jnp.float32)
+    targets = jnp.asarray(rng.integers(0, v, (b, s)), jnp.int32)
+    weights = jnp.asarray(rng.integers(0, 2, (b, s)), jnp.float32)
+    z, cap, scale = 1e-4, 20.0, 1.0 / np.sqrt(e)
+
+    def fused(y, kernel):
+        loss, _ = chunked_unembed_cross_entropy_int8(
+            y, kernel, targets, weights, z_loss=z, chunk=16,
+            soft_cap=cap, scale=scale, logits_dtype="float32")
+        return loss
+
+    def oracle(y, kernel):
+        # STE: value uses the quantized operands, gradient flows straight
+        # through to the raw ones
+        def ste_rows(x):
+            sc = jnp.maximum(jnp.max(jnp.abs(x), -1, keepdims=True), 1e-30) / 127.0
+            q = jnp.round(x / sc) * sc
+            return x + jax.lax.stop_gradient(q - x)
+
+        def ste_cols(k):
+            sc = jnp.maximum(jnp.max(jnp.abs(k), 0, keepdims=True), 1e-30) / 127.0
+            q = jnp.round(k / sc) * sc
+            return k + jax.lax.stop_gradient(q - k)
+
+        yf = ste_rows(y.reshape(-1, e)).reshape(b, s, e)
+        kf = ste_cols(kernel)
+        logits = jnp.einsum("bse,ev->bsv", yf, kf) * scale
+        logits = cap * jnp.tanh(logits / cap)
+        loss, _ = masked_cross_entropy(logits, targets, weights, z)
+        return loss
+
+    f_loss, f_grads = jax.value_and_grad(fused, argnums=(0, 1))(y, kernel)
+    o_loss, o_grads = jax.value_and_grad(oracle, argnums=(0, 1))(y, kernel)
+    np.testing.assert_allclose(np.asarray(f_loss), np.asarray(o_loss),
+                               rtol=1e-5)
+    for got, want, tol in ((f_grads[0], o_grads[0], 0.02),
+                           (f_grads[1], o_grads[1], 0.02)):
+        got, want = np.asarray(got, np.float64), np.asarray(want, np.float64)
+        rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-12)
+        assert rel < tol, rel
+
+
+def test_int8_fused_ce_trains():
+    cfg = load_config(SMALL + ["fused_vocab_ce_chunk=64",
+                               "fused_ce_int8=true"])
+    metrics = train_loop(cfg)
+    assert np.isfinite(metrics["loss"])
+    assert metrics["loss"] < 7.0
+
+
+def test_fused_ce_bf16_logit_slices():
+    """fused_ce_logits_dtype=bfloat16 stays within bf16 rounding of the f32
+    chunked CE (value and gradient direction) and trains."""
+    import jax.numpy as jnp
+
+    from maxtext_indextts2_tpu.ops.losses import chunked_unembed_cross_entropy
+
+    rng = np.random.default_rng(1)
+    b, s, e, v = 2, 24, 64, 512
+    y = jnp.asarray(rng.standard_normal((b, s, e)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((e, v)) * 0.05, jnp.float32)
+    targets = jnp.asarray(rng.integers(0, v, (b, s)), jnp.int32)
+    weights = jnp.ones((b, s), jnp.float32)
+
+    def loss(y, kernel, ldt):
+        out, _ = chunked_unembed_cross_entropy(
+            y, kernel, targets, weights, z_loss=1e-4, chunk=16,
+            scale=1.0 / np.sqrt(e), logits_dtype=ldt)
+        return out
+
+    l32, g32 = jax.value_and_grad(loss, argnums=(0, 1))(y, kernel, None)
+    l16, g16 = jax.value_and_grad(loss, argnums=(0, 1))(y, kernel, "bfloat16")
+    np.testing.assert_allclose(np.asarray(l16), np.asarray(l32), rtol=2e-2)
+    for got, want in zip(g16, g32):
+        got, want = np.asarray(got, np.float64), np.asarray(want, np.float64)
+        rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-12)
+        assert rel < 0.05, rel
+
+    cfg = load_config(SMALL + ["fused_vocab_ce_chunk=64",
+                               "fused_ce_logits_dtype=bfloat16"])
+    metrics = train_loop(cfg)
+    assert np.isfinite(metrics["loss"]) and metrics["loss"] < 7.0
+
+
 def test_train_fsdp_tp_sharded():
     cfg = load_config(SMALL + ["ici_fsdp_parallelism=4", "ici_tensor_parallelism=2"])
     mesh = create_device_mesh(cfg)
