@@ -12,11 +12,15 @@ SURVEY.md §3.4) at tiny scale, entirely in-framework:
 2. build an audio-LM corpus with the REAL vocab machinery — every sequence
    is ``e_<BT> <text> e_<BA> <semantic tokens> EOS`` in embedding-row space
    via vocab/mapping.py (train/data/audio_iterator.build_tts_sequence); the
-   "text" is a fixed random cipher of the semantic tokens, so the text ->
-   semantic mapping is deterministic, genuinely learnable, and generalizes
-   to held-out utterances (a tiny synthetic corpus cannot support learning
-   real phonetics — the cipher keeps the task honest while exercising the
-   full structure),
+   "text" is a LOSSY syllable-level transcription (SyllableTranscriber):
+   frames group into syllable units, a K-prototype inventory built from the
+   training pool is the phoneme set, and each unit transcribes to its
+   nearest prototype id. One text symbol stands for several frames and
+   many distinct realizations — like real phonetics, the LM must learn the
+   inventory's realizations AND exploit context, and held-out accuracy is
+   bounded away from 1.0 by the transcription loss itself (the round-4
+   value-cipher gate saturated at exactly 1.000 and could never fail —
+   VERDICT r4 item #4),
 3. train the tiny decoder-only LM on those rows (loss only on the audio
    segment, SFT-style masking),
 4. for HELD-OUT utterances: text -> Engine greedy decode of semantic tokens
@@ -26,11 +30,14 @@ SURVEY.md §3.4) at tiny scale, entirely in-framework:
    pipeline fed ground-truth semantics): the gap between them is exactly
    what the LM stage costs.
 
-Gate: LM semantic-token accuracy on held-out >= 0.8, and e2e MCD within
-``margin_db`` of the oracle MCD (and under the mcd_parity different-waves
-line, ~26 dB).
+Gates (each able to fail): LM held-out accuracy >= 0.8x the transcription
+mode-ceiling AND <= 0.995 (saturation guard); e2e MCD within ``margin_db``
+of the oracle; codec reconstruction MCD <= codec_mcd_max; everything under
+the ~26 dB different-waves line. ``codec=med pool=1024 codec_steps=2000``
+scales the codec toward the ~7.6 dB self-similarity band.
 
   python benchmarks/recipes/full_tts_train.py [lm_steps=500] [s2a_steps=200]
+      [codec=med] [codec_steps=2000] [pool=1024] [text_protos=48] [syl_len=4]
 """
 
 from __future__ import annotations
@@ -47,14 +54,63 @@ TEXT_OFFSET = 3  # ids 0/1/2 reserved (pad/bos/eos)
 SEM_VALUES = 64  # CB // 4 from the tiny stack's semantic coarsening
 
 
-def _lm_rows(sem_pool: np.ndarray, perm: np.ndarray, mapping, max_len: int):
-    """LM training rows from semantic sequences: text = cipher(semantic)."""
+class SyllableTranscriber:
+    """Structured synthetic 'phonetics' (VERDICT r4 item #4): text is a
+    LOSSY syllable-level transcription of the semantic sequence, not a
+    per-frame value cipher. Frames are grouped into ``syl_len``-frame
+    units; a K-prototype inventory is built from the TRAINING pool (the
+    'phoneme set'); each unit transcribes to its nearest prototype's id.
+    The LM must learn each prototype's typical frame realization AND use
+    context to beat the prototype-template predictor — the mode_ceiling()
+    of that predictor bounds what transcription alone can recover, so
+    held-out accuracy is meaningfully below 1.0 by construction (a gate
+    that can fail), unlike the round-4 cipher whose accuracy saturated.
+    """
+
+    def __init__(self, sem_pool: np.ndarray, syl_len: int = 4,
+                 n_protos: int = 48, seed: int = 11):
+        t = sem_pool.shape[1]
+        self.syl_len = syl_len
+        self.n_syl = t // syl_len
+        units = sem_pool[:, : self.n_syl * syl_len].reshape(-1, syl_len)
+        rng = np.random.default_rng(seed)
+        # inventory: distinct units sampled from the pool (deterministic)
+        uniq = np.unique(units, axis=0)
+        pick = rng.permutation(len(uniq))[:n_protos]
+        self.protos = uniq[pick]  # [K, L]
+
+    def transcribe(self, sem: np.ndarray) -> np.ndarray:
+        """[T] semantic frames -> [n_syl] prototype ids (nearest by L1 on
+        the circular value space)."""
+        units = sem[: self.n_syl * self.syl_len].reshape(
+            self.n_syl, self.syl_len)
+        d = np.abs(units[:, None, :].astype(np.int32)
+                   - self.protos[None, :, :].astype(np.int32))
+        d = np.minimum(d, SEM_VALUES - d)  # circular distance
+        return np.argmin(d.sum(-1), axis=1).astype(np.int32)
+
+    def mode_ceiling(self, sem_pool: np.ndarray) -> float:
+        """Accuracy of predicting each unit as its own prototype's template
+        — what a context-free decoder of the transcription could reach."""
+        hits, total = 0, 0
+        for sem in sem_pool:
+            ids = self.transcribe(sem)
+            units = sem[: self.n_syl * self.syl_len].reshape(
+                self.n_syl, self.syl_len)
+            hits += int((self.protos[ids] == units).sum())
+            total += units.size
+        return hits / max(total, 1)
+
+
+def _lm_rows(sem_pool: np.ndarray, trans: SyllableTranscriber, mapping,
+             max_len: int):
+    """LM training rows: text = lossy syllable transcription of semantic."""
     from maxtext_indextts2_tpu.train.data.audio_iterator import build_tts_sequence
 
     rows = {k: [] for k in ("inputs", "targets", "inputs_position",
                             "inputs_segmentation", "targets_segmentation")}
     for sem in sem_pool:
-        text_ids = (TEXT_OFFSET + perm[sem]).tolist()
+        text_ids = (TEXT_OFFSET + trans.transcribe(sem)).tolist()
         seq = build_tts_sequence(text_ids, sem.tolist(), mapping, eos_id=2)
         assert len(seq) <= max_len + 1, (len(seq), max_len)
         inp = np.zeros(max_len, np.int32)
@@ -105,14 +161,20 @@ def run(argv=None) -> dict:
     cond_gt = np.asarray(stack["cond"])  # held-out semantics [M, T]
     t_frames = sem_train.shape[1]
 
-    # ---- 2. LM corpus through the real vocab mapping
+    # ---- 2. LM corpus through the real vocab mapping; the "language" is a
+    # lossy syllable transcription (SyllableTranscriber docstring)
     mapping = build_mapping(original_vocab_size=128, codebook_size=SEM_VALUES)
     vocab = mapping.adjusted_vocab_size  # 128 text rows + 64+2 audio + pads
-    rng_np = np.random.default_rng(5)
-    perm = rng_np.permutation(SEM_VALUES)  # the text "language"
-    max_len = 1 + t_frames + 1 + t_frames + 1  # bt text ba audio eos
+    trans = SyllableTranscriber(
+        sem_train,
+        syl_len=int(kv.get("syl_len", "4")),
+        n_protos=int(kv.get("text_protos", "48")),
+    )
+    n_text = trans.n_syl
+    max_len = 1 + n_text + 1 + t_frames + 1  # bt text ba audio eos
     max_len = ((max_len + 7) // 8) * 8
-    rows = _lm_rows(sem_train, perm, mapping, max_len)
+    rows = _lm_rows(sem_train, trans, mapping, max_len)
+    mode_ceiling = trans.mode_ceiling(cond_gt)
 
     # ---- 3. train the tiny LM
     bsz = 16
@@ -153,8 +215,8 @@ def run(argv=None) -> dict:
     e2a = mapping.embedding_to_audio_array(vocab)
     sem_hat = np.zeros_like(cond_gt)
     for i, sem_gt in enumerate(cond_gt):
-        text_emb = [mapping.token_to_embedding(int(TEXT_OFFSET + perm[s]))
-                    for s in sem_gt]
+        text_emb = [mapping.token_to_embedding(int(TEXT_OFFSET + p))
+                    for p in trans.transcribe(sem_gt)]
         prompt = np.asarray([bt] + text_emb + [ba], np.int32)
         out = engine.generate_stream(prompt, t_frames)
         audio_ids = [max(int(e2a[e]), 0) if 0 <= e < vocab else 0 for e in out]
@@ -186,18 +248,38 @@ def run(argv=None) -> dict:
     mcd_oracle = float(np.mean([
         mcd(gt[i, :n], wav_oracle[i, :n]) for i in range(len(gt))
     ]))
+    recon = stack["recon_holdout"]
+    nr = min(recon.shape[-1], gt.shape[-1])
+    mcd_codec = float(np.mean([
+        mcd(gt[i, :nr], recon[i, :nr]) for i in range(len(gt))
+    ]))
 
+    # Gates (VERDICT r4 item #4 — each must be able to fail):
+    # (a) the LM beat the context-free prototype-template decoder (it used
+    #     context) but stayed below saturation (the transcription is lossy,
+    #     so ~1.0 would mean the task degenerated);
+    # (b) e2e within margin of the S2A oracle (LM stage cost bounded);
+    # (c) codec reconstruction under codec_mcd_max (default: decisively
+    #     below the ~26 dB different-waves line, approaching the ~7.6 dB
+    #     same-utterance self-similarity band at scaled settings);
+    # (d) everything under the different-waves line.
+    codec_mcd_max = float(kv.get("codec_mcd_max", "16.0"))
     return {
         "lm_final_loss": round(lm_loss, 4),
         "lm_sem_accuracy": round(lm_sem_accuracy, 4),
+        "transcription_mode_ceiling": round(mode_ceiling, 4),
+        "text_protos": trans.protos.shape[0],
         "mcd_e2e_db": round(mcd_lm, 3),
         "mcd_oracle_db": round(mcd_oracle, 3),
+        "mcd_codec_db": round(mcd_codec, 3),
         "lm_stage_cost_db": round(mcd_lm - mcd_oracle, 3),
         "s2a_final_loss": round(stack["s2a_loss"], 4),
         "codec_final_loss": round(stack["codec_loss"], 4),
         "ok": bool(
-            lm_sem_accuracy >= 0.8
+            lm_sem_accuracy >= max(0.8 * mode_ceiling, 0.5)
+            and lm_sem_accuracy <= 0.995
             and mcd_lm <= mcd_oracle + margin_db
+            and mcd_codec <= codec_mcd_max
             and mcd_lm < 26.0  # the different-waves line (mcd_parity.py)
         ),
     }

@@ -143,6 +143,7 @@ class Engine:
         self._p_generate_n = {}
         self._p_insert = None
         self._p_release = None
+        self._p_release_many = None
 
     # ------------------------------------------------------------- params
     def param_shardings(self):
@@ -342,6 +343,7 @@ class Engine:
         self._p_generate_n = {}
         self._p_insert = None
         self._p_release = None
+        self._p_release_many = None
         self._p_prefill_insert = {}
 
     def refresh_prefill(self):
@@ -866,6 +868,30 @@ class Engine:
         with self.mesh:
             return self._p_release(decode_state, jnp.asarray(slot, jnp.int32))
 
+    def release_slots(self, decode_state, slots):
+        """Batched release: clear several finished slots' device-side active
+        flags in ONE dispatch (the event-loop server finishes streams in
+        dispatch-sized batches). A finished-but-active slot not only wastes
+        ragged-attention work — its pos would advance forever, which before
+        the _generate_impl saturation guard halted the device once it
+        crossed max_target_length. Paged configs take the per-slot path
+        (page bookkeeping is per-slot)."""
+        if self.cfg.paged_attention:
+            for s in slots:
+                decode_state = self.release_slot(decode_state, s)
+            return decode_state
+        if self._p_release_many is None:
+            def impl(state, mask):
+                out = dict(state)
+                out["active"] = state["active"] & ~mask
+                return out
+
+            self._p_release_many = jax.jit(impl, donate_argnums=(0,))
+        mask = np.zeros(self.num_slots, bool)
+        mask[list(slots)] = True
+        with self.mesh:
+            return self._p_release_many(decode_state, jnp.asarray(mask))
+
     # ------------------------------------------------------------ generate
     def _generate_impl(self, params, decode_state, rng):
         cfg = self.cfg
@@ -901,7 +927,17 @@ class Engine:
         new_state = {
             "cache": vars_["cache"],
             "tokens": jnp.where(active, new_tokens, decode_state["tokens"]),
-            "pos": decode_state["pos"] + active.astype(jnp.int32),
+            # SATURATE at the cache end: a slot whose stream finished
+            # host-side but was never released keeps active=True and would
+            # otherwise advance past max_target_length — the ragged decode
+            # kernel then DMAs past the cache and HALTS the device ('TPU
+            # backend error (Internal)' on every later dispatch, process
+            # unrecoverable). Found round 5: deterministic serving death at
+            # 64 spd-16 dispatches = 1024 = max_target_length.
+            "pos": jnp.minimum(
+                decode_state["pos"] + active.astype(jnp.int32),
+                cfg.max_target_length - 1,
+            ),
             "active": active,
         }
         if page_state is not None:

@@ -123,6 +123,10 @@ class UniServer:
         self._lm_done_t0 = None
         self._slots: list[_Stream | None] = [None] * self.engine.num_slots
         self._remaining = np.zeros(self.engine.num_slots, np.int64)
+        self._to_release: list[int] = []  # finished slots awaiting batched
+        # device-side release (engine.release_slots): a finished slot left
+        # active burns ragged-attention work and, before the engine's pos
+        # saturation guard, advanced past the cache end and halted the chip
         self._stop = False
         self.decode_state = None
         self._lsock = None
@@ -351,6 +355,17 @@ class UniServer:
             pass
 
     # -------------------------------------------------------------- serving
+    @staticmethod
+    def _dev_mem() -> dict:
+        try:
+            import jax
+
+            s = jax.local_devices()[0].memory_stats() or {}
+            return {k: s[k] for k in ("bytes_in_use", "peak_bytes_in_use")
+                    if k in s}
+        except Exception:  # noqa: BLE001 — diagnostics are best-effort
+            return {}
+
     def _active(self) -> int:
         return sum(1 for s in self._slots if s is not None)
 
@@ -448,6 +463,11 @@ class UniServer:
             k = 1 << (max(k, 1).bit_length() - 1)  # largest pow2 <= k
             group, todo = todo[:k], todo[k:]
             slots = free[:k]
+            # a reused slot must not sit in the pending-release list: the
+            # insert below re-activates it, and a later batched release
+            # would kill the LIVE stream
+            self._to_release = [s for s in self._to_release
+                                if s not in slots]
             try:
                 self.decode_state, firsts = self.engine.prefill_insert_many(
                     self.decode_state, [st.lm_prompt for st in group], slots)
@@ -472,24 +492,66 @@ class UniServer:
         return True
 
     def _decode_round(self) -> bool:
+        if self._to_release:
+            # one dispatch clears every slot that finished since the last
+            # round (release before generate: stale-active slots would bill
+            # their full context into this round's ragged attention)
+            try:
+                self.decode_state = self.engine.release_slots(
+                    self.decode_state, self._to_release)
+                self._to_release.clear()
+            except Exception:  # noqa: BLE001 — fall through; the decode
+                # dispatch below hits the same fault and runs recovery
+                pass
         if self._active() == 0:
             return False
         try:
             self.decode_state, toks = self.engine.generate_n(
                 self.decode_state, self.spd)
             toks = np.asarray(toks)  # [spd, slots]
-        except Exception as e:  # noqa: BLE001 — fail in-flight streams; a
-            # fresh decode state lets later requests proceed if the device
-            # recovers (single-threaded recovery: rebuild once, no retries)
+        except Exception as e:  # noqa: BLE001 — fail in-flight streams, then
+            # recover with a backoff ladder: the relay channel wedge that
+            # kills dispatches under sustained load ('TPU backend error
+            # (Internal)', PERF.md round-5 ledger) is sometimes transient —
+            # an immediate single-shot rebuild was observed to fail where a
+            # few seconds of backoff heal it. Sleeping blocks the event loop,
+            # which is fine: the device is the thing that's down.
+            import sys as _sys
+
+            print(f"[uniserver] decode dispatch failed: {e!r}"[:500],
+                  file=_sys.stderr, flush=True)
+            print(f"[uniserver] device memory at failure: {self._dev_mem()}",
+                  file=_sys.stderr, flush=True)
             self.stats["errors"] += 1
             for i, st in enumerate(self._slots):
                 if st is not None:
                     self._slots[i] = None
                     self._fail(st, e)
-            try:
-                self.engine.refresh_decode()
-                self.decode_state = self.engine.init_decode_state()
-            except Exception:  # noqa: BLE001 — device gone; stop serving
+            self._flush_writes()
+            for backoff_s in (0.0, 2.0, 8.0, 30.0):
+                if backoff_s:
+                    time.sleep(backoff_s)
+                try:
+                    self.engine.refresh_decode()
+                    self.decode_state = self.engine.init_decode_state()
+                    self._to_release.clear()  # fresh state: all inactive
+                    self.stats["decode_recoveries"] = (
+                        self.stats.get("decode_recoveries", 0) + 1)
+                    print(f"[uniserver] decode recovered after "
+                          f"{backoff_s}s backoff", file=_sys.stderr,
+                          flush=True)
+                    break
+                except Exception as e2:  # noqa: BLE001 — try next backoff
+                    print(f"[uniserver] recovery attempt (backoff "
+                          f"{backoff_s}s) failed: {e2!r}"[:300],
+                          file=_sys.stderr, flush=True)
+            else:
+                # channel is terminally wedged for THIS process: a fresh
+                # executable load fails too. Exit cleanly so a supervisor
+                # (supervise=1) can relaunch with a clean PJRT client —
+                # in-process client teardown is not supported by the relay.
+                print("[uniserver] backend unrecoverable; exiting for "
+                      "supervisor restart", file=_sys.stderr, flush=True)
                 self._stop = True
             return True
         self.stats["decode_dispatches"] += 1
@@ -510,6 +572,7 @@ class UniServer:
     def _finish_lm(self, slot: int):
         st = self._slots[slot]
         self._slots[slot] = None
+        self._to_release.append(slot)
         if st is None:
             return
         if st.kind == "lm":
@@ -568,6 +631,37 @@ class UniServer:
             self._respond(st.conn, 500, {"error": repr(e)[:500]})
 
 
+def supervise(argv):
+    """Relaunch the serving child whenever it exits: the relay channel wedge
+    is terminal for a PJRT client (fresh executable loads keep failing), so
+    always-up serving on this fabric is a supervised process, not a
+    process that never dies. The child exits cleanly once its backoff
+    ladder is exhausted; the supervisor starts a clean client. Holds no JAX
+    itself. (Reference capability anchor: maxengine_server's expectation of
+    an external process manager; benchmarks/disruption_management/.)"""
+    import subprocess
+    import sys
+
+    child_args = [a for a in argv if not a.startswith("supervise=")]
+    n = 0
+    while True:
+        n += 1
+        t0 = time.monotonic()
+        print(f"[uniserver-supervisor] start #{n}", file=sys.stderr,
+              flush=True)
+        code = subprocess.call(
+            [sys.executable, "-m", "maxtext_indextts2_tpu.infer.uniserver",
+             *child_args])
+        up_s = time.monotonic() - t0
+        print(f"[uniserver-supervisor] child exited code={code} after "
+              f"{up_s:.0f}s; restarting", file=sys.stderr, flush=True)
+        if up_s < 30:
+            # crash loop (config error, port conflict): don't spin
+            print("[uniserver-supervisor] child died in <30s; stopping",
+                  file=sys.stderr, flush=True)
+            return code
+
+
 def main(argv=None):
     import sys
 
@@ -575,6 +669,8 @@ def main(argv=None):
     from maxtext_indextts2_tpu.config import load_config
 
     args = list(argv if argv is not None else sys.argv[1:])
+    if any(a == "supervise=1" for a in args):
+        raise SystemExit(supervise([a for a in args if a != "supervise=1"]))
     port = None
     rest = []
     for a in args:
@@ -594,6 +690,8 @@ def main(argv=None):
     try:
         srv.serve_forever()
     finally:
+        print(f"[uniserver] EXIT stop={srv._stop} stats={srv.stats}",
+              file=sys.stderr, flush=True)
         srv.close()
 
 

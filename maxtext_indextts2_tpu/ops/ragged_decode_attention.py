@@ -149,7 +149,9 @@ def ragged_decode_attention(
 
     k_flat = k.reshape(b_sz, s_len, nkv * d)
     v_flat = v.reshape(b_sz, s_len, nkv * d)
-    lengths = lengths.astype(jnp.int32)
+    # clamp: a length past the cache extent would DMA out of bounds and
+    # halt the device (unrecoverable for the client) — never trust callers
+    lengths = jnp.minimum(lengths.astype(jnp.int32), s_len)
     quantized = k_scale is not None
 
     def kv_index_map(b, j, lens):
@@ -428,7 +430,9 @@ def ragged_decode_attention_v2(
     # k, v stay in their NATIVE [B, S, nkv, d] cache layout — reshaping them
     # here materializes the whole cache (measured 79% of the decode step)
 
-    args = [lengths.astype(jnp.int32), q_exp, k, v]
+    # clamp: an over-extent length would DMA past the cache and halt the
+    # device (observed: serving death at pos > max_target_length, round 5)
+    args = [jnp.minimum(lengths.astype(jnp.int32), s_len), q_exp, k, v]
     kv_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
     scratch = [
         pltpu.VMEM((2, block_kv, nkv_pad, d), k.dtype),
@@ -623,7 +627,8 @@ def paged_decode_attention_v2(
         out_shape=jax.ShapeDtypeStruct((b_sz, nq, nkv * d), q.dtype),
         interpret=interpret,
         name="paged_decode_v2",
-    )(lengths.astype(jnp.int32), page_map.astype(jnp.int32), q_exp,
+    )(jnp.minimum(lengths.astype(jnp.int32), tpp * page_map.shape[1]),
+      page_map.astype(jnp.int32), q_exp,
       key_pages, value_pages)
 
     out = out_exp.reshape(b_sz, nkv, group, nkv, d)

@@ -64,6 +64,59 @@ def _url(srv, path):
     return f"http://127.0.0.1:{srv.port}{path}"
 
 
+def test_finished_slots_released_device_side(served):
+    """A finished stream's slot must have its DEVICE-side active flag
+    cleared (engine.release_slots batched path). Round-5 regression: slots
+    were only freed host-side, so finished slots kept advancing pos; once
+    any crossed max_target_length the ragged kernel DMA'd past the cache
+    and halted the chip — the 'dies under sustained load' serving failure
+    of rounds 3-5 (deterministic at 64 spd-16 dispatches)."""
+    body = json.dumps({"prompt": [5, 6, 7], "max_new_tokens": 4}).encode()
+    r = urllib.request.urlopen(
+        urllib.request.Request(_url(served, "/generate"), body,
+                               {"Content-Type": "application/json"}),
+        timeout=60,
+    )
+    assert json.loads(r.read())["tokens"]
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        pend = list(served._to_release)
+        active = np.asarray(served.decode_state["active"])
+        if not pend and not active.any() and served._active() == 0:
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError(
+            f"slot not released: pending={served._to_release} "
+            f"active={np.asarray(served.decode_state['active'])}"
+        )
+
+
+def test_generate_pos_saturates_at_cache_end():
+    """Engine guard: an active-but-forgotten slot's pos must saturate at
+    max_target_length-1 instead of running past the cache (the device-halt
+    OOB that killed serving)."""
+    import jax
+
+    from maxtext_indextts2_tpu.infer.engine import Engine
+
+    cfg = load_config(CFG)
+    engine = Engine(cfg)
+    engine.load_params()
+    state = engine.init_decode_state()
+    prefix, _ = engine.prefill(np.asarray([3, 4, 5], np.int32), 3)
+    state = engine.insert(prefix, state, 0)
+    # drive far past the cache extent in fused steps
+    cap = cfg.max_target_length
+    for _ in range((cap // 8) + 4):
+        state, _ = engine.generate_n(state, 8)
+    pos = np.asarray(state["pos"])
+    assert pos[0] == cap - 1, pos
+    # and the batched release clears the flag in one dispatch
+    state = engine.release_slots(state, [0])
+    assert not np.asarray(state["active"]).any()
+
+
 def _tts_body(max_new=8, text="hello", force_frames=True, seed=0):
     rng = np.random.default_rng(seed)
     w16 = (rng.standard_normal(8000) * 0.1).astype(np.float32)
