@@ -78,6 +78,28 @@ class TTSPipeline:
         self._jit_detok = jax.jit(
             lambda params, idx: self.codec.apply(params, idx, method=self.codec.detokenize)
         )
+        # fused back-end: masked S2A sampling + vocoder decode in ONE XLA
+        # program — one dispatch + one fetch per serving batch instead of
+        # two (~40 ms/dispatch through a relay-attached host), and XLA can
+        # overlap the vocoder's convs with the sampler's tail (VERDICT r4
+        # item #5: the S2A+vocoder stage carried 67% of the measured
+        # capacity mix)
+        def _s2a_vocoder_impl(s2a_params, codec_params, cond, prompt, rng,
+                              x_mask, prompt_mask):
+            acoustic = self.s2a.apply(
+                s2a_params, cond, prompt, rng,
+                method=self.s2a.reverse_diffusion,
+                n_timesteps=tuple(self.cfg.s2a_timesteps)[: self.s2a.cfg.num_quantizers],
+                cfg=self.cfg.s2a_cfg_scale,
+                cfg_until=self.cfg.s2a_cfg_until,
+                x_mask=x_mask, prompt_mask=prompt_mask,
+            )
+            return self.codec.apply(
+                codec_params, jnp.transpose(acoustic, (2, 0, 1)),
+                method=self.codec.detokenize,
+            )
+
+        self._jit_s2a_vocoder = jax.jit(_s2a_vocoder_impl)
         self._jit_tok = jax.jit(
             lambda params, wav: self.codec.apply(params, wav, method=self.codec.tokenize)
         )
@@ -462,16 +484,14 @@ class TTSPipeline:
             # PRNGKey is itself a device computation — keep it on the
             # device thread/lock too
             rng = rng if rng is not None else jax.random.PRNGKey(0)
-            acoustic = self._jit_s2a_masked(
-                self.s2a_params, jnp.asarray(cond), jnp.asarray(prompt), rng,
+            # ONE fused dispatch: sampler + vocoder (t_s2a below carries the
+            # fused time; t_vocoder is 0 by construction)
+            wavs = np.asarray(self._jit_s2a_vocoder(
+                self.s2a_params, self.codec_params, jnp.asarray(cond),
+                jnp.asarray(prompt), rng,
                 jnp.asarray(x_mask), jnp.asarray(p_mask),
-            )
-            acoustic.block_until_ready()
-            t3 = time.perf_counter()
-            wavs = np.asarray(
-                self._jit_detok(self.codec_params, jnp.transpose(acoustic, (2, 0, 1)))
-            )
-        t4 = time.perf_counter()
+            ))
+        t3 = t4 = time.perf_counter()
 
         timings = timings or {}
         t0 = timings.get("t_start", t2)
