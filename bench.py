@@ -48,6 +48,11 @@ def main_measured():
         "detail": {
             "on_tpu": on_tpu,
             "mode": "measured_closed_loop",
+            # the closed-loop harness drives Engine+TTSPipeline directly
+            # (no HTTP server); the open-loop serving proof lives in
+            # benchmarks/results/uniserver_soak_r05.json (uniserver,
+            # 100% completion at rate 2, PERF.md round-5 section)
+            "server": "none (direct engine loop); see uniserver soak results",
             "per_chip_streams": out["delivered_rtf_capacity"],
             "v5e8_streams_estimate": round(out["delivered_rtf_capacity"] * 8, 1),
             **out,
