@@ -546,7 +546,7 @@ class Engine:
         return state, jnp.stack(toks)
 
     def prefill_insert_many(self, decode_state, prompts: list[np.ndarray],
-                            slots: list[int]):
+                            slots: list[int], bucket: int | None = None):
         """Host API for fused admission (continuous-batching steady state):
         pack k short prompts into one prefill bucket and run prefill +
         k-way prefix extraction + k slot insertions as ONE device dispatch.
@@ -558,11 +558,15 @@ class Engine:
         (packs prompts) — this additionally fuses the inserts, which the
         reference issues separately.
 
-        Compiles once per k — callers should bucket group sizes. Returns
-        (new_decode_state, first_tokens [k] on device). decode_state is
-        donated."""
+        Compiles once per (k, packed-length bucket) — callers should bucket
+        group sizes AND pass a power-of-two ``bucket`` so a lone short
+        prompt is not padded to the full max_prefill_predict_length (at
+        trickle arrival rates that padding waste dominated admission cost —
+        round-5 soak). Returns (new_decode_state, first_tokens [k] on
+        device). decode_state is donated."""
         cfg = self.cfg
-        p = cfg.max_prefill_predict_length
+        p = bucket or cfg.max_prefill_predict_length
+        assert p <= cfg.max_prefill_predict_length, (p, cfg.max_prefill_predict_length)
         k = len(prompts)
         assert k == len(slots) and k >= 1
         lengths = [len(t) for t in prompts]

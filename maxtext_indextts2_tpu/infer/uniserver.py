@@ -49,6 +49,10 @@ import numpy as np
 from maxtext_indextts2_tpu.config import Config
 
 
+def _pow2ceil(n: int) -> int:
+    return 1 << max(n - 1, 0).bit_length()
+
+
 class _Conn:
     """One client connection's read/write state (non-blocking)."""
 
@@ -373,20 +377,28 @@ class UniServer:
         return [i for i, s in enumerate(self._slots) if s is None]
 
     def warm(self, prompt_s: float = 1.0, gen_tokens: int = 250):
-        """Compile every steady-state executable before serving: padded
-        frontend, S2A/vocoder batch, the fused-admission ladder, and the
-        decode dispatch. A first compile through the relay costs minutes —
-        it must never land on a live request."""
+        """Compile every steady-state executable before serving: the pow2
+        BATCH ladder for frontend and S2A/vocoder, the fused-admission
+        (k, length-bucket) ladder, and the decode dispatch. A first compile
+        through the relay costs minutes — it must never land on a live
+        request. (Prompt lengths that cross a pow2 boundary relative to
+        this warm prompt can still compile one new admission shape
+        mid-serving, once, served from the persistent cache thereafter.)"""
         w16 = np.zeros(int(16_000 * prompt_s), np.float32)
         w24 = np.zeros(int(24_000 * prompt_s), np.float32)
         body = {"text": "warmup sentence for the serving executor",
                 "prompt_wav_16k": w16, "prompt_wav_24k": w24}
-        sems, acs = self.pipeline.frontend_batch(
-            [dict(body) for _ in range(self.batch_max)],
-            pad_to_batch=self.batch_max)
-        self.pipeline.s2a_vocoder_batch(
-            [body], sems[:1], acs[:1], [[1] * gen_tokens],
-            pad_to_batch=self.batch_max)
+        # pow2 batch ladder (underfilled batches pad to the next pow2, not
+        # to batch_max — see _admit_ready/_s2a_round)
+        b = 1
+        sems = acs = None
+        while b <= self.batch_max:
+            sems, acs = self.pipeline.frontend_batch(
+                [dict(body) for _ in range(b)], pad_to_batch=b)
+            self.pipeline.s2a_vocoder_batch(
+                [body], sems[:1], acs[:1], [[1] * gen_tokens],
+                pad_to_batch=b)
+            b *= 2
         lm_prompt = self.pipeline.text_and_prompt_to_lm_prompt(
             body["text"], sems[0])
         bucket = self.cfg.max_prefill_predict_length
@@ -394,8 +406,9 @@ class UniServer:
         k = 1
         while k <= self.fuse_max and k <= self.engine.num_slots and \
                 k * len(lm_prompt) <= bucket:
+            lb = min(max(_pow2ceil(k * len(lm_prompt)), 256), bucket)
             state, _ = self.engine.prefill_insert_many(
-                state, [lm_prompt] * k, list(range(k)))
+                state, [lm_prompt] * k, list(range(k)), bucket=lb)
             k *= 2
         state, _ = self.engine.generate_n(state, self.spd)
         # fresh state: warmup streams must not leak into serving
@@ -417,6 +430,11 @@ class UniServer:
         self._pending_t0 = time.monotonic() if self._pending else None
         tts_batch = [st for st in batch if st.kind == "tts"]
         if tts_batch:
+            # pow2 batch bucket: a trickle-rate group of 3 pads to 4, not
+            # to batch_max — padded rows are real compute (round-5 soak:
+            # always-batch_max padding halved delivered throughput at
+            # rate 4). warm() compiles the ladder.
+            fb = min(_pow2ceil(len(tts_batch)), self.batch_max)
             try:
                 bodies = []
                 for st in tts_batch:
@@ -431,7 +449,7 @@ class UniServer:
                             np.float32)
                     bodies.append(b)
                 sems, acs = self.pipeline.frontend_batch(
-                    bodies, pad_to_batch=self.batch_max)
+                    bodies, pad_to_batch=fb)
                 for st, sem, ac in zip(tts_batch, sems, acs):
                     st.sem, st.ac = sem, ac
                     st.lm_prompt = self.pipeline.text_and_prompt_to_lm_prompt(
@@ -461,6 +479,12 @@ class UniServer:
                 plen += len(todo[k].lm_prompt)
                 k += 1
             k = 1 << (max(k, 1).bit_length() - 1)  # largest pow2 <= k
+            # pow2 LENGTH bucket for the packed prefill: a lone 312-token
+            # prompt pays a 512-wide prefill, not the full
+            # max_prefill_predict_length (round-5 soak: full-bucket padding
+            # made admission the throughput ceiling at trickle rates)
+            plen_k = sum(len(st.lm_prompt) for st in todo[:k])
+            lbucket = min(max(_pow2ceil(plen_k), 256), bucket)
             group, todo = todo[:k], todo[k:]
             slots = free[:k]
             # a reused slot must not sit in the pending-release list: the
@@ -470,7 +494,8 @@ class UniServer:
                                 if s not in slots]
             try:
                 self.decode_state, firsts = self.engine.prefill_insert_many(
-                    self.decode_state, [st.lm_prompt for st in group], slots)
+                    self.decode_state, [st.lm_prompt for st in group], slots,
+                    bucket=lbucket)
                 firsts = np.asarray(firsts)
             except Exception as e:  # noqa: BLE001
                 for st in group + todo:
@@ -603,7 +628,8 @@ class UniServer:
             outs = self.pipeline.s2a_vocoder_batch(
                 [st.body for st in batch],
                 [st.sem for st in batch], [st.ac for st in batch],
-                gens, pad_to_batch=self.batch_max)
+                gens,
+                pad_to_batch=min(_pow2ceil(len(batch)), self.batch_max))
         except Exception as e:  # noqa: BLE001
             for st in batch:
                 self._fail(st, e)
