@@ -120,6 +120,10 @@ class UniServer:
         self.stats = {"requests_total": 0, "requests_completed": 0,
                       "decode_dispatches": 0, "s2a_batches": 0,
                       "errors": 0}
+        # cumulative wall-seconds per loop stage (the event loop is serial,
+        # so these sum to ~uptime and read as a utilization profile)
+        self.stage_s = {"sockets": 0.0, "admit": 0.0, "decode": 0.0,
+                        "s2a": 0.0, "idle": 0.0}
         self._sel = selectors.DefaultSelector()
         self._pending: list[_Stream] = []   # parsed, awaiting frontend+admit
         self._pending_t0 = None
@@ -163,18 +167,29 @@ class UniServer:
         """The event loop: socket IO and device work interleaved on THIS
         thread. deadline_s bounds the run (benches/tests)."""
         t_end = time.monotonic() + deadline_s if deadline_s else None
+        st = self.stage_s
         while not self._stop:
-            if t_end is not None and time.monotonic() >= t_end:
+            t0 = time.monotonic()
+            if t_end is not None and t0 >= t_end:
                 break
             busy = self._poll_sockets()
+            t1 = time.monotonic()
             busy |= self._admit_ready()
+            t2 = time.monotonic()
             busy |= self._decode_round()
+            t3 = time.monotonic()
             busy |= self._s2a_round()
+            t4 = time.monotonic()
             self._flush_writes()
+            st["sockets"] += t1 - t0
+            st["admit"] += t2 - t1
+            st["decode"] += t3 - t2
+            st["s2a"] += t4 - t3
             if not busy:
                 # idle: block in the selector (not a sleep) so arrivals wake
                 # the loop immediately
                 self._poll_sockets(timeout=0.02)
+                st["idle"] += time.monotonic() - t4
 
     # -------------------------------------------------------------- sockets
     def _poll_sockets(self, timeout: float = 0.0) -> bool:
@@ -285,6 +300,9 @@ class UniServer:
         lines.append(f"serving_active_slots {self._active()}")
         lines.append("# TYPE serving_queue_depth gauge")
         lines.append(f"serving_queue_depth {len(self._pending)}")
+        for k, v in self.stage_s.items():
+            lines.append(f"# TYPE serving_stage_{k}_seconds counter")
+            lines.append(f"serving_stage_{k}_seconds {v:.3f}")
         return "\n".join(lines) + "\n"
 
     def _respond(self, conn: _Conn, status: int, obj: dict):
