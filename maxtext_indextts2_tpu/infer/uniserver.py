@@ -124,6 +124,10 @@ class UniServer:
         # so these sum to ~uptime and read as a utilization profile)
         self.stage_s = {"sockets": 0.0, "admit": 0.0, "decode": 0.0,
                         "s2a": 0.0, "idle": 0.0}
+        # worst single pass per stage: a multi-second max is a stall (relay
+        # blip or stray compile), THE cause of connect-timeout bursts —
+        # the listen backlog only overflows when the loop stops accepting
+        self.stage_max = {k: 0.0 for k in self.stage_s}
         self._sel = selectors.DefaultSelector()
         self._pending: list[_Stream] = []   # parsed, awaiting frontend+admit
         self._pending_t0 = None
@@ -148,7 +152,7 @@ class UniServer:
         self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._lsock.bind(("0.0.0.0", self.port))
         self.port = self._lsock.getsockname()[1]  # resolve port=0 (tests)
-        self._lsock.listen(128)
+        self._lsock.listen(512)
         self._lsock.setblocking(False)
         self._sel.register(self._lsock, selectors.EVENT_READ, None)
 
@@ -185,6 +189,11 @@ class UniServer:
             st["admit"] += t2 - t1
             st["decode"] += t3 - t2
             st["s2a"] += t4 - t3
+            mx = self.stage_max
+            mx["sockets"] = max(mx["sockets"], t1 - t0)
+            mx["admit"] = max(mx["admit"], t2 - t1)
+            mx["decode"] = max(mx["decode"], t3 - t2)
+            mx["s2a"] = max(mx["s2a"], t4 - t3)
             if not busy:
                 # idle: block in the selector (not a sleep) so arrivals wake
                 # the loop immediately
@@ -196,13 +205,19 @@ class UniServer:
         busy = False
         for key, mask in self._sel.select(timeout):
             if key.data is None:
-                try:
-                    sock, _ = self._lsock.accept()
-                except OSError:
-                    continue
-                sock.setblocking(False)
-                self._sel.register(sock, selectors.EVENT_READ, _Conn(sock))
-                busy = True
+                # drain the accept queue: the listener shows up once per
+                # select, and one accept per serve-loop cycle (~0.3 s under
+                # load) capped throughput at ~3 conns/s while the backlog
+                # overflowed into client connect-timeouts (round-5 soak)
+                while True:
+                    try:
+                        sock, _ = self._lsock.accept()
+                    except OSError:
+                        break
+                    sock.setblocking(False)
+                    self._sel.register(sock, selectors.EVENT_READ,
+                                       _Conn(sock))
+                    busy = True
                 continue
             conn: _Conn = key.data
             if mask & selectors.EVENT_READ:
@@ -212,17 +227,29 @@ class UniServer:
         return busy
 
     def _read_conn(self, conn: _Conn) -> bool:
-        try:
-            data = conn.sock.recv(1 << 16)
-        except BlockingIOError:
+        # drain: one 64 KB recv per serve-loop cycle meant a ~230 KB /tts
+        # body (b64 prompt audio) took 4+ cycles (>1 s under load) just to
+        # upload
+        chunks = []
+        while True:
+            try:
+                data = conn.sock.recv(1 << 18)
+            except BlockingIOError:
+                break
+            except OSError:
+                self._drop(conn)
+                return True
+            if not data:
+                if not chunks:
+                    self._drop(conn)
+                    return True
+                break
+            chunks.append(data)
+            if len(data) < (1 << 18):
+                break
+        if not chunks:
             return False
-        except OSError:
-            self._drop(conn)
-            return True
-        if not data:
-            self._drop(conn)
-            return True
-        conn.rbuf += data
+        conn.rbuf += b"".join(chunks)
         if conn.need is None and b"\r\n\r\n" not in conn.rbuf \
                 and len(conn.rbuf) > (64 << 10):
             self._drop(conn)  # runaway headers
@@ -303,6 +330,9 @@ class UniServer:
         for k, v in self.stage_s.items():
             lines.append(f"# TYPE serving_stage_{k}_seconds counter")
             lines.append(f"serving_stage_{k}_seconds {v:.3f}")
+        for k, v in self.stage_max.items():
+            lines.append(f"# TYPE serving_stage_{k}_max_seconds gauge")
+            lines.append(f"serving_stage_{k}_max_seconds {v:.3f}")
         return "\n".join(lines) + "\n"
 
     def _respond(self, conn: _Conn, status: int, obj: dict):
