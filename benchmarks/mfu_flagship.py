@@ -52,6 +52,12 @@ BEST = MODEL_FLAGSHIP_VOCAB + [
     "per_device_batch_size=4", "fused_vocab_ce_chunk=512",
 ]
 BEST_INT8 = BEST + ["quantization=int8"]
+# Measured 2026-08-22 (--r5 sweep, benchmarks/results/mfu_flagship_r5.jsonl):
+# int8 fused CE (once-per-step kernel quant) + bf16 logit slices =
+# 119.11 TF/s/chip (60.5% MFU, 0.7772 s/step) — above the reference's
+# 56.06% v5e band floor. Ablation: fused_ce_int8 alone +5.8 pts, bf16
+# slices alone +0.7; chunk 512 > 1024 > 256; b8 matches b4 per-token.
+BEST_R5 = BEST_INT8 + ["fused_ce_int8=true", "fused_ce_logits_dtype=bfloat16"]
 
 # round-3 candidate: vocab-STREAMING fused CE (custom VJP, vocab-outer
 # tiles — the unembed kernel moves through HBM O(1) times per step and dW
@@ -117,7 +123,7 @@ TRIALS = (
 def main():
     trials = TRIALS
     if "--best" in sys.argv:
-        trials = TRIALS[:1]
+        trials = (BEST_R5,)
     elif "--streaming" in sys.argv:
         trials = TRIALS[2:6]
     elif "--r5" in sys.argv:
