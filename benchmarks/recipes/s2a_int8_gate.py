@@ -61,6 +61,12 @@ def train_tiny_stack(kv) -> dict:
     if kv.get("codec") == "med":
         codec_kwargs = dict(d_model=48, latent_dim=96, vocos_dim=192,
                             vocos_intermediate_dim=512, vocos_num_layers=6)
+    elif kv.get("codec") == "big":
+        # round-5 scaling: med@2000 plateaued at 21.2 dB reconstruction
+        # (still near the small codec's ~20) — the bottleneck is decoder
+        # capacity, not steps. big doubles every width over med.
+        codec_kwargs = dict(d_model=96, latent_dim=192, vocos_dim=384,
+                            vocos_intermediate_dim=1024, vocos_num_layers=8)
 
     # large pool: with 64 waves the tiny S2A memorizes to zero loss and the
     # int8-vs-f32 comparison degenerates to bit-identical sampling
